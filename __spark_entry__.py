@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (TPC-H Q1 pricing summary) at
+  sf0.001 — smoke check.
+- ``queries()``: every declared operator from SURVEY.md §2 (core
+  relational + pub/sub semantics + dedup/similarity/text/multimodal
+  extensions), one ``(spark, sf_dir) -> DataFrame`` callable each.
+- ``oracle_sql()``: the DuckDB-equivalent SQL per query (queries whose
+  semantics are estimator-specific — e.g. HyperLogLog approx counts —
+  are rows-only and intentionally absent here).
+
+Implementation lives in the ``ripple_server_spark`` package.
 """
 
 from __future__ import annotations
@@ -13,26 +18,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ripple_server_spark.plans import all_oracles, all_queries
+from ripple_server_spark.plans.registry import SPECS
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return SPECS["q_tpch_q1"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query key (same column aliases)."""
+    return all_oracles()

@@ -1,0 +1,54 @@
+"""Table catalog: named access to the synthetic parquet tables.
+
+The reference's only "catalog" is ZooKeeper paths mapping topic/bucket
+names to broker endpoints (internal/lighthouse/io/io.go). Here a table
+name maps to a parquet path, and the engine fixes up physical-type
+quirks at load so every downstream operator sees clean Spark types.
+
+Scale notes: ``spark.read.parquet`` gives vectorized columnar scans,
+predicate pushdown, and partition-directory pruning for free — the
+catalog deliberately returns *lazy* DataFrames so Catalyst can push
+query filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.session import ensure_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame with normalized types.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark's
+    reader only accepts as a long (``spark.sql.legacy.parquet.
+    nanosAsLong``); we convert to a microsecond TimestampType with exact
+    integer division (``div`` — double math would lose precision at
+    ~1.7e18 ns) matching DuckDB's own ns->us truncation.
+    """
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql callers)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,48 @@
+"""Engine tunables — the Spark analog of the reference's ``config.toml``.
+
+The reference (ripple-mq/ripple-server) centralizes its capacity knobs in
+``config.toml`` (replica count, channel capacities, batch sizes — see
+BASELINE.md §A). Our engine's knobs are query-shape parameters; transport
+and replication knobs have no equivalent because durability is delegated
+to the storage layer (parquet/Delta) and scheduling to Spark.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Bucket routing: the reference shards a topic into named buckets and
+# routes by key (internal/topic/topic.go:12-25). We route events with
+# bucket = pmod(user_id, N_BUCKETS). 8 buckets at test scale; at 100 TB
+# this is the topic's partition count (hundreds to thousands).
+N_BUCKETS = 8
+
+# Replication factor the reference hard-codes (config.toml:12). Kept for
+# the fan-out-write analog (streaming.sink.fanout_write); real durability
+# comes from the storage layer.
+DEFAULT_REPLICAS = 3
+
+# MinHash near-dup parameters: 16 permutations in 4 bands of 4 rows.
+# Detection threshold ~ (1/bands)^(1/rows) ≈ 0.71 similarity; verified
+# candidates are kept at JACCARD_THRESHOLD.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+SHINGLE_K = 3  # word n-gram width for shingling
+
+# SimHash signature width (bits).
+SIMHASH_BITS = 32
+
+# Random-hyperplane LSH for embeddings: 8 sign bits -> 256 buckets.
+LSH_HYPERPLANES = 8
+
+# Cosine near-duplicate threshold for embedding dedup.
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1,0 +1,36 @@
+"""Scalar functions: routing ids, time bucketing, JSON extraction.
+
+The reference's single scalar function is the md5 topic/bucket identity
+(internal/topic/topic.go:17-21: ``md5(topic + "/" + bucket)``); we
+reproduce it exactly. JSON extraction replaces the reference's opaque
+GOB payloads (``Payload.Data []byte``) with a typed, queryable column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def route_id(topic: Column, bucket: Column) -> Column:
+    """md5(topic/bucket) — byte-parity with the reference's bucket id
+    (internal/topic/topic.go:17-21). Pure codegen expression."""
+    return F.md5(F.concat_ws("/", topic, bucket.cast("string")))
+
+
+def json_int(col: Column, path: str) -> Column:
+    """Extract an integer field from a JSON string column.
+
+    ``get_json_object`` is a codegen'd JVM path (Jackson streaming) —
+    no Python round-trip; at scale prefer parsing once with
+    ``from_json`` into a struct column if many fields are read.
+    """
+    return F.get_json_object(col, path).cast("bigint")
+
+
+def ts_micros(col: Column) -> Column:
+    """Canonical cross-engine timestamp representation (int64 epoch µs).
+
+    Query results expose timestamps this way so value comparison is
+    exact across engines/timezones (DuckDB: epoch_us)."""
+    return F.unix_micros(col)

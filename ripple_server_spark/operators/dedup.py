@@ -1,0 +1,236 @@
+"""Deduplication operators for document/embedding corpora.
+
+No reference analog (the reference's only dedup is ack-id matching,
+internal/broker/ack/ack.go:76-80); this is the training-data-pipeline
+surface mandated by BASELINE.json, built as pure DataFrame pipelines:
+
+- exact: hash-groupBy (one shuffle on the content hash);
+- MinHash+LSH: shingle -> 16 md5-min signatures -> 4 banded buckets ->
+  bucket join -> Jaccard verify. At 100 TB the candidate join touches
+  only colliding bands (expected near-linear), never the n² pairs;
+- SimHash: 32-bit majority signature, banded prefix blocking;
+- n-gram Jaccard: inverted-index (shared-shingle) candidate join;
+- embedding near-dup: blocked nearest-neighbor by LSH/label bucket.
+
+All hashing is md5-derived so signatures are engine-reproducible (the
+DuckDB oracles regenerate them bit-for-bit) — no JVM/py hash seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.config import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+)
+from ripple_server_spark.functions.text import shingles
+from ripple_server_spark.functions.vectors import cosine
+
+
+def exact_dedup_docs(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest doc_id per md5.
+
+    One hash shuffle; at 100 TB this is the cheapest dedup pass and
+    always runs before any near-dup stage.
+    """
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word-3-gram shingles."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, seed, h): h = min over shingles of md5(seed + ':' + s).
+
+    The min is a partial aggregate — each map task reduces its shingles
+    before the shuffle, so shuffle volume is O(docs × perms), not
+    O(shingles × perms).
+    """
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("seed"),
+        "shingle",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("h")
+    )
+
+
+def lsh_bands(mh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, bh): band signature = md5 of the band's minhashes
+    concatenated in seed order (deterministic via struct sort)."""
+    rows = MINHASH_PERMS // bands
+    return (
+        mh.groupBy("doc_id", F.floor(F.col("seed") / rows).alias("band"))
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "h"))).alias("hs"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.array_join(F.transform(F.col("hs"), lambda x: x["h"]), "|")).alias("bh"),
+        )
+    )
+
+
+def lsh_candidates(bands_df: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing at least one band bucket.
+
+    The join key is (band, bh): only documents that collide in a bucket
+    meet — this is the step that replaces the O(n²) cross join. At
+    100 TB, a hot bucket (giant cluster of near-identical docs) is the
+    skew risk: AQE skew-join splitting handles it, or cap bucket size
+    upstream with a count filter.
+    """
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via two semi-structured joins on
+    the shingle table (never materializes full shingle sets per row)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("doc_b"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
+    sh = shingle_sets(docs)
+    cand = lsh_candidates(lsh_bands(minhash_signatures(sh, perms), bands))
+    return verify_jaccard(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, block_col: str = "source", threshold: float = 0.01
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: compare only within a blocking key
+    (here: same source). The candidate generator at true scale is the
+    shared-shingle inverted index or MinHash; blocking keeps the oracle
+    cheap while exercising the same verify kernel."""
+    sh = shingle_sets(docs)
+    ids = docs.select("doc_id", block_col)
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return verify_jaccard(pairs, sh, threshold)
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash as a bit string: bit b is the sign of the count-
+    weighted sum of ±1 word hashes (md5(word:b) first hex char ≤ '7').
+
+    Two shuffles: token counts per doc, then signature assembly. The
+    ±1 per (word,b) is codegen'd md5 — deterministic in any engine.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = (
+        toks.select(
+            "doc_id",
+            "w",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("w"), F.lit(":"), F.col("b").cast("string"))), 1, 1
+                )
+                <= "7",
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    bit = F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        wb.select("doc_id", "b", bit.alias("bit"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "bit"))).alias("bb"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("bb"), lambda x: x["bit"]), "").alias("simhash"),
+        )
+    )
+
+
+def embedding_neardup(emb: DataFrame, min_sim: float = 0.2) -> DataFrame:
+    """Blocked cosine nearest-neighbor per vector (block = label here;
+    at scale, block = LSH bucket from functions.vectors.lsh_bucket_expr
+    so candidate count stays near-linear)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("sim") >= min_sim))
+        .select("vec_a", F.col("vec_b").alias("nearest_id"), F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,15 @@
+"""Declared query plans: the driver-visible surface of the engine.
+
+Every operator capability from SURVEY.md §2 is declared here as a named
+query with (a) a DataFrame builder and (b) an ANSI-SQL DuckDB oracle,
+so correctness is machine-checked query-by-query.
+"""
+
+from ripple_server_spark.plans.registry import SPECS, QuerySpec, all_queries, all_oracles
+
+# Importing the plan modules populates SPECS via the @query decorator.
+from ripple_server_spark.plans import core as _core  # noqa: E402,F401
+from ripple_server_spark.plans import pubsub as _pubsub  # noqa: E402,F401
+from ripple_server_spark.plans import extensions as _extensions  # noqa: E402,F401
+
+__all__ = ["SPECS", "QuerySpec", "all_queries", "all_oracles"]

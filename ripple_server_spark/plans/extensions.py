@@ -1,0 +1,467 @@
+"""Extension queries: dedup, similarity search, text analysis,
+multimodal — the LLM-training-data-pipeline surface (BASELINE.json
+north star; no reference analog).
+
+Oracle strategy: all signatures/hashes are md5-derived, so DuckDB
+regenerates them exactly; cosine/jaccard values are rounded at the
+edge; ranks use rounded scores + id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions import text as tx
+from ripple_server_spark.functions.vectors import cosine, l2_norm, lsh_bucket_expr
+from ripple_server_spark.operators import dedup
+from ripple_server_spark.plans.registry import query
+
+EMB_DIM = 64
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per document.
+_SH_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM t),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx)
+"""
+
+# Shared DuckDB cosine between two FLOAT[] columns a.embedding/b.embedding.
+_COS = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keep-smallest-id policy."""
+    return dedup.exact_dedup_docs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_events_first",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("dedup",),
+)
+def q_dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a deterministic keep-first policy (dropDuplicates
+    keeps an arbitrary row; min-per-key is the reproducible form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    mh AS (
+        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band, md5(string_agg(h, '|' ORDER BY seed)) AS bh
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_common::DOUBLE / (na.n + nb.n - i.n_common) >= 0.5
+    """,
+    bench=True,
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) near-dup pairs, Jaccard-verified
+    at 0.5. The oracle regenerates identical signatures from md5."""
+    return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_common
+        FROM pairs p
+        JOIN sh s1 ON s1.doc_id = p.doc_a
+        JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_common::DOUBLE / (na.n + nb.n - i.n_common) >= 0.01
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard (block = source)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    wb AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN substr(md5(w || ':' || CAST(b AS VARCHAR)), 1, 1) <= '7'
+                        THEN cnt ELSE -cnt END) AS s
+        FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+    FROM wb GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (count-weighted md5 sign vectors)."""
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT vec_a, nearest_id, sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS nearest_id,
+               round({_COS}, 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1 AND sim >= 0.2
+    """,
+    tags=("dedup", "vectors"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked (label) nearest neighbor per
+    vector with similarity floor. At scale the block is an LSH bucket."""
+    return dedup.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    if use_pandas:
+        from ripple_server_spark.functions.vectors import as_double, cosine_pandas
+
+        pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
+        pairs = pairs.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pandas(as_double(F.col("qe")), as_double(F.col("embedding"))).alias("sim"),
+        )
+    else:
+        pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id")).select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+_TOPK_ORACLE = f"""
+    SELECT q_id, neighbor_id, sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+               round({_COS}, 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 5
+"""
+
+
+@query("q_similarity_topk", oracle=_TOPK_ORACLE, bench=True, tags=("vectors", "ann"))
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline. Queries broadcast; corpus side streams (no shuffle of the
+    big side); per-query heap via window rank."""
+    return _cosine_topk(spark, sf_dir, use_pandas=False)
+
+
+@query("q_similarity_topk_pandas", oracle=_TOPK_ORACLE, tags=("vectors", "ann", "arrow"))
+def q_similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the Arrow/numpy Pandas-UDF kernel — the
+    100 TB throughput path (vectorized BLAS, ~10-100x the SQL fold).
+    Shares the SQL oracle: results must agree to 4 dp."""
+    return _cosine_topk(spark, sf_dir, use_pandas=True)
+
+
+_LSH_BUCKET_SQL = """
+    SELECT vec_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+    FROM (
+        SELECT vec_id, h,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) *
+                        (CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' ||
+                                              CAST(i - 1 AS VARCHAR)), 1, 1) <= '7'
+                              THEN 1.0 ELSE -1.0 END))) AS s
+        FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS h) hp
+    )
+    GROUP BY vec_id
+"""
+
+
+@query("q_similarity_lsh_bucket", oracle=_LSH_BUCKET_SQL, tags=("vectors", "ann", "lsh"))
+def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (Rademacher/md5) LSH bucket per vector: 8 sign
+    bits -> 256 buckets. This is the ANN scale path's partitioner: at
+    100 TB, search runs per-bucket (shuffle on bucket, ~n/256 each)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", lsh_bucket_expr(F.col("embedding"), EMB_DIM).alias("bucket"))
+
+
+@query(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH buckets AS ({_LSH_BUCKET_SQL}),
+    e AS (SELECT b.bucket, emb.* FROM embeddings emb JOIN buckets b USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+               round({_COS}, 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id, neighbor_id, sim FROM pairs WHERE rn <= 3
+    """,
+    tags=("vectors", "ann", "lsh"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: top-3 within the query's LSH bucket (candidates
+    ~n/256 per query instead of n). Recall vs the exact baseline is
+    pytest-checked; determinism via rounded-sim + id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), EMB_DIM))
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < 20)
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+@query(
+    "q_array_embedding_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+    """,
+    tags=("vectors",),
+)
+def q_array_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math in codegen: L2 norm via fold — no Python, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_token_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct_tokens,
+           length(text) AS n_chars_measured,
+           round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4) AS avg_token_len
+    FROM t
+    """,
+    bench=True,
+    tags=("text",),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer, all codegen."""
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_lang_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+        SELECT doc_id,
+          round(len(list_filter(w, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(w), 4) AS score_en,
+          round(len(list_filter(w, x -> x IN ('el','la','de','que','y')))::DOUBLE / len(w), 4) AS score_es,
+          round(len(list_filter(w, x -> x IN ('le','la','de','et','un')))::DOUBLE / len(w), 4) AS score_fr,
+          round(len(list_filter(w, x -> x IN ('der','die','das','und','ist')))::DOUBLE / len(w), 4) AS score_de,
+          round(len(list_filter(w, x -> x IN ('的','是','了','在','和')))::DOUBLE / len(w), 4) AS score_zh
+        FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+           list_sort([
+               {'neg': -score_en, 'lang': 'en'},
+               {'neg': -score_es, 'lang': 'es'},
+               {'neg': -score_fr, 'lang': 'fr'},
+               {'neg': -score_de, 'lang': 'de'},
+               {'neg': -score_zh, 'lang': 'zh'}
+           ])[1].lang AS pred_lang
+    FROM s
+    """,
+    tags=("text",),
+)
+def q_text_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language scores + deterministic argmax."""
+    return tx.lang_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_ratio,
+           round(len(list_filter(w, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(w), 4) AS stop_ratio,
+           (len(w) >= 20
+            AND len(list_distinct(w))::DOUBLE / len(w) >= 0.3
+            AND len(list_filter(w, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(w) <= 0.5) AS keep
+    FROM t
+    """,
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, lexical diversity, stopword ratio."""
+    return tx.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH {_SH_CTE},
+    mins AS (SELECT doc_id, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(lower(trim(d.text))) AS content_fp,
+           m.min_shingle_fp
+    FROM t
+    JOIN documents d USING (doc_id)
+    LEFT JOIN mins m USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + min-shingle fingerprints (1-perm MinHash prefilter)."""
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload byte length + checksum.
+    (The fixtures carry no real media; text bytes stand in. The decode/
+    feature-extract stage lives in multimodal.py as a mapInPandas
+    pipeline over binary columns — pytest-covered.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("checksum"),
+    )

@@ -1,0 +1,99 @@
+"""Pub/sub-semantics queries: event-time windows and consumer offsets.
+
+The reference has *no* event time (batching is count-based; SURVEY.md
+§2 Table B), so the windowed queries are new surface; the offset
+queries reproduce its consumer-cursor semantics exactly. The live
+streaming equivalents (readStream/writeStream with the same window
+specs) are in ``ripple_server_spark/streaming`` and are pytest-covered;
+these batch forms share the window logic and carry the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+
+@query(
+    "q_tumbling_hourly",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    bench=True,
+    tags=("streaming", "window-time"),
+)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate via F.window — the same expression the
+    streaming job uses with a watermark (streaming/windows.py). Partial-
+    aggregated like any groupBy; the window struct is computed in
+    codegen, no shuffle beyond the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws_us"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_sliding_counts",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                    - k * INTERVAL '15 minutes') AS ws_us,
+           count(*) AS n
+    FROM events
+    CROSS JOIN (SELECT unnest(range(4)) AS k) offs
+    GROUP BY 1
+    """,
+    tags=("streaming", "window-time"),
+)
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): every event lands in
+    exactly 4 windows. Spark's F.window handles replication internally;
+    the oracle replicates explicitly via a 4-row cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws_us"), "n")
+    )
+
+
+@query(
+    "q_offsets_fanout",
+    oracle="""
+    WITH consumers(consumer_id, off) AS (VALUES ('c0', 0), ('c1', 100), ('c2', 500))
+    SELECT consumer_id,
+           count(e.event_id) AS pending,
+           min(e.event_id) AS next_seq
+    FROM consumers
+    LEFT JOIN events e ON e.event_id >= off
+    GROUP BY consumer_id
+    """,
+    tags=("pubsub",),
+)
+def q_offsets_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out pub/sub semantics: every consumer has an independent
+    offset and sees the full stream from there (reference: per-consumer
+    ZK cursors, internal/broker/consumer/server/core.go:46-63,77-85).
+    Pending backlog + next sequence per consumer.
+
+    Scale: the consumer side is 3 rows — broadcast nested-loop against
+    the log's pushed-down range scan; with a bucketed log this becomes
+    per-bucket tail-file reads, not a full scan."""
+    ev = load_table(spark, sf_dir, "events")
+    consumers = spark.createDataFrame(
+        [("c0", 0), ("c1", 100), ("c2", 500)], ["consumer_id", "off"]
+    )
+    j = F.broadcast(consumers).join(ev, ev["event_id"] >= consumers["off"], "left")
+    return j.groupBy("consumer_id").agg(
+        F.count("event_id").alias("pending"),
+        F.min("event_id").alias("next_seq"),
+    )

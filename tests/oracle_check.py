@@ -1,0 +1,70 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every declared query on Spark and its oracle on DuckDB over the
+same parquet directory, then compares row count, column names/order-
+insensitively, and values. Comparison is STRICTER than the driver's
+(exact equality after canonical sorting, small float tolerance only as
+a diagnostic) so that passing here predicts passing there.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+from ripple_server_spark.catalog import TABLES
+
+
+@dataclass
+class Diff:
+    name: str
+    kind: str  # rowcount | columns | values | error
+    detail: str
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / +0.0 and represent with enough digits
+        if v == 0:
+            return "0"
+        return repr(round(v, 9))
+    return repr(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def compare_query(spark, con, name: str, builder, sql: str, sf_dir: str) -> Diff | None:
+    sdf = builder(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o = con.execute(sql)
+    o_cols = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+    if sorted(s_cols) != sorted(o_cols):
+        return Diff(name, "columns", f"spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    if len(s_rows) != len(o_rows):
+        return Diff(name, "rowcount", f"spark={len(s_rows)} oracle={len(o_rows)}")
+    _, sc = _canon_rows(s_cols, s_rows)
+    _, oc = _canon_rows(o_cols, o_rows)
+    if sc != oc:
+        bad = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+        return Diff(name, "values", f"first diffs: {bad}")
+    return None
