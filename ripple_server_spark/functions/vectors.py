@@ -88,6 +88,30 @@ def lsh_planes(dim: int, n_planes: int = LSH_HYPERPLANES) -> np.ndarray:
     return np.stack([rademacher_plane(h, dim) for h in range(n_planes)])
 
 
+_lsh_bucket_udfs: dict = {}
+
+
+def lsh_bucket_pandas(vec: Column, dim: int, n_planes: int = LSH_HYPERPLANES) -> Column:
+    """Arrow-vectorized LSH bucket: one numpy matmul per batch against
+    the md5-derived ±1 plane matrix — identical signs to
+    :func:`lsh_bucket_expr` (same planes, float64 both ways). This is
+    the kernel to use on large corpora; the expr form documents the
+    engine-portable definition."""
+    key = (dim, n_planes)
+    if key not in _lsh_bucket_udfs:
+        planes = lsh_planes(dim, n_planes).T  # dim x planes
+
+        def _kernel(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            signs = (m @ planes) >= 0
+            return pd.Series(
+                ["".join("1" if b else "0" for b in row) for row in signs]
+            )
+
+        _lsh_bucket_udfs[key] = pandas_udf(_kernel, "string")
+    return _lsh_bucket_udfs[key](vec)
+
+
 def lsh_bucket_expr(vec: Column, dim: int, n_planes: int = LSH_HYPERPLANES) -> Column:
     """Sign-projection bucket as an n_planes-char bit string, computed
     with codegen expressions (md5-derived ±1 weights inlined as an

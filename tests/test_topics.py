@@ -1,0 +1,105 @@
+"""Topic-store semantics tests — the delivery guarantees SURVEY.md §2
+says are worth preserving: per-bucket FIFO total order, at-least-once
+non-destructive reads, independent per-consumer offsets (fan-out), and
+contiguous gap-free sequences.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.topics import TopicStore
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    st = TopicStore(spark, str(tmp_path_factory.mktemp("topics")))
+    st.create_topic("t1", n_buckets=N_BUCKETS)
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    st.produce(ev, "t1")
+    return st
+
+
+def test_produce_assigns_contiguous_seq_per_bucket(store):
+    log = store.read_topic("t1")
+    per_bucket = (
+        log.groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_bucket) == N_BUCKETS
+    for r in per_bucket:
+        assert r["mn"] == 0
+        assert r["mx"] == r["n"] - 1  # gap-free: max == count-1
+
+
+def test_second_produce_extends_sequences(store, spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(600).filter(F.col("event_id") >= 400)
+    store.produce(ev, "t1")
+    log = store.read_topic("t1")
+    per_bucket = (
+        log.groupBy("bucket")
+        .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["mx"] == r["n"] - 1  # still contiguous after append
+
+
+def test_fifo_order_follows_ts_within_bucket(store):
+    rows = (
+        store.read_topic("t1")
+        .filter(F.col("bucket") == 1)
+        .orderBy("seq")
+        .select("ts", "event_id")
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+    assert rows == ordered
+
+
+def test_consume_is_ordered_and_nondestructive(store):
+    store.register_consumer("cA", "t1")
+    batch1, next1 = store.consume("cA", "t1", bucket=2, count=10)
+    seqs1 = [r["seq"] for r in batch1.orderBy("seq").collect()]
+    assert seqs1 == list(range(0, len(seqs1)))
+    # no commit -> re-read delivers the same batch (at-least-once)
+    batch1b, _ = store.consume("cA", "t1", bucket=2, count=10)
+    assert [r["seq"] for r in batch1b.orderBy("seq").collect()] == seqs1
+
+
+def test_commit_advances_offset(store):
+    store.register_consumer("cB", "t1")
+    b1, next_off = store.consume("cB", "t1", bucket=0, count=5)
+    store.commit("cB", "t1", 0, next_off)
+    b2, _ = store.consume("cB", "t1", bucket=0, count=5)
+    s1 = {r["seq"] for r in b1.collect()}
+    s2 = {r["seq"] for r in b2.collect()}
+    assert not (s1 & s2)
+    assert min(s2) == max(s1) + 1
+
+
+def test_fanout_consumers_have_independent_offsets(store):
+    store.register_consumer("cX", "t1")
+    store.register_consumer("cY", "t1")
+    bx, nx = store.consume("cX", "t1", bucket=3, count=7)
+    store.commit("cX", "t1", 3, nx)
+    # cY is unaffected by cX's commit: still reads from 0
+    by, _ = store.consume("cY", "t1", bucket=3, count=7)
+    assert [r["seq"] for r in by.orderBy("seq").collect()] == [
+        r["seq"] for r in bx.orderBy("seq").collect()
+    ]
+
+
+def test_consume_clamps_at_end_of_log(store):
+    """SubArray clamps end to len (concurrent_list.go:63-73): asking for
+    more than remains returns what exists."""
+    store.register_consumer("cZ", "t1")
+    depth = store.read_topic("t1").filter(F.col("bucket") == 1).count()
+    batch, next_off = store.consume("cZ", "t1", bucket=1, count=10_000)
+    assert batch.count() == depth
+    assert next_off == depth
