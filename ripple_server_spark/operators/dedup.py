@@ -26,7 +26,7 @@ from ripple_server_spark.config import (
     MINHASH_BANDS,
     MINHASH_PERMS,
 )
-from ripple_server_spark.functions.text import shingles
+from ripple_server_spark.functions.text import shingles_pandas
 from ripple_server_spark.functions.vectors import cosine, dot, l2_norm
 
 
@@ -42,9 +42,12 @@ def exact_dedup_docs(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct word-3-gram shingles."""
+    """(doc_id, shingle) pairs — distinct word-3-gram shingles.
+
+    Arrow kernel (shingles_pandas) for throughput; output is identical
+    to the expr form (oracle-verified)."""
     return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(shingles_pandas(F.col("text"))).alias("shingle")
     )
 
 
@@ -140,9 +143,18 @@ def minhash_lsh_dedup(
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
-    sh = shingle_sets(docs)
-    cand = lsh_candidates(lsh_bands(minhash_signatures(sh, perms), bands))
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    Persists at every plan fan-out: the shingle table feeds four
+    branches (signatures + both intersection sides + set sizes) and the
+    band table feeds its own self-join — without persists Spark re-runs
+    tokenization/md5-min once per branch, which at 100 TB is 4+ full
+    corpus passes. All persisted sets are small relative to the corpus
+    (shingles ~linear, bands = docs × n_bands) and spill-safe.
+    """
+    sh = shingle_sets(docs).persist()
+    band_df = lsh_bands(minhash_signatures(sh, perms), bands).persist()
+    cand = lsh_candidates(band_df).persist()
     return verify_jaccard(cand, sh, threshold)
 
 
@@ -153,7 +165,7 @@ def ngram_jaccard_pairs(
     (here: same source). The candidate generator at true scale is the
     shared-shingle inverted index or MinHash; blocking keeps the oracle
     cheap while exercising the same verify kernel."""
-    sh = shingle_sets(docs)
+    sh = shingle_sets(docs).persist()
     ids = docs.select("doc_id", block_col)
     a = ids.alias("a")
     b = ids.alias("b")
@@ -161,7 +173,7 @@ def ngram_jaccard_pairs(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")).persist()
     return verify_jaccard(pairs, sh, threshold)
 
 
