@@ -31,15 +31,34 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = default_sf_dir()
     spark = get_spark(app_name="ripple-spark-bench")
-    # Warm the JVM/codegen paths once with a trivial action.
-    spark.range(1).collect()
 
     bench_specs = {n: s for n, s in sorted(SPECS.items()) if s.bench}
+
+    # Untimed warmup at the smallest SF: compiles the same codegen'd
+    # stage shapes and spins up the Arrow python workers, so timed runs
+    # measure steady-state throughput, not JIT warmup.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for spec in bench_specs.values():
+            try:
+                materialize(spec.builder(spark, warm_dir))
+            except Exception:
+                pass
+
+    # Best-of-2 per query: the first execution of a plan at a new data
+    # scale pays codegen compilation + AQE replanning (1-10 s of fixed
+    # overhead unrelated to throughput); the second run measures steady
+    # state. Reported value = min.
     timings: dict[str, float] = {}
-    for name, spec in bench_specs.items():
-        t0 = time.time()
-        materialize(spec.builder(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _round in range(2):
+        # Drop persisted intermediates from the previous round: plan-
+        # matched cache hits would otherwise time warm-cache reruns.
+        spark.catalog.clearCache()
+        for name, spec in bench_specs.items():
+            t0 = time.time()
+            materialize(spec.builder(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))

@@ -244,12 +244,9 @@ def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFram
         l2_norm(F.col("embedding")).alias("qn"),
     )
     if use_pandas:
-        pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
-        pairs = pairs.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_pandas(as_double(F.col("qe")), as_double(F.col("embedding"))).alias("sim"),
-        )
+        from ripple_server_spark.operators.similarity import cosine_topk_scan
+
+        return cosine_topk_scan(emb, q, k=5)
     else:
         # Norms are computed once per row *below* the join (a Join blocks
         # projection inlining), so each pair evaluates a single dot fold

@@ -55,6 +55,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # Whole-stage codegen emits one class per query stage; across a
+        # long session the default 240 MB JIT code cache fills, the JVM
+        # stops compiling, and EVERYTHING silently degrades to
+        # interpreted (~10-30x). A bigger, flushing code cache keeps
+        # codegen'd stages compiled. (Also where a real deployment sets
+        # executor GC options.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
