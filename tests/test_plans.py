@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions: correctness tests prove results;
+these prove the plans stay scale-worthy — filters reach the parquet
+scan, projections prune columns, small dims broadcast, top-k never
+global-sorts, per-key rank-1 never windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ripple_server_spark.plans.registry import SPECS
+from tests.conftest import SF_SMOKE
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def build(spark, name):
+    return SPECS[name].builder(spark, SF_SMOKE)
+
+
+def test_filter_is_pushed_to_parquet_scan(spark):
+    p = plan(build(spark, "q_filter_topic_bucket"))
+    assert "PushedFilters:" in p
+    assert "IsNotNull(event_type)" in p or "EqualTo(event_type,purchase)" in p
+
+
+def test_projection_prunes_scan_columns(spark):
+    p = plan(build(spark, "q_filter_topic_bucket"))
+    # query touches event_id/user_id/value/event_type only; props must
+    # not be read from the 6-column events table
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "props" not in read_schema[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    p = plan(build(spark, "q_enrich_broadcast_join"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_anti_join_shapes(spark):
+    p = plan(build(spark, "q_join_semi_anti"))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan(build(spark, "q_consume_offset_range"))
+    assert "TakeOrderedAndProject" in p
+    p2 = plan(build(spark, "q_topk_hot_users"))
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_ranged_read_pushes_offset_predicate(spark):
+    p = plan(build(spark, "q_consume_offset_range"))
+    assert "GreaterThanOrEqual(event_id,100)" in p
+
+
+def test_latest_per_user_uses_aggregate_not_window(spark):
+    """Rank-1-per-key as max_by: partial-aggregatable, no sort, no
+    Window operator (skew-immune at 100 TB)."""
+    p = plan(build(spark, "q_latest_event_per_user"))
+    assert "Window" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_tpch_q1_partial_aggregates(spark):
+    p = plan(build(spark, "q_tpch_q1"))
+    # partial + final aggregation pair around a single shuffle
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_scan_query_has_no_shuffle(spark):
+    p = plan(build(spark, "q_scan_events"))
+    assert "Exchange" not in p
+
+
+def test_union_has_no_shuffle(spark):
+    p = plan(build(spark, "q_union_topics"))
+    assert "Exchange" not in p
+
+
+@pytest.mark.parametrize(
+    "name", ["q_tpch_q1", "q_agg_multi", "q_fact_join", "q_filter_compound"]
+)
+def test_hot_relational_paths_stay_in_codegen(spark, name):
+    """No Python eval (BatchEvalPython/ArrowEvalPython) in relational
+    query plans — UDFs are reserved for vector/media kernels."""
+    p = plan(build(spark, name))
+    assert "EvalPython" not in p
