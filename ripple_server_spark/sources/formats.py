@@ -1,0 +1,46 @@
+"""File-format connectors beyond parquet: JSON lines and CSV.
+
+The reference has no persistence at all (memory-only queues,
+SURVEY.md §1.3); these connectors exist because a real event engine
+ingests from and exports to interchange formats. Parquet stays the
+canonical storage (columnar, pushdown, stats); JSON/CSV are edges.
+
+Scale notes: both readers take an explicit schema — schema inference
+is a full extra pass over 100 TB and non-deterministic under sampling.
+Timestamps round-trip through explicit ISO-µs formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .csv(path)
+    )

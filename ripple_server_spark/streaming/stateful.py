@@ -1,0 +1,66 @@
+"""Custom stateful streaming operator: per-bucket delivery cursors.
+
+The reference keeps one mutable cursor per (consumer, bucket) in
+ZooKeeper and advances it as batches are delivered
+(internal/broker/consumer/server/core.go:46-63). This module is that
+state machine as a Spark stateful streaming operator: for every bucket,
+track across micro-batches
+
+- ``delivered``  — total messages seen so far,
+- ``max_seq``    — highest sequence delivered,
+- ``gaps``       — count of skipped sequence numbers observed so far
+                   (a nonzero value means FIFO contiguity was violated
+                   upstream — the invariant the reference enforces by
+                   construction with its in-memory list).
+
+Implemented with ``applyInPandasWithState`` (GroupState): state is a
+single small tuple per bucket, partitioned by bucket — at 100 TB this
+is the bounded-state shape (state size = O(buckets), not O(messages)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "delivered long, max_seq long, gaps long"
+OUTPUT_SCHEMA = "bucket int, delivered long, max_seq long, gaps long"
+
+
+def _track(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (bucket,) = key
+    if state.exists:
+        delivered, max_seq, gaps = state.get
+    else:
+        delivered, max_seq, gaps = 0, -1, 0
+    for pdf in batches:
+        seqs = sorted(int(s) for s in pdf["seq"])
+        for s in seqs:
+            if s > max_seq + 1:
+                gaps += s - (max_seq + 1)
+            max_seq = max(max_seq, s)
+            delivered += 1
+    state.update((delivered, max_seq, gaps))
+    yield pd.DataFrame(
+        [{"bucket": bucket, "delivered": delivered, "max_seq": max_seq, "gaps": gaps}]
+    )
+
+
+def delivery_cursor(stream: DataFrame) -> DataFrame:
+    """Attach the cursor tracker to a streaming topic DataFrame (must
+    carry ``bucket`` and ``seq`` columns). Emits one updated cursor row
+    per bucket per micro-batch (update mode)."""
+    return stream.groupBy("bucket").applyInPandasWithState(
+        _track,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
