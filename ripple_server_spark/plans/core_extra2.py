@@ -1,0 +1,145 @@
+"""Further coverage: selective scan-agg (TPC-H Q6 shape), scalar
+subquery, exact percentiles, and a grouped-map Pandas operator with a
+SQL oracle (the applyInPandas surface).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    tags=("agg", "filter"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecasting-revenue-change — the purest
+    pushdown test (4 pushed predicates, 3-column ReadSchema, single
+    partial-agg scalar result; zero shuffle rows beyond 1/task)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_above_avg_value",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE value > (SELECT avg(value) FROM events)
+    GROUP BY event_type
+    """,
+    tags=("subquery", "agg"),
+)
+def q_above_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: events above the global mean value.
+    The subquery aggregates to one row and broadcasts into the filter
+    (two passes over the scan, no shuffle of the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    avg_df = ev.agg(F.avg("value").alias("gavg"))
+    return (
+        ev.join(F.broadcast(avg_df))
+        .filter(F.col("value") > F.col("gavg"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_percentile_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). Sort-based
+    aggregate; at 100 TB switch to approx_percentile (t-digest sketch,
+    partial-aggregatable) when 1e-3 relative error is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "q_approx_percentile_value",
+    oracle=None,  # sketch-specific results; rows-only + pytest bound
+    tags=("agg", "percentile", "approx"),
+)
+def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile sketches merge
+    map-side (no global sort). Accuracy vs exact is pytest-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.95, 10000)"), 4).alias("p95"),
+    )
+
+
+ZSCORE_SCHEMA = "user_id long, event_id long, zscore double"
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)  # sample stddev == stddev_samp
+    z = (pdf["value"] - mu) / sd if (sd and sd == sd and sd > 0) else pdf["value"] * float("nan")
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(4)}
+    )
+
+
+@query(
+    "q_user_zscore_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events
+    """,
+    tags=("udf", "arrow", "window"),
+)
+def q_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas operator (applyInPandas): per-user z-score
+    normalization — the canonical "custom per-group kernel" surface.
+    One shuffle on user_id; each group is a single Arrow batch in
+    Python. Oracle = the equivalent window-function SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_zscore, schema=ZSCORE_SCHEMA)
+    )
