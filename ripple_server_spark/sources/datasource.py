@@ -1,0 +1,177 @@
+"""`ripple_topic` — a custom PySpark (Spark 4) DataSource for topic logs.
+
+Registers the engine's topic layout as a first-class Spark source:
+
+    spark.dataSource.register(RippleTopicDataSource)
+    df = (spark.read.format("ripple_topic")
+          .option("root", store.root).option("topic", "t1")
+          .option("offset", 100)          # optional: seq >= offset
+          .load())
+    st = (spark.readStream.format("ripple_topic")
+          .option("root", store.root).option("topic", "t1")
+          .option("batch_size", 1000)     # AskQuery{Count} analog
+          .load())
+
+Semantics mapped from the reference:
+
+- one :class:`InputPartition` per bucket — the reader parallelism IS
+  the bucket layout (reference: one queue per bucket,
+  internal/broker/server/server.go:25); rows within a bucket are
+  yielded in seq order (FIFO, queue.go:49-61);
+- the ``offset`` option is the consumer cursor (SubArray start);
+- the streaming reader exposes a monotone per-topic offset = total
+  rows by bucket (exactly the ZK cursor, but committed atomically by
+  Spark's checkpoint — the fix for core.go:61-62's race);
+- ``batch_size`` bounds rows per micro-batch like AskQuery.Count.
+
+Implementation notes: partition readers use pyarrow directly (executor-
+side, no SparkSession there); the streaming reader is a
+SimpleDataSourceStreamReader (driver-side prefetch), the right tier for
+control-plane-small topics — the parquet/file-stream source in
+streaming/api.py remains the bulk path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+TOPIC_SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string, seq long, bucket int"
+)
+
+
+class BucketPartition(InputPartition):
+    def __init__(self, bucket_dir: str, bucket: int, offset: int, limit: int | None):
+        self.bucket_dir = bucket_dir
+        self.bucket = bucket
+        self.offset = offset
+        self.limit = limit
+
+
+def _bucket_dirs(data_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for e in sorted(os.listdir(data_dir)):
+        if e.startswith("bucket="):
+            out.append((int(e.split("=", 1)[1]), os.path.join(data_dir, e)))
+    return out
+
+
+def _read_bucket(part: BucketPartition):
+    """Executor-side: read one bucket's parquet files, seq-ordered,
+    from the requested offset. Row-group pruning via pyarrow filters."""
+    import datetime as _dt
+
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(part.bucket_dir, format="parquet")
+    flt = ds.field("seq") >= part.offset
+    tbl = dataset.to_table(filter=flt)
+    tbl = tbl.sort_by("seq")
+    if part.limit is not None:
+        tbl = tbl.slice(0, part.limit)
+    cols = tbl.column_names
+    utc = _dt.timezone.utc
+
+    def conv(v):
+        # stored timestamps are naive-UTC; Spark's TimestampType
+        # converter requires tz-aware values
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=utc)
+        return v
+
+    for batch in tbl.to_batches():
+        d = batch.to_pydict()
+        for i in range(batch.num_rows):
+            yield tuple(conv(d[c][i]) for c in cols) + (part.bucket,)
+
+
+class RippleTopicReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        self.offset = int(options.get("offset", 0))
+        self.limit = int(options["limit"]) if "limit" in options else None
+
+    def partitions(self):
+        data = os.path.join(self.root, "topics", self.topic, "data")
+        return [
+            BucketPartition(bdir, b, self.offset, self.limit)
+            for b, bdir in _bucket_dirs(data)
+        ]
+
+    def read(self, partition: BucketPartition) -> Iterator[tuple]:
+        yield from _read_bucket(partition)
+
+
+class RippleTopicStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source: offset = {bucket: next_seq}. Each batch
+    serves at most ``batch_size`` rows per bucket (AskQuery.Count)."""
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        self.batch_size = int(options.get("batch_size", 10_000))
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "topics", self.topic, "data")
+
+    def initialOffset(self) -> dict:
+        return {"cursors": json.dumps({})}
+
+    def _read_range(self, start: dict, max_rows: int | None):
+        cursors = json.loads(start.get("cursors", "{}"))
+        rows: list[tuple] = []
+        new_cursors = dict(cursors)
+        for b, bdir in _bucket_dirs(self._data_dir()):
+            off = int(cursors.get(str(b), 0))
+            part = BucketPartition(bdir, b, off, max_rows)
+            got = list(_read_bucket(part))
+            rows.extend(got)
+            new_cursors[str(b)] = off + len(got)
+        return rows, {"cursors": json.dumps(new_cursors)}
+
+    def read(self, start: dict):
+        rows, end = self._read_range(start, self.batch_size)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay for recovery: serve exactly [start, end)
+        s = json.loads(start.get("cursors", "{}"))
+        e = json.loads(end.get("cursors", "{}"))
+        for b, bdir in _bucket_dirs(self._data_dir()):
+            off = int(s.get(str(b), 0))
+            upto = int(e.get(str(b), 0))
+            if upto > off:
+                part = BucketPartition(bdir, b, off, upto - off)
+                yield from _read_bucket(part)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint owns committed offsets
+
+
+class RippleTopicDataSource(DataSource):
+    """DataSource entry point (batch + streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ripple_topic"
+
+    def schema(self) -> str:
+        return TOPIC_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> RippleTopicReader:
+        return RippleTopicReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RippleTopicStreamReader:
+        return RippleTopicStreamReader(self.options)

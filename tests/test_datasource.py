@@ -1,0 +1,72 @@
+"""Custom `ripple_topic` DataSource tests: batch reads with offset
+pushdown per bucket, and the micro-batch streaming reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.datasource import RippleTopicDataSource
+from ripple_server_spark.sources.topics import TopicStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path_factory.mktemp("ds_topics")))
+    st.create_topic("d1", n_buckets=4)
+    st.produce(load_table(spark, sf_dir, "events").limit(300), "d1")
+    return st
+
+
+def _read(spark, store, **opts):
+    r = spark.read.format("ripple_topic").option("root", store.root).option("topic", "d1")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_full_topic(spark, store):
+    df = _read(spark, store)
+    assert df.count() == 300
+    # schema carries bucket + seq
+    assert {"seq", "bucket", "event_id"} <= set(df.columns)
+    # matches the parquet view of the same log
+    direct = store.read_topic("d1")
+    a = {(r["bucket"], r["seq"], r["event_id"]) for r in df.select("bucket", "seq", "event_id").collect()}
+    b = {(r["bucket"], r["seq"], r["event_id"]) for r in direct.select("bucket", "seq", "event_id").collect()}
+    assert a == b
+
+
+def test_batch_read_with_offset_and_limit(spark, store):
+    df = _read(spark, store, offset=5, limit=10)
+    rows = df.groupBy("bucket").agg(F.min("seq").alias("mn"), F.count("*").alias("n")).collect()
+    for r in rows:
+        assert r["mn"] == 5  # offset honored per bucket
+        assert r["n"] <= 10  # AskQuery.Count clamp
+
+
+def test_stream_reader_delivers_and_resumes(spark, store, tmp_path):
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", store.root)
+        .option("topic", "d1")
+        .option("batch_size", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ds_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    # batch_size=50/bucket -> multiple micro-batches; drain them all
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) c FROM ds_stream").collect()[0]["c"]
+    assert got == 300
+    # per-bucket FIFO: seqs arrive gap-free from 0
+    per = spark.sql(
+        "SELECT bucket, count(*) n, max(seq) mx FROM ds_stream GROUP BY bucket"
+    ).collect()
+    for r in per:
+        assert r["mx"] == r["n"] - 1
