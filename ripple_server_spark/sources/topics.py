@@ -108,9 +108,13 @@ class TopicStore:
             .withColumn("max_seq", F.coalesce(F.col("max_seq"), F.lit(-1)))
             .withColumn("seq", F.col("max_seq") + F.row_number().over(w))
             .drop("max_seq")
+            .persist()  # one compute for count + write
         )
-        n = routed.count()
-        routed.write.mode("append").partitionBy("bucket").parquet(data)
+        try:
+            n = routed.count()
+            routed.write.mode("append").partitionBy("bucket").parquet(data)
+        finally:
+            routed.unpersist()
         return n
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:
