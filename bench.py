@@ -75,18 +75,28 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="ripple_bench_")
     try:
         store = TopicStore(spark, tmp)
-        store.create_topic("bench", n_buckets=8)
         ev = load_table(spark, sf_dir, "events")
-        t0 = time.time()
-        n = store.produce(ev, "bench")
-        timings["pubsub_produce"] = round(time.time() - t0, 3)
-        store.register_consumer("bench_c", "bench")
-        t0 = time.time()
-        total = 0
-        for b in range(8):
-            batch, _ = store.consume("bench_c", "bench", bucket=b, count=5000)
-            total += batch.count()
-        timings["pubsub_consume_8x5k"] = round(time.time() - t0, 3)
+        # Same methodology as the queries above: one untimed warmup run
+        # (JIT/codegen/committer spin-up), then best-of-2 timed runs —
+        # each into a fresh topic so every timed produce starts empty.
+        n = 0
+        for i, tag in enumerate(("warm", "t1", "t2")):
+            topic = f"bench_{tag}"
+            store.create_topic(topic, n_buckets=8)
+            t0 = time.time()
+            n = store.produce(ev, topic)
+            dt = round(time.time() - t0, 3)
+            if i > 0:
+                prev = timings.get("pubsub_produce", dt)
+                timings["pubsub_produce"] = min(prev, dt)
+            store.register_consumer("bench_c", topic)
+            t0 = time.time()
+            for b in range(8):
+                store.consume("bench_c", topic, bucket=b, count=5000)[0].count()
+            dt = round(time.time() - t0, 3)
+            if i > 0:
+                prev = timings.get("pubsub_consume_8x5k", dt)
+                timings["pubsub_consume_8x5k"] = min(prev, dt)
         timings["pubsub_rows"] = float(n)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
