@@ -82,13 +82,20 @@ def q_dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_lsh",
     oracle=f"""
     WITH {_SH_CTE},
+    hsh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+               ('0x' || substr(md5(shingle), 13, 12))::BIGINT AS h2
+        FROM sh
+    ),
     mh AS (
-        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
-        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        SELECT doc_id, seed, min(h1 + seed * h2) AS h
+        FROM hsh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
         GROUP BY doc_id, seed
     ),
     bands AS (
-        SELECT doc_id, seed // 4 AS band, md5(string_agg(h, '|' ORDER BY seed)) AS bh
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed)) AS bh
         FROM mh GROUP BY doc_id, seed // 4
     ),
     cand AS (
