@@ -52,3 +52,63 @@ def semi(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFram
 def anti(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFrame:
     """Keys-that-don't-exist filter (unregistered / orphan detection)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    key: str,
+    time_col: str,
+    ref_id_col: str,
+) -> DataFrame:
+    """As-of join: attach to each probe row the latest ``ref`` row of the
+    same ``key`` with ``ref.time <= probe.time`` (left semantics — probes
+    with no preceding ref keep NULLs).
+
+    Strategy is the union-window pattern, NOT probe⋈ref + filter: tagging
+    both inputs, sorting once per key, and carrying the last-seen ref
+    forward costs ONE shuffle of |probe|+|ref| rows and never builds the
+    O(|probe|·|matches|) intermediate a range join would. At 100 TB this
+    is the only shape that survives: the window state per key is a single
+    struct, and AQE/skew handling apply to the one shuffle.
+
+    Ties: refs at the same timestamp as a probe count as "preceding"
+    (is_ref sorts first); among equal-time refs the max ``ref_id_col``
+    wins (deterministic).
+
+    Returns the probe rows plus ``asof_<ref_id_col>`` and ``asof_ts``.
+    """
+    probe_cols = probe.columns
+    p = probe.withColumn("is_ref", F.lit(0)).withColumn(
+        "_ref_id", F.lit(None).cast("long")
+    )
+    r = ref.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("is_ref"),
+        F.col(ref_id_col).cast("long").alias("_ref_id"),
+    )
+    for c in probe_cols:
+        if c not in (key, time_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(probe.dtypes)[c]))
+    u = p.unionByName(r.select(*p.columns))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(time_col).asc(),
+            F.col("is_ref").desc(),
+            F.col("_ref_id").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        f"asof_{ref_id_col}", F.last("_ref_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "asof_ts",
+        F.last(F.when(F.col("is_ref") == 1, F.col(time_col)), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_ref") == 0).select(
+        *probe_cols, f"asof_{ref_id_col}", "asof_ts"
+    )

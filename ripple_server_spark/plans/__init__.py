@@ -11,6 +11,7 @@ from ripple_server_spark.plans.registry import SPECS, QuerySpec, all_queries, al
 from ripple_server_spark.plans import core as _core  # noqa: E402,F401
 from ripple_server_spark.plans import core_extra as _core_extra  # noqa: E402,F401
 from ripple_server_spark.plans import core_extra2 as _core_extra2  # noqa: E402,F401
+from ripple_server_spark.plans import core_extra3 as _core_extra3  # noqa: E402,F401
 from ripple_server_spark.plans import pubsub as _pubsub  # noqa: E402,F401
 from ripple_server_spark.plans import extensions as _extensions  # noqa: E402,F401
 

@@ -1,0 +1,181 @@
+"""Coverage batch 3: as-of join, range join, pivot, histogram,
+grouping sets.
+
+The as-of join is the headline custom operator here: the reference's
+consumer reads "latest state at or before my cursor" (offset cursor,
+``internal/broker/consumer/server/core.go:46-63``); the time-based
+generalization — latest ref row per key at-or-before each probe row —
+is the canonical event-stream enrichment op Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.operators.joins import asof_join
+from ripple_server_spark.plans.registry import query
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), ref AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT event_id, user_id, ts, 0 AS is_ref, CAST(NULL AS BIGINT) AS rid
+      FROM probe
+      UNION ALL
+      SELECT event_id, user_id, ts, 1 AS is_ref, event_id AS rid FROM ref
+    ), c AS (
+      SELECT event_id, user_id, ts, is_ref,
+             last_value(rid IGNORE NULLS) OVER w AS asof_event_id,
+             last_value(CASE WHEN is_ref = 1 THEN ts END IGNORE NULLS)
+               OVER w AS asof_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC, is_ref DESC, rid ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           asof_event_id, epoch_us(asof_ts) AS asof_ts_us
+    FROM c WHERE is_ref = 0
+    """,
+    bench=True,
+    tags=("join", "asof", "window"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's latest purchase at-or-before it
+    (event-time as-of join). Union-window strategy: one shuffle of
+    |probe|+|ref| rows, no O(n·m) range-join intermediate — the only
+    shape that survives 100 TB (see operators/joins.py:asof_join)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    probe = ev.filter(F.col("event_type") == "click").drop("event_type")
+    ref = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    out = asof_join(probe, ref, key="user_id", time_col="ts", ref_id_col="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_event_id",
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+    )
+
+
+@query(
+    "q_range_join_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 900.0),
+             ('mid', 900.0, 1500.0),
+             ('premium', 1500.0, 1e12)
+    )
+    SELECT band, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality (range/banding) join: classify parts into price bands.
+    The band table is tiny → broadcast nested-loop join, which is the
+    RIGHT plan: each fact row tests 3 predicates in codegen, no shuffle
+    of the fact side at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 900.0), ("mid", 900.0, 1500.0), ("premium", 1500.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_type_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY day
+    """,
+    tags=("pivot", "agg"),
+)
+def q_pivot_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to a per-day matrix of type counts. Explicit value
+    list ⇒ single shuffle (no extra distinct pass to discover columns);
+    at 100 TB the output is |days| × 5 — driver-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select("day", *[F.col(c).cast("bigint").alias(c) for c in _EVENT_TYPES])
+
+
+@query(
+    "q_histogram_value",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+    FROM events GROUP BY bin
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value measure: pure map-side
+    bucketing + partial agg; output cardinality = #bins regardless of
+    input scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.floor(F.col("value") / 50.0).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (bucket))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): per-type
+    totals and per-bucket totals in ONE pass over the scan (Catalyst
+    Expand + single shuffle) instead of two separate aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(pmod(user_id, 3) AS BIGINT) AS bucket,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (bucket))
+        """
+    )
