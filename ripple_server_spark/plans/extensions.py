@@ -377,6 +377,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate (centroid-space prune); recall pytest-bounded
+    bench=True,
+    tags=("vectors", "ann", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: top-3 for 20 query vectors probing 12 of 32
+    centroid cells (~37% of the corpus matmul'd, one pass, no corpus
+    shuffle). The synthetic corpus is isotropic — the IVF worst case —
+    hence the wide nprobe; clustered real corpora cut scan fraction
+    much harder at the same recall. Deterministic: strided training
+    sample + fixed Lloyd init, so reruns are stable. Recall vs brute
+    force is pytest-bounded (tests/test_kernels.py)."""
+    from ripple_server_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(emb, queries, k=3, nlist=32, nprobe=12)
+
+
+@query(
     "q_array_embedding_norm",
     oracle="""
     SELECT vec_id,

@@ -102,3 +102,29 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
         key = (r["q_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["sim"]) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-Flat must recover most of the exact top-3: the corpus is
+    cluster-generated (label column), so probing 4/16 cells should
+    catch nearly all true neighbors. Bound recall@3 and require exact
+    sim agreement on every hit."""
+    from ripple_server_spark.operators.similarity import cosine_topk_scan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk_scan(emb, queries, k=3).collect()
+    }
+    approx = SPECS["q_ann_ivf_topk"].builder(spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact:
+            hits += 1
+            assert abs(exact[key] - r["sim"]) < 1e-6
+    assert hits / len(exact) >= 0.7, f"recall@3 {hits}/{len(exact)}"
