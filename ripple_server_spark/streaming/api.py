@@ -107,6 +107,39 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left row with right rows
+    of the same ``key`` whose event time falls in
+    ``[left.ts, left.ts + within]``.
+
+    Both sides are watermarked, and the join condition bounds right.ts
+    relative to left.ts — together these let Spark GC join state for
+    rows older than watermark + interval, so state stays bounded at any
+    scale (an unbounded-condition stream join would accumulate forever).
+    The reference cannot express this at all (no event time, no joins).
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def fanout_write(
     df: DataFrame, paths: list[str], checkpoint: str
 ) -> StreamingQuery:

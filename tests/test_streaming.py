@@ -121,3 +121,27 @@ def test_fanout_write_replicates(spark, store, tmp_path):
     n = store.read_topic("s1").count()
     for p in replicas:
         assert spark.read.parquet(p).count() == n
+
+
+def test_interval_join_matches_batch(spark, store):
+    """Stream-stream interval join (clicks ⋈ purchases within 1h by
+    user) must produce exactly the batch join's pairs."""
+    src = api.stream_topic(store, "s1")
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    out = _drain_to_memory(
+        spark, api.interval_join(clicks, purchases, within="1 hour"), "m_ij"
+    )
+    log = store.read_topic("s1")
+    bc = log.filter(F.col("event_type") == "click").alias("l")
+    bp = log.filter(F.col("event_type") == "purchase").alias("r")
+    batch = bc.join(
+        bp,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 hour")),
+    ).select(F.col("l.event_id").alias("left_id"), F.col("r.event_id").alias("right_id"))
+    got = {(r["left_id"], r["right_id"]) for r in out.select("left_id", "right_id").collect()}
+    want = {(r["left_id"], r["right_id"]) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
