@@ -51,17 +51,22 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, seed, h): h = min over shingles of (h1 + seed·h2), where
-    h1/h2 are the two 48-bit halves of one md5(shingle).
+def minhash_band_hashes(
+    sh: DataFrame, perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bh) in ONE shuffle.
 
-    Double hashing (Kirsch-Mitzenmacher): ONE crypto hash per shingle,
-    then a multiply-add per permutation — 16x less md5 work than hashing
-    (seed, shingle) pairs, same collision behavior. Values stay < 2^53,
-    so any engine's 64-bit ints (and the DuckDB oracle) reproduce them
-    bit-for-bit. The min is a partial aggregate — each map task reduces
-    its shingles before the shuffle, so shuffle volume is
-    O(docs × perms), not O(shingles × perms).
+    Per shingle: one md5, split into two 48-bit halves h1/h2; permutation
+    s is (h1 + s·h2) (Kirsch-Mitzenmacher double hashing — 16x less
+    crypto work than per-seed md5, same collision behavior; values stay
+    < 2^53 so 64-bit engines and the DuckDB oracle reproduce them
+    bit-for-bit). All ``perms`` mins are computed as separate aggregate
+    COLUMNS of a single groupBy(doc_id) — the shingle rows are never
+    exploded ×perms, the partial aggregate reduces each map task to one
+    wide row per doc, and the shuffle carries |docs| rows (not
+    |docs|×perms). Band hashes are then a pure projection (md5 of the
+    band's mins joined in seed order) — no second shuffle, no
+    collect_list.
     """
     hx = F.md5("shingle")
     based = sh.select(
@@ -69,30 +74,32 @@ def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
         F.conv(F.substring(hx, 1, 12), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(hx, 13, 12), 16, 10).cast("long").alias("h2"),
     )
-    seeded = based.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("seed"),
-        (F.col("h1") + F.col("seed") * F.col("h2")).alias("v"),
+    mins = based.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"m{s}")
+            for s in range(perms)
+        ]
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("v").alias("h"))
-
-
-def lsh_bands(mh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
-    """(doc_id, band, bh): band signature = md5 of the band's minhashes
-    concatenated in seed order (deterministic via struct sort)."""
-    rows = MINHASH_PERMS // bands
-    return (
-        mh.groupBy("doc_id", F.floor(F.col("seed") / rows).alias("band"))
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "h"))).alias("hs"))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.array_join(
-                    F.transform(F.col("hs"), lambda x: x["h"].cast("string")), "|"
-                )
-            ).alias("bh"),
-        )
+    rows = perms // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"m{b * rows + i}").cast("string")
+                            for i in range(rows)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
 
 
@@ -164,7 +171,7 @@ def minhash_lsh_dedup(
     (shingles ~linear, bands = docs × n_bands) and spill-safe.
     """
     sh = shingle_sets(docs).persist()
-    band_df = lsh_bands(minhash_signatures(sh, perms), bands).persist()
+    band_df = minhash_band_hashes(sh, perms, bands).persist()
     cand = lsh_candidates(band_df).persist()
     return verify_jaccard(cand, sh, threshold)
 
