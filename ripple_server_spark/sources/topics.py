@@ -35,7 +35,7 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.config import N_BUCKETS
@@ -56,6 +56,11 @@ class TopicStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # In-memory per-bucket max-seq, maintained by produce() exactly
+        # like the reference broker's in-memory queue length — offset
+        # math never re-scans the log while a store instance is live.
+        # (Single-writer-per-topic model, same as the reference.)
+        self._maxima: dict[str, dict[int, int]] = {}
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "offsets"), exist_ok=True)
 
@@ -108,18 +113,32 @@ class TopicStore:
             .withColumn("max_seq", F.coalesce(F.col("max_seq"), F.lit(-1)))
             .withColumn("seq", F.col("max_seq") + F.row_number().over(w))
             .drop("max_seq")
-            .persist()  # one compute for count + write
         )
-        try:
-            n = routed.count()
-            routed.write.mode("append").partitionBy("bucket").parquet(data)
-        finally:
-            routed.unpersist()
-        return n
+        # Total + per-bucket counts observed DURING the write (metrics
+        # piggyback on the one action) — no persist, no second pass over
+        # the batch, and the maxima cache updates for free.
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")] + [
+            F.count(F.when(F.col("bucket") == b, 1)).alias(f"c{b}")
+            for b in range(n_buckets)
+        ]
+        routed.observe(obs, *metrics).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(data)
+        got = obs.get
+        self._maxima[topic] = {
+            b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
+        }
+        return int(got["n"])
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:
-        """Current max seq per bucket (column-pruned scan of `seq`;
-        at scale this is footer-stat territory / a metadata table)."""
+        """Current max seq per bucket. Served from the in-memory cache
+        when this store instance has produced before; the cold path
+        (fresh instance over an existing log) is one column-pruned scan
+        of `seq` — at scale, footer-stat territory / a metadata table."""
+        cached = self._maxima.get(topic)
+        if cached is not None:
+            return cached
         data = self.data_dir(topic)
         if not any(e.startswith("bucket=") for e in os.listdir(data)):
             return {}
@@ -129,7 +148,9 @@ class TopicStore:
             .agg(F.max("seq").alias("m"))
             .collect()
         )
-        return {r["bucket"]: r["m"] for r in rows}
+        maxima = {r["bucket"]: r["m"] for r in rows}
+        self._maxima[topic] = maxima
+        return maxima
 
     def read_topic(self, topic: str) -> DataFrame:
         return self.spark.read.parquet(self.data_dir(topic))
@@ -161,13 +182,17 @@ class TopicStore:
         rowgroup skipping (seq >= offset) make this a tail read.
         """
         offset = self.committed_offsets(consumer_id, topic).get(bucket, 0)
+        # seq is contiguous per bucket (produce invariant), so delivered
+        # count = min(count, max_seq - offset + 1) from the maxima cache
+        # — sizing the batch launches no job at all on the warm path.
+        mx = self._bucket_maxima(topic).get(bucket, -1)
+        delivered = max(0, min(count, mx - offset + 1))
         batch = (
             self.read_topic(topic)
             .filter((F.col("bucket") == bucket) & (F.col("seq") >= offset))
             .orderBy("seq")
             .limit(count)
         )
-        delivered = batch.count()
         return batch, offset + delivered
 
     def commit(self, consumer_id: str, topic: str, bucket: int, offset: int) -> None:
