@@ -34,6 +34,18 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# BPE-style pretokenizer (GPT-2 family shape, lookahead-free so both
+# Java regex and RE2/DuckDB run it identically): a token is an optional
+# leading space + a letter run, digit run, or punctuation run.
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization (array<string>) — the unit LLM pipelines
+    budget by. Pure codegen: one regexp_extract_all per row."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+
+
 def exploded_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, w) token stream. The scale shape for token analytics:
     explode + partial aggregation stays in whole-stage codegen, unlike

@@ -445,6 +445,31 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS BIGINT) AS n_bpe,
+           CAST(len(regexp_extract_all(text, ' ?\p{N}+')) AS BIGINT) AS n_num_runs
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenization counts per document (letter runs /
+    digit runs / punctuation runs, optional leading space — the GPT-2
+    pretokenizer shape without lookahead). One regexp pass per row in
+    codegen; no explode, no shuffle beyond none at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tx.bpe_tokens(F.col("text"))).alias("n_bpe"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r" ?\p{N}+"), F.lit(0))
+        ).alias("n_num_runs"),
+    )
+
+
+@query(
     "q_text_lang_scores",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
