@@ -187,11 +187,18 @@ class TopicStore:
         # — sizing the batch launches no job at all on the warm path.
         mx = self._bucket_maxima(topic).get(bucket, -1)
         delivered = max(0, min(count, mx - offset + 1))
+        # The batch is exactly seq ∈ [offset, offset+delivered) — the
+        # reference's SubArray(offset, offset+Count) (queue.go:59-61) as
+        # a closed range filter. Both bounds push to parquet row-group
+        # stats; no sort-limit plan (sort only orders the ≤count rows).
         batch = (
             self.read_topic(topic)
-            .filter((F.col("bucket") == bucket) & (F.col("seq") >= offset))
+            .filter(
+                (F.col("bucket") == bucket)
+                & (F.col("seq") >= offset)
+                & (F.col("seq") < offset + delivered)
+            )
             .orderBy("seq")
-            .limit(count)
         )
         return batch, offset + delivered
 
