@@ -83,3 +83,137 @@ def decode_documents(docs: DataFrame) -> DataFrame:
     return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
         decode_batch, schema=DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, width long, height long, checksum string, payload binary"
+
+
+def resize_batch(
+    target_w: int, target_h: int, fake: bool = True
+):
+    """mapInPandas kernel factory: binary-in/binary-out media transform
+    (the resize shape). Output payload size is bounded by the target
+    dims, not the input — the property that makes thumbnailing at
+    100 TB an output-bounded pass."""
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if not fake:
+                # Real path: PIL.Image.open(io.BytesIO(b)).resize(...)
+                raise NotImplementedError(
+                    "media codecs not available in this environment"
+                )
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                # STUB resize: deterministic target-keyed digest chain,
+                # truncated to a size proportional to the target dims.
+                seed = hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
+                buf = bytearray()
+                block = seed
+                while len(buf) < target_w * target_h // 64:
+                    block = hashlib.md5(block).digest()
+                    buf.extend(block)
+                resized = bytes(buf[: target_w * target_h // 64])
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": target_w,
+                        "height": target_h,
+                        "checksum": hashlib.md5(resized).hexdigest(),
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "checksum", "payload"]
+            )
+
+    return kernel
+
+
+def resize_documents(docs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Binary->binary media transform pipeline (no shuffle)."""
+    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
+        resize_batch(target_w, target_h), schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum string, ts_ms long"
+
+
+def frame_sample_batch(n_frames: int, fake: bool = True):
+    """mapInPandas kernel factory for video frame sampling: the 1->N
+    row shape (each payload emits ``n_frames`` frame rows). Generator
+    form keeps memory at one Arrow batch regardless of fan-out."""
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if not fake:
+                # Real path: pyav / ffmpeg keyframe extraction.
+                raise NotImplementedError(
+                    "media codecs not available in this environment"
+                )
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(n_frames):
+                    # STUB frame: digest of (payload, frame index) — the
+                    # DuckDB oracle reproduces md5(text || ':' || k).
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "frame_checksum": hashlib.md5(
+                                b + b":" + str(k).encode()
+                            ).hexdigest(),
+                            "ts_ms": k * 1000,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_checksum", "ts_ms"]
+            )
+
+    return kernel
+
+
+def sample_frames(docs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling pipeline: binary payload -> n frame rows."""
+    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
+        frame_sample_batch(n_frames), schema=FRAME_SCHEMA
+    )
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def embed_batch(dim: int = 16, fake: bool = True):
+    """mapInPandas kernel factory for media feature extraction:
+    payload -> dense embedding. STUB features are md5-hex-derived
+    ((ord(hex_char)-100)/10 per position) so the DuckDB oracle can
+    recompute the exact vector; a real deployment swaps in a model
+    forward pass over the same Arrow batches."""
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if not fake:
+                raise NotImplementedError("no model runtime in this environment")
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hx = hashlib.md5(bytes(payload)).hexdigest()[:dim]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "embedding": [(ord(c) - 100.0) / 10.0 for c in hx],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "embedding"])
+
+    return kernel
+
+
+def embed_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """Media feature-extraction pipeline: payload -> embedding column
+    (feeds the similarity/ANN operators directly)."""
+    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
+        embed_batch(dim), schema=EMBED_SCHEMA
+    )

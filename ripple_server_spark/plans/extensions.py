@@ -564,3 +564,54 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("bigint").alias("n_bytes"),
         F.md5("text").alias("checksum"),
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           md5(text || ':' || k) AS frame_checksum,
+           CAST(k * 1000 AS BIGINT) AS ts_ms
+    FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    """,
+    tags=("multimodal", "udf", "arrow"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each binary payload fans out to 4
+    frame rows through a generator-form mapInPandas kernel (1->N, no
+    shuffle, constant memory). The stub frame digest is md5-derived so
+    the oracle recomputes it exactly — the full UDF path (Arrow batch
+    in, exploded frame in Python, Arrow out) is hash-checked."""
+    from ripple_server_spark import multimodal as mm
+
+    return mm.sample_frames(load_table(spark, sf_dir, "documents"), n_frames=4)
+
+
+@query(
+    "q_multimodal_embed",
+    oracle="""
+    SELECT doc_id,
+           round(sqrt(list_sum(list_transform(range(1, 17),
+                 i -> pow((ord(substr(md5(text), i, 1)) - 100.0) / 10.0, 2)))), 4)
+             AS l2,
+           CAST(16 AS BIGINT) AS dim
+    FROM documents
+    """,
+    tags=("multimodal", "udf", "arrow", "vectors"),
+)
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature-extraction plumbing: payload -> dense embedding via
+    mapInPandas (where a model forward pass would run), then JVM-side
+    vector math over the result — the handoff point into the
+    similarity/ANN operators. Stub features are md5-hex-derived so the
+    oracle reproduces the exact vector."""
+    from ripple_server_spark import multimodal as mm
+
+    emb = mm.embed_documents(load_table(spark, sf_dir, "documents"), dim=16)
+    return emb.select(
+        "doc_id",
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2"),
+        F.lit(16).cast("bigint").alias("dim"),
+    )
