@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): operator semantics vs naive
+reference implementations on randomized inputs.
+
+Each example generates a whole table and runs ONE Spark job over it
+(hypothesis drives data diversity, not job count — Spark job latency
+makes per-row examples impractical).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ripple_server_spark.functions.text import shingles, shingles_pandas
+from ripple_server_spark.operators.joins import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, t_offset_minutes) rows; small key space forces collisions/ties.
+probe_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+ref_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+def naive_asof(probes, refs):
+    """Reference semantics: latest ref with ts <= probe ts for the same
+    key; among equal-ts refs the max ref id wins."""
+    out = {}
+    for pid, (pk, pt) in enumerate(probes):
+        best = None
+        for rid, (rk, rt) in enumerate(refs):
+            if rk == pk and rt <= pt:
+                cand = (rt, rid + 1000)
+                if best is None or cand > best:
+                    best = cand
+        out[pid] = best[1] if best is not None else None
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probes=probe_rows, refs=ref_rows)
+def test_asof_join_matches_naive(spark, probes, refs):
+    pdf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(probes)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (i + 1000, k, BASE + dt.timedelta(minutes=t))
+            for i, (k, t) in enumerate(refs)
+        ]
+        or [(int(-1), int(-1), BASE)],  # createDataFrame needs >=1 row for schema
+        "event_id long, user_id long, ts timestamp",
+    )
+    if not refs:
+        rdf = rdf.filter(F.col("event_id") >= 0)
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            pdf, rdf, key="user_id", time_col="ts", ref_id_col="event_id"
+        ).collect()
+    }
+    assert got == naive_asof(probes, refs)
+
+
+words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+def naive_shingles(ws, k=3):
+    if len(ws) < k:
+        return []
+    return list(dict.fromkeys(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(words, min_size=1, max_size=20))
+def test_shingle_kernels_agree(spark, docs):
+    """Codegen-expr shingles == Arrow-kernel shingles == python naive,
+    on arbitrary (including degenerate) token streams."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_out = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shingles(F.col("text")).alias("s")).collect()
+    }
+    pandas_out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", shingles_pandas(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        # split-on-space of the joined text (empty words collapse differently
+        # from the token list, so compare against the re-split form)
+        toks = " ".join(ws).split(" ")
+        want = naive_shingles(toks)
+        assert expr_out[i] == want, f"expr mismatch doc {i}: {toks}"
+        assert pandas_out[i] == want, f"pandas mismatch doc {i}: {toks}"
