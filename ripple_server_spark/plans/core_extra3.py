@@ -121,18 +121,23 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     tags=("pivot", "agg"),
 )
 def q_pivot_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot events to a per-day matrix of type counts. Explicit value
-    list ⇒ single shuffle (no extra distinct pass to discover columns);
-    at 100 TB the output is |days| × 5 — driver-safe."""
+    """Pivot events to a per-day matrix of type counts, written as
+    conditional aggregation (count(when(type=x))) rather than
+    DataFrame .pivot(): with a known value list this is the same result
+    in ONE shuffle — .pivot() plans a (day,type) pre-aggregate plus a
+    pivotfirst pass (two exchanges). Fully partial-aggregatable; output
+    is |days| × 5 at any input scale."""
     ev = load_table(spark, sf_dir, "events")
-    out = (
+    return (
         ev.withColumn("day", F.to_date("ts"))
         .groupBy("day")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in _EVENT_TYPES
+            ]
+        )
     )
-    return out.select("day", *[F.col(c).cast("bigint").alias(c) for c in _EVENT_TYPES])
 
 
 @query(

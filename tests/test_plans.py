@@ -92,3 +92,46 @@ def test_hot_relational_paths_stay_in_codegen(spark, name):
     query plans — UDFs are reserved for vector/media kernels."""
     p = plan(build(spark, name))
     assert "EvalPython" not in p
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The union-window as-of join must not plan any join operator and
+    must shuffle exactly once (the window partitioning)."""
+    p = plan(build(spark, "q_asof_join"), "simple")
+    assert "Join" not in p  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_broadcasts_band_table(spark):
+    p = plan(build(spark, "q_range_join_bands"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pivot_single_aggregation_pass(spark):
+    """Explicit pivot values ⇒ no extra distinct job / second shuffle:
+    one partial+final aggregate pair over one exchange."""
+    p = plan(build(spark, "q_pivot_type_day"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_grouping_sets_uses_expand_not_union(spark):
+    p = plan(build(spark, "q_grouping_sets"), "simple")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_bands_single_wide_aggregate(spark):
+    """Band hashes come from ONE groupBy(doc_id) (wide min columns) —
+    no per-seed explode, no second aggregation for banding."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.operators.dedup import (
+        minhash_band_hashes,
+        shingle_sets,
+    )
+
+    df = minhash_band_hashes(shingle_sets(load_table(spark, SF_SMOKE, "documents")))
+    p = plan(df, "simple")
+    assert p.count("HashAggregate") == 2  # partial + final of the one groupBy
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in p  # the band fan-out only
