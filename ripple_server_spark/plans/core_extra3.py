@@ -184,3 +184,88 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (bucket))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UDF-surface completeness: UDAF (grouped-agg pandas) + UDTF (lateral)
+# --------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType, LongType
+
+
+@pandas_udf(DoubleType())
+def _gmean(v: pd.Series) -> float:
+    # whole group arrives as one Arrow batch series
+    return float(np.exp(np.log(v.to_numpy()).mean()))
+
+
+@pandas_udf(LongType())
+def _gcount(v: pd.Series) -> int:
+    # pandas UDAFs cannot mix with built-in aggregates in one agg —
+    # the row count rides along as a second pandas aggregate
+    return int(len(v))
+
+
+@query(
+    "q_udaf_gmean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS gmean_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("udf", "udaf", "arrow"),
+)
+def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate (grouped-agg pandas UDF): geometric mean
+    of value per type. The UDAF surface: whole group -> one Arrow
+    series -> scalar. Note the scale caveat in the plan: grouped-agg
+    UDFs shuffle full rows (no partial aggregation) — built-in
+    exp(avg(ln x)) is the 100 TB form; this query exists to pin the
+    UDAF API against the same oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(_gmean("value"), 4).alias("gmean_value"),
+        _gcount("value").alias("n"),
+    )
+
+
+class _TokenizeUDTF:
+    """Python UDTF: one text in, one row per token out (lateral).
+    Decorated lazily in the builder — @udtf parses the DDL return type,
+    which needs an active session."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, t in enumerate(text.split(" ")):
+            yield i, t
+
+
+@query(
+    "q_udtf_tokenize",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token FROM i
+    """,
+    tags=("udf", "udtf"),
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function via LATERAL join — the 1->N UDF
+    surface. Row-at-a-time Python is the compatibility path only; the
+    equivalent fast path is explode(split(...)) (pure codegen), which
+    the oracle also checks — this query pins the UDTF API itself."""
+    spark.udtf.register(
+        "ripple_tokenize", udtf(_TokenizeUDTF, returnType="pos int, token string")
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL ripple_tokenize(d.text) t
+        """
+    )
