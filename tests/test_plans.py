@@ -130,6 +130,9 @@ def test_minhash_bands_single_wide_aggregate(spark):
         shingle_sets,
     )
 
+    # persisted shingle fragments from earlier oracle runs would be
+    # plan-matched into this query and change the physical plan
+    spark.catalog.clearCache()
     df = minhash_band_hashes(shingle_sets(load_table(spark, SF_SMOKE, "documents")))
     p = plan(df, "simple")
     assert p.count("HashAggregate") == 2  # partial + final of the one groupBy
