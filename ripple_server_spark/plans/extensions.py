@@ -184,6 +184,71 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    wb AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN substr(md5(w || ':' || CAST(b AS VARCHAR)), 1, 1) <= '7'
+                        THEN cnt ELSE -cnt END) AS s
+        FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      FROM wb GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc_id < b.doc_id
+    WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the signature's 8-bit prefix
+    (candidates only meet inside a block — the banded-LSH trick, ~n/256
+    per block), then exact hamming distance ≤ 3 over the 32-bit
+    signatures. Pure codegen: the hamming sum is 32 fused substring
+    compares, no UDF, one shuffle on the prefix key. At 100 TB: more/
+    rotated prefix bands (multi-probe) + the same verify."""
+    sig = dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), i, 1)
+            != F.substring(F.col("b.simhash"), i, 1),
+            1,
+        ).otherwise(0)
+        for i in range(1, 33)
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (
+                F.substring(F.col("a.simhash"), 1, 8)
+                == F.substring(F.col("b.simhash"), 1, 8)
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 # DuckDB CTE: md5-derived ±1 hyperplane weights (8 planes × 64 dims,
 # 512 md5 calls total — NOT per row) and per-vector LSH buckets.
 _LSH_CTES = """
