@@ -54,6 +54,37 @@ def anti(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFram
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key over
+    ``n_salts`` shuffle partitions by salting, replicating the right
+    side once per salt value.
+
+    The classic manual fix when AQE skew-split can't help (e.g. a
+    single key whose rows exceed one executor even after splitting):
+    left gets a random-ish salt (deterministic here: pmod of a row
+    attribute), right is exploded ×n_salts, and the join key becomes
+    (key, salt) — each hot-key shard lands on a different reducer.
+    Cost: right side shuffles n_salts copies, so use for
+    moderate-sized right sides only (broadcast beats this when right
+    fits in memory; AQE beats it for mild skew).
+
+    Result equals ``left.join(right, on)`` exactly (pytest-checked).
+    """
+    salted_left = left.withColumn(
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    salted_right = right.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(salted_right, on=[on, salt_col]).drop(salt_col)
+
+
 def asof_join(
     probe: DataFrame,
     ref: DataFrame,

@@ -269,3 +269,30 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL ripple_tokenize(d.text) t
         """
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew", "salt"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew fix for a hot
+    group key: phase 1 aggregates (key, salt) so a hot key's rows land
+    on 16 reducers, phase 2 merges the 16 partials per key. Result is
+    identical to the direct groupBy (the oracle); use when one key
+    dominates and even AQE's partial-agg path leaves a single reducer
+    saturated. (count/sum re-aggregate losslessly; avg must be carried
+    as sum+count.)"""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("ps"))
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("sum_value")
+    )

@@ -128,3 +128,19 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             hits += 1
             assert abs(exact[key] - r["sim"]) < 1e-6
     assert hits / len(exact) >= 0.7, f"recall@3 {hits}/{len(exact)}"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must reproduce the plain equi-join exactly while
+    spreading each key over n_salts shuffle partitions."""
+    from ripple_server_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_n"))
+    )
+    plain = {tuple(r) for r in ev.join(dim, on="user_id").collect()}
+    salted = {tuple(r) for r in salted_join(ev, dim, on="user_id").collect()}
+    assert salted == plain
