@@ -69,3 +69,32 @@ def test_cursor_detects_gaps(spark, store, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT max(gaps) g FROM m_gap").collect()
     assert rows[0]["g"] > 0
+
+
+def test_ttl_dedup_first_occurrence_only(spark, store, tmp_path):
+    """transformWithState TTL dedup: replaying the same log twice must
+    emit each event_id exactly once.
+
+    transformWithStateInPandas speaks protobuf to the JVM state server;
+    the container has no google.protobuf, so this skips here and runs
+    in any normal Spark deployment (pip install protobuf)."""
+    pytest.importorskip("google.protobuf")
+    from ripple_server_spark.streaming import api
+    from ripple_server_spark.streaming.stateful import dedup_stream_ttl
+
+    src = api.stream_topic(store, "st1")
+    doubled = src.unionByName(src)  # two deliveries of every row
+    q = (
+        dedup_stream_ttl(doubled)
+        .writeStream.format("memory")
+        .queryName("m_ttl_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM m_ttl_dedup")
+    log = store.read_topic("st1")
+    assert out.count() == log.count()
+    assert out.select("event_id").distinct().count() == out.count()
