@@ -1,0 +1,59 @@
+"""Co-located (bucketed) join: the at-rest layout that removes the
+fact-fact join shuffle entirely — plan-asserted."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.bucketed import read_table, write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 4, str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", "o_orderkey", 4, str(tmp_path / "bl"))
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_pair):
+    a, b = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, a).join(read_table(spark, b), on="o_orderkey")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_cobucketed_join_matches_shuffled_join(spark, bucketed_pair, sf_dir):
+    a, b = bucketed_pair
+    j = (
+        read_table(spark, a)
+        .join(read_table(spark, b), on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    direct = (
+        orders.join(li, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert {tuple(r) for r in j.collect()} == {tuple(r) for r in direct.collect()}
