@@ -155,6 +155,37 @@ class TopicStore:
     def read_topic(self, topic: str) -> DataFrame:
         return self.spark.read.parquet(self.data_dir(topic))
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self, topic: str) -> None:
+        """Rewrite the topic log so each bucket holds one seq-sorted
+        file. Micro-batch appends accumulate small files (one per
+        produce per bucket); at scale that degrades scans (file-open
+        overhead) and row-group seq-stat pruning. Compaction is the
+        standard log-store maintenance op (Kafka log segments / Delta
+        OPTIMIZE analog): repartition on bucket (each bucket → exactly
+        one task), sort by seq inside (range consumes then prune whole
+        row groups), write beside the live dir, atomic swap. Readers
+        see old-or-new, never a mix; seq/content are untouched so
+        consumer offsets stay valid.
+        """
+        data = self.data_dir(topic)
+        n_buckets = self.topic_meta(topic)["n_buckets"]
+        tmp = data + ".compacting"
+        old = data + ".old"
+        (
+            self.read_topic(topic)
+            .repartition(n_buckets, F.col("bucket"))
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        os.rename(data, old)
+        os.rename(tmp, data)
+        import shutil
+
+        shutil.rmtree(old)
+
     # -- consume (A6-A8) ---------------------------------------------------
     def register_consumer(self, consumer_id: str, topic: str) -> None:
         """First-contact registration: offsets start at 0 for every

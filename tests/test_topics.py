@@ -103,3 +103,51 @@ def test_consume_clamps_at_end_of_log(store):
     batch, next_off = store.consume("cZ", "t1", bucket=1, count=10_000)
     assert batch.count() == depth
     assert next_off == depth
+
+
+def test_compact_shrinks_files_and_preserves_log(spark, sf_dir, tmp_path):
+    """Compaction: same rows, same seqs, fewer files; offsets stay
+    valid (consume after compact returns the same batch)."""
+    import glob
+
+    from ripple_server_spark.catalog import load_table
+
+    store = TopicStore(spark, str(tmp_path / "t"))
+    store.create_topic("c1", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        store.produce(
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)), "c1"
+        )
+    store.register_consumer("cc", "c1")
+    batch_before, nxt = store.consume("cc", "c1", bucket=0, count=10)
+    rows_before = [tuple(r) for r in batch_before.select("seq", "event_id").collect()]
+    log_before = {
+        (r["bucket"], r["seq"], r["event_id"])
+        for r in store.read_topic("c1").select("bucket", "seq", "event_id").collect()
+    }
+    n_files_before = len(glob.glob(str(tmp_path / "t/topics/c1/data/bucket=*/*.parquet")))
+
+    store.compact("c1")
+
+    n_files_after = len(glob.glob(str(tmp_path / "t/topics/c1/data/bucket=*/*.parquet")))
+    assert n_files_after < n_files_before
+    assert n_files_after <= 4  # one per bucket
+    log_after = {
+        (r["bucket"], r["seq"], r["event_id"])
+        for r in store.read_topic("c1").select("bucket", "seq", "event_id").collect()
+    }
+    assert log_after == log_before
+    batch_after, nxt2 = store.consume("cc", "c1", bucket=0, count=10)
+    assert [tuple(r) for r in batch_after.select("seq", "event_id").collect()] == rows_before
+    assert nxt2 == nxt
+    # appends after compaction continue the seq chain
+    store.produce(ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 350)), "c1")
+    per_bucket = (
+        store.read_topic("c1")
+        .groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
