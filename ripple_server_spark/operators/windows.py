@@ -86,3 +86,38 @@ def topk_hot_users(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """Total-order global rank WITHOUT the single-partition trap.
+
+    ``row_number().over(Window.orderBy(...))`` funnels the whole table
+    through ONE task — the classic scale killer. Instead: range-
+    partition on the order key (samples the distribution, so partitions
+    are balanced), rank within each partition, then add each
+    partition's cumulative row offset (a tiny n_parts-row broadcast).
+    Two passes over the data, every stage parallel, exact global rank.
+    """
+    from pyspark.sql import Window
+
+    # persisted: the counts branch and the rank branch must see the SAME
+    # physical partitioning — without this the range shuffle runs twice
+    # and only deterministic sampling keeps the pids consistent
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = parted.groupBy("_pid").count()
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), on="_pid")
+        .withColumn("rank", (F.row_number().over(w_local) + F.col("_off")))
+        .drop("_pid", "_off")
+    )

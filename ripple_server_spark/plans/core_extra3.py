@@ -296,3 +296,26 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("sum_value")
     )
+
+
+@query(
+    "q_global_rank",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank
+    FROM events
+    """,
+    tags=("window", "sort", "rank"),
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank over (ts, event_id) — computed scale-correctly:
+    range-partition, local row_number, plus broadcast cumulative
+    partition offsets (operators/windows.py:global_rank). Never funnels
+    the table through one task, unlike a bare Window.orderBy. The tiny
+    offsets window (n_parts rows) is the only single-partition work."""
+    from ripple_server_spark.operators.windows import global_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return global_rank(ev, ["ts", "event_id"]).select(
+        "event_id", F.col("rank").cast("bigint").alias("rank")
+    )
