@@ -44,3 +44,14 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("timestampFormat", TS_FMT)
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar at-rest format Spark ships a
+    vectorized reader for; same pushdown/pruning properties as parquet
+    (useful when downstream systems are ORC-native)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -42,3 +42,18 @@ def test_json_props_column_survives(spark, sf_dir, tmp_path):
     # and the JSON payload is still queryable after the round-trip
     k = back.select(F.get_json_object("props", "$.k").cast("bigint").alias("k")).collect()
     assert all(r["k"] is not None for r in k)
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves rows exactly; predicates push into the
+    ORC scan like parquet."""
+    from ripple_server_spark.sources.formats import read_orc, write_orc
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    path = str(tmp_path / "ev_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+    q = back.filter(F.col("user_id") == 7).select("event_id", "user_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PushedFilters:" in plan and "user_id" in plan.split("PushedFilters:")[1].splitlines()[0]
