@@ -680,3 +680,111 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2"),
         F.lit(16).cast("bigint").alias("dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-aligned extras: time-series profile similarity (cf. PAPERS.md
+# distributed time-series similarity search) + lexicon sentiment (cf.
+# large-scale sentiment analysis on Spark)
+# --------------------------------------------------------------------------
+
+_HOURS = list(range(24))
+_TS_DOT = """
+    list_sum(list_transform(range(1, 25),
+             i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+"""
+_TS_NORM = "sqrt(list_sum(list_transform({t}.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "q_timeseries_profile_topk",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id,
+             [{", ".join(f"count(*) FILTER (extract(hour FROM ts) = {h})" for h in _HOURS)}] AS v
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT a.user_id AS q_user, b.user_id AS sim_user,
+             round({_TS_DOT} / ({_TS_NORM.format(t='a')} * {_TS_NORM.format(t='b')}), 4) AS sim,
+             row_number() OVER (
+               PARTITION BY a.user_id
+               ORDER BY round({_TS_DOT} / ({_TS_NORM.format(t='a')} * {_TS_NORM.format(t='b')}), 6) DESC,
+                        b.user_id) AS rn
+      FROM prof a JOIN prof b ON a.user_id < 5 AND a.user_id <> b.user_id
+    )
+    SELECT q_user, sim_user, sim FROM pairs WHERE rn <= 3
+    """,
+    tags=("timeseries", "vectors", "similarity"),
+)
+def q_timeseries_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (PAPERS.md corpus): each user's
+    activity becomes a 24-dim hour-of-day count profile (ONE shuffle,
+    conditional counts — integer-exact, so cosines agree bit-for-bit
+    across engines), then top-3 most-similar users per query user by
+    cosine. The profile build is the scale step (O(users) output); the
+    pairing reuses the broadcast-small-query-side pattern of the ANN
+    kernels."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.count(F.when(F.hour("ts") == h, 1)).cast("double")
+                for h in _HOURS
+            ]
+        ).alias("v")
+    )
+    a = prof.filter(F.col("user_id") < 5).alias("a")
+    b = prof.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.user_id") != F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("q_user"),
+            F.col("b.user_id").alias("sim_user"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_user").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("sim_user")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_user", "sim_user", F.round("sim", 4).alias("sim"))
+    )
+
+
+_POS = ("fast", "big")
+_NEG = ("slow", "small")
+
+
+@query(
+    "q_text_sentiment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> x IN {_POS})) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(w, x -> x IN {_NEG})) AS BIGINT) AS n_neg,
+           round((len(list_filter(w, x -> x IN {_POS}))
+                  - len(list_filter(w, x -> x IN {_NEG})))::DOUBLE / len(w), 4)
+             AS polarity
+    FROM t
+    """,
+    tags=("text", "sentiment"),
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (PAPERS.md: large-scale sentiment on
+    Spark): positive/negative token counts and a normalized polarity in
+    [-1, 1], all codegen array ops — the shape for lexicon scoring at
+    corpus scale (no shuffle at all; one pass over the text column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_pos = F.size(F.filter(w, lambda x: x.isin(*_POS)))
+    n_neg = F.size(F.filter(w, lambda x: x.isin(*_NEG)))
+    return docs.select(
+        "doc_id",
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round((n_pos - n_neg) / F.size(w), 4).alias("polarity"),
+    )
