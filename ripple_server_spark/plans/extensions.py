@@ -788,3 +788,31 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_neg.cast("bigint").alias("n_neg"),
         F.round((n_pos - n_neg) / F.size(w), 4).alias("polarity"),
     )
+
+
+@query(
+    "q_setsim_prefix_join",
+    oracle=f"""
+    WITH {_SH_CTE},
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_common
+      FROM sh s1 JOIN sh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_common::DOUBLE / (na.n + nb.n - i.n_common) >= 0.5
+    """,
+    tags=("dedup", "similarity", "setsim"),
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard >= 0.5 via prefix filtering
+    (operators/dedup.py:setsim_join_prefix). The oracle computes ground
+    truth through the full inverted index; the engine's prefix filter
+    must reproduce it exactly — which also machine-checks the
+    no-false-negative property of the prefix filter."""
+    return dedup.setsim_join_prefix(load_table(spark, sf_dir, "documents"))
