@@ -319,3 +319,113 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(ev, ["ts", "event_id"]).select(
         "event_id", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort,
+           CAST(day - cohort AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM first_day f JOIN activity a ON a.user_id = f.user_id
+    WHERE day - cohort <= 7
+    GROUP BY f.cohort, day_offset
+    """,
+    tags=("analytics", "retention", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, active
+    user counts at day offsets 0..7. Two shuffles (first-day agg +
+    final rollup) over a distinct-day projection; the cohort table is
+    |users| rows — broadcastable against the activity stream at any
+    event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(F.broadcast(first_day), on="user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort").cast("bigint"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(ts) AS t_click
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE event_type = 'click' AND ts > t_signup GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_then_click,
+           (SELECT count(*) FROM p) AS n_then_purchase
+    """,
+    tags=("analytics", "funnel", "window"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: users
+    counted at each stage only if the stages happened in order. ONE
+    shuffle on user_id — per-user stage times come from collected
+    click/purchase timestamp arrays (array_min over a filter), no joins
+    or windows. Trade-off: per-user arrays are fine while a user's
+    funnel events fit a task (they do, by orders of magnitude); for
+    pathologically hot users switch to the two-shuffle join form the
+    oracle uses — same result, streaming-aggregate memory."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == "click", F.struct("ts")
+                )
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == "purchase", F.struct("ts")
+                )
+            )
+        ).alias("purchases"),
+    )
+    t_click = F.array_min(
+        F.filter(
+            F.transform(F.col("clicks"), lambda x: x["ts"]),
+            lambda t: t > F.col("t_signup"),
+        )
+    )
+    t_purchase_src = F.transform(F.col("purchases"), lambda x: x["ts"])
+    staged = per_user.select(
+        "user_id",
+        "t_signup",
+        t_click.alias("t_click"),
+        F.array_min(
+            F.filter(t_purchase_src, lambda t: t > t_click)
+        ).alias("t_purchase"),
+    )
+    return staged.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_signup").isNotNull(), F.col("t_click"))).alias(
+            "n_then_click"
+        ),
+        F.count(
+            F.when(
+                F.col("t_signup").isNotNull() & F.col("t_click").isNotNull(),
+                F.col("t_purchase"),
+            )
+        ).alias("n_then_purchase"),
+    )
