@@ -1,0 +1,361 @@
+"""TPC-H coverage batch: Q4/Q10/Q13/Q14/Q17/Q18/Q19/Q22 adapted to the
+driver's star schema (TESTDATA.md tables lack partsupp/comment/phone, so
+filters are re-targeted at existing columns; shapes and plan challenges
+are preserved).
+
+Why these eight: together they exercise every remaining classic
+relational plan shape the registry didn't yet cover — EXISTS decorrelation
+(Q4), outer-join-then-reaggregate (Q13), single-pass conditional
+aggregation over a join (Q14), correlated scalar aggregate against a
+grouped subaggregate (Q17), HAVING-filtered semi join back to the fact
+(Q18), disjunctive multi-range predicates (Q19), and anti join + scalar
+subquery broadcast (Q22). The reference itself has none of these
+(SURVEY.md §2: no relational surface at all, `internal/broker/queue/
+queue.go` is an offset-addressed byte queue) — this is the analytic
+layer a user queries those event tables with.
+
+Scale posture (100 TB): every query keeps lineitem/orders (the fact
+tables) shuffle-partitioned and pushes filters into the parquet scan;
+sub-aggregates that are provably small (single row, or grouped by a key
+whose cardinality is bounded by a dimension table) are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+
+@query(
+    "q_tpch_q4_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking. EXISTS(correlated) is
+    expressed as a LEFT SEMI join — Catalyst's own decorrelation target
+    shape — so the fact side streams through one shuffle and the
+    lineitem probe is reduced before the join by the pushed-down date
+    bound on the orders side only (the correlation predicate
+    l_shipdate > o_orderdate must evaluate inside the join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q_tpch_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "agg", "sort-limit", "tpch"),
+)
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue on returned items.
+    Join order matters at scale: lineitem is filtered on l_returnflag
+    (pushed to the scan), orders on the date window, and their join is
+    the only fact-fact shuffle; customer joins the *aggregated-down*
+    order revenue? No — revenue groups by customer, so we join first
+    but nation (25 rows) is broadcast. Top-20 is TakeOrdered, never a
+    global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # Sum AND round in DECIMAL (exact, order-independent, HALF_UP
+            # at the true .xx5 boundary), cast to double only at the
+            # edge — a double-side round would see .5949999... instead.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.select(
+        "c_custkey",
+        "c_name",
+        "revenue",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "n_name",
+    ).orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@query(
+    "q_tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "tpch"),
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution. The left outer join
+    must keep no-order customers (count 0), so the priority filter lives
+    in the join condition, not a WHERE (a WHERE would silently turn the
+    outer join inner). Double aggregation: first keyed by customer (the
+    join's own partitioning is reused — no extra shuffle), then the tiny
+    regroup by c_count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q14_promo",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. One conditional
+    aggregation over the join — never two scans. The ship-date window
+    is pushed to lineitem's scan; part carries only (p_partkey, p_type)
+    thanks to column pruning."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q17_small_qty",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    ) ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < qty_thresh
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue. The correlated scalar
+    subquery (per-part avg quantity) becomes a grouped pre-aggregate
+    joined back to the fact. At 100 TB the pre-aggregate is |part|-sized
+    — it shuffles once on l_partkey, the same key as the main join, so
+    AQE can reuse the exchange; the brand filter reduces the probe side
+    *before* both joins via the broadcast part dim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    thresh = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_thresh")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresh, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(o_totalprice, 2) AS totalprice, sum_qty
+    FROM orders
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("join", "agg", "having", "sort-limit", "tpch"),
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The HAVING aggregate runs FIRST
+    and collapses lineitem to qualifying orderkeys (tiny at any scale —
+    it's the >300-quantity tail), which then drives semi-style joins
+    against orders and customer. Ordering by total price is a
+    TakeOrdered(100), not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q19_disjunct",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("join", "filter", "disjunct", "tpch"),
+)
+def q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-range predicate across both join
+    sides. Catalyst extracts the common join key and pushes the
+    single-side conjuncts it can derive (brand/size to part's scan,
+    the quantity hull to lineitem's); the residual OR evaluates in
+    codegen post-join. Part side is filtered to 3 brands -> broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q_tpch_q22_no_orders",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti", "subquery", "agg", "tpch"),
+)
+def q_tpch_q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity), phone prefix -> mktsegment:
+    rich customers who never ordered. The scalar avg is a 1-row
+    broadcast (cross join); NOT EXISTS is a LEFT ANTI join against only
+    orders.o_custkey (column-pruned scan). Both the anti join's build
+    side and the scalar are small; the customer scan happens once."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
