@@ -1,0 +1,74 @@
+"""Iterative graph operators (duplicate-cluster connected components).
+
+No reference analog (ripple-server has no relational surface at all —
+SURVEY.md §2); this is pipeline tooling for the dedup extension: near-
+dup PAIRS (MinHash/SimHash/embedding) must be closed into CLUSTERS
+before a keep-one-per-cluster policy can run, and transitive closure is
+not a single SQL query — it's an iterative fixpoint.
+
+Scale posture (100 TB corpus, ~billions of near-dup edges):
+
+- Min-label propagation: each round is one hash join (edges x labels,
+  both partitioned on the join key) + one partial-aggregated groupBy —
+  the same two-shuffle shape every round, so AQE sizes it once and the
+  exchange reuse keeps rounds cheap. Rounds needed = graph diameter;
+  near-dup graphs are short chains/cliques (diameter ~2-4), so this
+  beats the O(log n) large-star/small-star alternation (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") which pays 4 shuffles
+  per round; switch to that if adversarial long-chain graphs appear.
+- ``localCheckpoint`` every round: truncates the lineage chain so round
+  k's plan doesn't re-derive rounds 1..k-1 (unbounded lineage is the
+  classic iterative-Spark OOM/stack-overflow trap).
+- Early stop via an exact changed-row count per round — at most
+  ``max_iter`` rounds, typically diameter+1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    minimum vertex id reachable from it: ``(id, comp)``.
+
+    Only vertices that appear in at least one edge are returned
+    (isolated vertices are their own singleton cluster by definition —
+    callers union them back if needed).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Symmetrize once; distinct also dedups multi-edges so every round's
+    # join fans out minimally.
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+
+    labels = (
+        e.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # Every neighbor of `a` hears a's current component...
+        msgs = e.join(labels, e.a == labels.id).select(
+            F.col("b").alias("id"), F.col("comp").alias("msg")
+        )
+        # ...and adopts the minimum of (its own, all heard).
+        mins = msgs.groupBy("id").agg(F.min("msg").alias("min_msg"))
+        stepped = (
+            labels.join(mins, "id", "left")
+            .select(
+                "id",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", F.coalesce("min_msg", "comp")).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            break
+    return labels

@@ -13,6 +13,7 @@ from ripple_server_spark.plans import core_extra as _core_extra  # noqa: E402,F4
 from ripple_server_spark.plans import core_extra2 as _core_extra2  # noqa: E402,F401
 from ripple_server_spark.plans import core_extra3 as _core_extra3  # noqa: E402,F401
 from ripple_server_spark.plans import tpch_more as _tpch_more  # noqa: E402,F401
+from ripple_server_spark.plans import graph as _graph  # noqa: E402,F401
 from ripple_server_spark.plans import pubsub as _pubsub  # noqa: E402,F401
 from ripple_server_spark.plans import extensions as _extensions  # noqa: E402,F401
 

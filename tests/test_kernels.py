@@ -144,3 +144,22 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = {tuple(r) for r in ev.join(dim, on="user_id").collect()}
     salted = {tuple(r) for r in salted_join(ev, dim, on="user_id").collect()}
     assert salted == plain
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must close a 5-node chain (diameter 4 —
+    forces several propagation rounds), a 3-clique with multi-edges,
+    and leave disjoint components unmerged."""
+    from ripple_server_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12} with a duplicate edge,
+        # isolated pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12), (12, 10),
+         (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
