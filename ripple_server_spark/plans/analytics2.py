@@ -1,0 +1,264 @@
+"""Analytics coverage batch: distribution windows, gaps-and-islands,
+transition matrices, deterministic sampling, profiling, OHLC bars,
+edit-distance near-dup.
+
+These are the event-log analytics a consumer of the reference's topics
+would run downstream (the reference itself can only hand back opaque
+byte ranges — `internal/broker/consumer/server/core.go:52` — so the
+analytic layer is entirely ours), plus two training-data-pipeline
+staples (hash sampling, profiling) mandated by the BASELINE.json north
+star. All pure JVM DataFrame ops — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT event_id,
+           ntile(4)      OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (ORDER BY value ASC, event_id ASC)
+    """,
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution window functions (ntile/percent_rank/
+    cume_dist) over purchases. Deterministic via the event_id tie-break.
+    NOTE the empty partitionBy: a global ORDER BY window is a single-
+    partition operator by definition — acceptable only because the
+    filtered slice is small; the partitioned variants are covered by
+    q_global_rank (range-partitioned exact rank) for the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_user_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d - CAST(rn AS INT) AS grp, count(*) AS streak_len
+      FROM numbered GROUP BY user_id, d - CAST(rn AS INT)
+    )
+    SELECT user_id, max(streak_len) AS longest_streak,
+           count(*) AS n_streaks, sum(streak_len) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+    tags=("window", "analytics", "gaps-islands"),
+)
+def q_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user. The island key is date - row_number (constant within a
+    consecutive run). Both the dedup and the window partition on
+    user_id, so the whole query is ONE shuffle — the window reuses the
+    distinct's hash partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = (
+        days.withColumn("grp", F.date_sub(F.col("d"), rn))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("streak_len").alias("active_days"),
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS curr_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    """,
+    tags=("window", "analytics", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (the what-happens-after-X query). lag() within user needs
+    one shuffle; the 25-cell transition table then normalizes row-wise
+    with a trivially small window."""
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    trans = (
+        ev.select("user_id", "event_type", prev.alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.withColumn("p", F.round(share, 6))
+
+
+@query(
+    "q_stratified_sample_hash",
+    oracle="""
+    SELECT event_type, count(*) AS n_total,
+           count(*) FILTER (
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 16 = 0
+           ) AS n_sampled
+    FROM events GROUP BY event_type
+    """,
+    tags=("sampling", "scalar", "agg"),
+)
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample per stratum via a key hash — the
+    reproducible-pipeline alternative to rand()-based sample(): the
+    same row set is selected on every run, any engine, any partitioning
+    (seeded rand() is NOT stable across engines/partitionings). One
+    conditional aggregation — the sample never materializes separately."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 16
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(bucket == 0, 1)).alias("n_sampled"),
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'user_id' AS col_name, count(*) - count(user_id) AS n_nulls,
+           count(DISTINCT user_id) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'event_type', count(*) - count(event_type),
+           count(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', count(*) - count(value),
+           count(DISTINCT value) FROM events
+    """,
+    tags=("profiling", "agg"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null + distinct counts) — the pre-training
+    data-quality gate. ONE aggregate over one scan computes all three
+    columns' stats (Spark expands multi-distinct into a single Expand +
+    aggregate, not three scans), then a stack() unpivots to the
+    row-per-column report shape."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'user_id', n - nn_user, nd_user, "
+            "'event_type', n - nn_type, nd_type, "
+            "'value', n - nn_value, nd_value) AS (col_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+@query(
+    "q_ohlc_hourly",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           round(arg_min(value, event_id), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, event_id), 2) AS close,
+           count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    tags=("agg", "timeseries", "ohlc"),
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type. open/close via min_by/max_by on
+    the monotone event_id — single-pass aggregation (no window, no
+    self-join), the shape that stays one shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(F.min_by("value", "event_id"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", "event_id"), 2).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_dedup_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS dist
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 24
+    """,
+    tags=("dedup", "text", "editdist"),
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with prefix blocking: only pairs sharing
+    a 16-char prefix are compared (equi-join on the block key — a hash
+    join, never a cross product), and Levenshtein runs on a 64-char cap
+    so the O(len^2) kernel is constant-bounded per pair. At 100 TB the
+    block key keeps candidates ~linear; widen recall by adding a
+    suffix-block union if needed."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 64).alias("head"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 24)
+    )
