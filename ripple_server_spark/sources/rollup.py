@@ -1,0 +1,126 @@
+"""Incrementally-maintained rollups (continuous aggregates) over topic
+logs — the hypertable-rollup / materialized-view-maintenance surface.
+
+The reference has a TODO for periodic batch jobs over its queues
+(`internal/broker/broker.go:51,79`, cron wiring `internal/cronjob/
+cronjob.go:28-37`) that was never implemented; this is that capability
+done Spark-first: a parquet aggregate table partitioned by hour that a
+scheduler (cron trigger / `Trigger(availableNow)`) refreshes cheaply.
+
+Refresh strategy — *recompute affected partitions*:
+
+1. The seq high-water mark per bucket (from the last refresh) bounds
+   the NEW slice of the log; ``seq > hwm`` pushes into the scan (row-
+   group min/max skipping), so discovering what changed reads only the
+   log tail, never the history.
+2. Only the hours PRESENT in that new slice are recomputed — from the
+   base log, so refresh is idempotent: re-running after a crash between
+   data write and state write just rewrites the same partitions with
+   the same bytes. (The alternative — merging delta partials into the
+   old rollup — saves the base re-read but double-counts on replay
+   unless the state commit is transactional with the write; recompute
+   is the right default without a transactional table format.)
+3. The rewrite uses dynamic partition overwrite: untouched hours keep
+   their files; the job writes exactly ``|affected hours|`` partitions.
+
+At 100 TB: the tail read is bounded by produce rate × refresh interval,
+the recompute by rows-per-hour × affected hours (late data touches old
+hours but only the ones it lands in), and the output write by the
+rollup's own (tiny) size. Nothing scans the full log after the first
+refresh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ripple_server_spark.sources.topics import TopicStore
+
+HOUR_FMT = "yyyy-MM-dd-HH"
+
+
+class HourlyRollup:
+    """Continuous per-(hour, event_type) aggregate of one topic."""
+
+    def __init__(self, spark: SparkSession, store: TopicStore, topic: str, dest: str):
+        self.spark = spark
+        self.store = store
+        self.topic = topic
+        self.dest = dest
+        os.makedirs(dest, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.dest, "_rollup_state.json")
+
+    def _load_hwm(self) -> dict[int, int]:
+        if not os.path.exists(self._state_path()):
+            return {}
+        with open(self._state_path()) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def refresh(self) -> dict:
+        """Fold all log rows newer than the high-water mark into the
+        rollup. Returns {"hours_refreshed": k, "new_rows": n}."""
+        log = self.store.read_topic(self.topic)
+        hwm = self._load_hwm()
+        maxima = self.store._bucket_maxima(self.topic)
+
+        if hwm:
+            hwm_df = self.spark.createDataFrame(
+                list(hwm.items()), "bucket int, hwm bigint"
+            )
+            # Global lower bound pushes to row-group stats on every
+            # file; the exact per-bucket cut applies in codegen after.
+            min_hwm = min(hwm.values())
+            new = (
+                log.filter(F.col("seq") > F.lit(min_hwm))
+                .join(F.broadcast(hwm_df), on="bucket", how="left")
+                .filter(F.col("seq") > F.coalesce(F.col("hwm"), F.lit(-1)))
+            )
+        else:
+            new = log
+
+        hours = [
+            r["hk"]
+            for r in new.select(
+                F.date_format("ts", HOUR_FMT).alias("hk")
+            ).distinct().collect()
+        ]
+        if not hours:
+            return {"hours_refreshed": 0, "new_rows": 0}
+
+        n_new = new.count()
+        hour_key = F.date_format("ts", HOUR_FMT).alias("hour_key")
+        rolled = (
+            log.withColumn("hour_key", hour_key)
+            .filter(F.col("hour_key").isin(hours))
+            .groupBy("hour_key", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rolled.write.mode("overwrite").partitionBy("hour_key").parquet(
+                os.path.join(self.dest, "data")
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        # State commits AFTER the data write: a crash in between replays
+        # the same hours idempotently on the next refresh.
+        with open(self._state_path(), "w") as f:
+            json.dump({str(b): m for b, m in maxima.items()}, f)
+        return {"hours_refreshed": len(hours), "new_rows": n_new}
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dest, "data"))
