@@ -102,3 +102,74 @@ def q_seq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seq") - 1).alias("gap_end"),
         (F.col("seq") - F.col("prev_seq") - 1).alias("n_missing"),
     )
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(skewness(value) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+           round(kurtosis_pop(value), 6) AS kurt,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uid,
+           round(regr_slope(value, epoch(ts)), 9) AS trend
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments + correlation + linear trend per event
+    type — the feature-engineering aggregate set. All are single-pass
+    partial-aggregable (sum-of-powers decomposition), so one shuffle
+    carries 6 statistics; nothing materializes per-row.
+
+    Cross-engine gotcha pinned by the oracle: Spark's skewness()/
+    kurtosis() are the POPULATION forms, DuckDB's the bias-corrected
+    SAMPLE forms — the oracle uses kurtosis_pop() and de-corrects
+    skewness by (n-2)/sqrt(n(n-1)) so both engines compute g1/g2."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.skewness("value"), 6).alias("skew"),
+        F.round(F.kurtosis("value"), 6).alias("kurt"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_uid"
+        ),
+        F.round(
+            F.regr_slope("value", F.unix_micros(F.col("ts").cast("timestamp")) / 1e6),
+            9,
+        ).alias("trend"),
+    )
+
+
+@query(
+    "q_topn_per_group",
+    oracle="""
+    SELECT user_id, event_id, rnk, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rnk <= 3
+    """,
+    tags=("window", "sort-limit", "topn"),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 purchases per user. The rank<=3 predicate is recognized by
+    Catalyst as a window-group-limit: each shuffle partition keeps only
+    3 rows per user DURING the sort (WindowGroupLimit physical node),
+    so the window never materializes full per-user row sets — the shape
+    that survives users with millions of events."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk", F.round("value", 2).alias("value"))
+    )

@@ -359,3 +359,148 @@ def q_tpch_q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q7_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations. The same nation
+    dimension joins TWICE under different roles (supplier's vs
+    customer's) — both broadcast; the bidirectional nation-pair
+    disjunction evaluates post-join in codegen. Fact-fact
+    lineitem-orders is the only shuffle pair; supplier/customer hash
+    joins ride the AQE-planned exchanges."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q8_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'REGION_0' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) / sum(volume), 6)
+                AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share inside one region for one part
+    type. Eight-table join where every dimension (part-filtered,
+    supplier, customer, nation x2, region) broadcasts, so the fact
+    tables shuffle exactly once each; the share is a conditional
+    aggregate over decimal volumes (exact, engine-reproducible)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    volumes = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region), F.col("n1_region") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    )
+    return volumes.groupBy("o_year").agg(
+        F.round(nat_vol / F.sum("volume"), 6).cast("double").alias("mkt_share")
+    )

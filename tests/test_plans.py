@@ -138,3 +138,44 @@ def test_minhash_bands_single_wide_aggregate(spark):
     assert p.count("HashAggregate") == 2  # partial + final of the one groupBy
     assert p.count("Exchange hashpartitioning") == 1
     assert "Generate explode" in p  # the band fan-out only
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    p = plan(build(spark, "q_topn_per_group"))
+    assert "WindowGroupLimit" in p
+
+
+def test_tpch_q10_takeordered_and_broadcast_nation(spark):
+    p = plan(build(spark, "q_tpch_q10_returns"))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    p = plan(build(spark, "q_tpch_q4_priority"))
+    assert "LeftSemi" in p
+
+
+def test_edit_distance_blocking_is_hash_join(spark):
+    """Prefix blocking must plan as an equi hash/SMJ join, never a
+    cartesian/nested-loop product."""
+    p = plan(build(spark, "q_dedup_edit_distance"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q13_outer_join_keeps_condition_inside(spark):
+    """The priority filter must live in the join (outer semantics), not
+    be pushed below as a WHERE on orders output rows -> plan shows the
+    join condition with the <> predicate."""
+    p = plan(build(spark, "q_tpch_q13_custdist"))
+    assert "LeftOuter" in p
+
+
+def test_full_outer_join_pre_aggregated_inputs(spark):
+    """Both sides must aggregate BELOW the full outer join (days flow
+    through the join, not events)."""
+    p = plan(build(spark, "q_join_full_outer"))
+    full_outer_pos = p.find("FullOuter")
+    assert full_outer_pos != -1
+    assert "HashAggregate" in p
