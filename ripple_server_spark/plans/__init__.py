@@ -13,6 +13,7 @@ from ripple_server_spark.plans import core_extra as _core_extra  # noqa: E402,F4
 from ripple_server_spark.plans import core_extra2 as _core_extra2  # noqa: E402,F401
 from ripple_server_spark.plans import core_extra3 as _core_extra3  # noqa: E402,F401
 from ripple_server_spark.plans import tpch_more as _tpch_more  # noqa: E402,F401
+from ripple_server_spark.plans import tpch_more2 as _tpch_more2  # noqa: E402,F401
 from ripple_server_spark.plans import graph as _graph  # noqa: E402,F401
 from ripple_server_spark.plans import analytics2 as _analytics2  # noqa: E402,F401
 from ripple_server_spark.plans import analytics3 as _analytics3  # noqa: E402,F401
