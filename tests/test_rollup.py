@@ -105,3 +105,36 @@ def test_rollup_replay_is_idempotent(spark, tmp_root):
     r = rollup.refresh()
     assert r["new_rows"] == ev.count()  # full replay...
     assert _actual(rollup) == want  # ...same result
+
+
+def test_rollup_driven_by_stream(spark, tmp_root):
+    """The cron-batch TODO the reference never wired up
+    (internal/broker/broker.go:51,79 + cronjob.go): a streaming query
+    over the topic triggers rollup refreshes via foreachBatch — the
+    continuous-aggregate pipeline. availableNow stands in for the cron
+    trigger; each micro-batch folds the tail into the rollup."""
+    from ripple_server_spark.streaming import api
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    store = TopicStore(spark, tmp_root)
+    store.create_topic("t", n_buckets=4)
+    rollup = HourlyRollup(spark, store, "t", os.path.join(tmp_root, "rollup"))
+    store.produce(ev, "t")
+
+    refreshes = []
+
+    def fold(batch, batch_id):
+        # The stream is the TRIGGER; refresh() reads the log tail via
+        # its own HWM (idempotent if a batch replays).
+        refreshes.append(rollup.refresh())
+
+    q = (
+        api.stream_topic(store, "t")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(r["new_rows"] for r in refreshes) == ev.count()
+    assert _actual(rollup) == _expected(store.read_topic("t"))
