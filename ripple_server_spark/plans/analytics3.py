@@ -173,3 +173,66 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", "rnk", F.round("value", 2).alias("value"))
     )
+
+
+@query(
+    "q_moving_avg_time",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 6) AS ma_1h
+    FROM events
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per user — a RANGE (time-value)
+    window frame, not ROWS: the frame is defined by timestamp distance,
+    so co-timestamped events share a frame regardless of row order
+    (deterministic without a tie-break, unlike ROWS frames). One
+    shuffle on user_id; frame evaluation is a sliding two-pointer scan
+    within each sorted partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma_1h")
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k, count(*) AS n_a
+      FROM events WHERE event_id % 2 = 0 GROUP BY k
+    ),
+    b AS (
+      SELECT nullif(event_type, 'error') AS k, count(*) AS n_b
+      FROM events WHERE event_id % 2 = 1 GROUP BY k
+    )
+    SELECT a.k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null-safe"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL
+    stratum ('error' nulled out) must MATCH across sides, where a plain
+    = would silently drop it. Still plans as a hash join — null-safe
+    equality is a valid hash key (null hashes to a bucket) — not a
+    nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    a = ev.filter(F.col("event_id") % 2 == 0).groupBy(k).agg(
+        F.count("*").alias("n_a")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).groupBy(k).agg(
+        F.count("*").alias("n_b")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
