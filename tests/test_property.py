@@ -104,3 +104,40 @@ def test_shingle_kernels_agree(spark, docs):
         want = naive_shingles(toks)
         assert expr_out[i] == want, f"expr mismatch doc {i}: {toks}"
         assert pandas_out[i] == want, f"pandas mismatch doc {i}: {toks}"
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def naive_components(edges):
+    """Union-find ground truth: id -> min reachable vertex id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation == union-find on arbitrary graphs
+    (self-loops, multi-edges, long chains, disconnected pieces)."""
+    from ripple_server_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == naive_components(edges)
