@@ -17,6 +17,7 @@ from ripple_server_spark.plans import tpch_more2 as _tpch_more2  # noqa: E402,F4
 from ripple_server_spark.plans import graph as _graph  # noqa: E402,F401
 from ripple_server_spark.plans import analytics2 as _analytics2  # noqa: E402,F401
 from ripple_server_spark.plans import analytics3 as _analytics3  # noqa: E402,F401
+from ripple_server_spark.plans import textrank as _textrank  # noqa: E402,F401
 from ripple_server_spark.plans import pubsub as _pubsub  # noqa: E402,F401
 from ripple_server_spark.plans import extensions as _extensions  # noqa: E402,F401
 
