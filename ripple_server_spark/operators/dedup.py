@@ -344,3 +344,59 @@ def setsim_join_prefix(
         .distinct()
     )
     return verify_jaccard(cand, sh, threshold)
+
+
+def setsim_join_prefix_incremental(
+    corpus: DataFrame | None,
+    chunk: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """One epoch of a STREAMING set-similarity join (cf. "Distributed
+    Streaming Set Similarity Join", ICDE 2020, PAPERS.md): verify only
+    pairs that touch the newly-arrived ``chunk`` — (new x old) and
+    (new x new) — never re-verifying old-x-old.
+
+    Prefixes are computed against the df of the full corpus-so-far
+    (corpus ∪ chunk): the prefix-filter completeness theorem holds for
+    ANY single consistent global token order per epoch, so each pair is
+    guaranteed to surface in the epoch its later member arrives.
+    Per-epoch cost: df refresh (one agg over shingles — incremental df
+    maintenance is the obvious optimization at scale) + a candidate
+    join whose probe side is only the chunk's prefixes.
+
+    Driven from ``foreachBatch`` this is the streaming dedup gate: new
+    documents check into the corpus and emit their near-dup pairs
+    before admission.
+    """
+    all_docs = chunk if corpus is None else corpus.unionByName(chunk)
+    sh = shingle_sets(all_docs).persist()
+    new_ids = chunk.select("doc_id")
+    df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    w_size = Window.partitionBy("doc_id")
+    pref = (
+        sh.join(df_freq, on="shingle")
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_size))
+        .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "shingle")
+    ).persist()
+    pref_new = pref.join(F.broadcast(new_ids), on="doc_id", how="left_semi")
+    a = pref_new.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Every candidate touches the chunk by construction (probe side is
+    # chunk prefixes), so no old-x-old pair can appear and no pair can
+    # repeat across epochs (a pair's epoch = its later member's).
+    return verify_jaccard(cand, sh, threshold)

@@ -163,3 +163,31 @@ def test_connected_components_chain_and_clique(spark):
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_streaming_setsim_epochs_match_batch(spark, sf_dir):
+    """Union of per-epoch incremental set-sim joins == the one-shot
+    batch join: no pair missed (prefix completeness holds per epoch),
+    no pair duplicated (each pair surfaces in its later member's
+    epoch)."""
+    from ripple_server_spark.operators.dedup import (
+        setsim_join_prefix,
+        setsim_join_prefix_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in setsim_join_prefix(docs, 0.5).collect()
+    }
+
+    got = {}
+    corpus = None
+    for lo, hi in ((0, 60), (60, 120), (120, 180)):
+        chunk = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for r in setsim_join_prefix_incremental(corpus, chunk, 0.5).collect():
+            key = (r["doc_a"], r["doc_b"])
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = r["jaccard"]
+        corpus = chunk if corpus is None else corpus.unionByName(chunk)
+    assert got == truth
