@@ -10,7 +10,7 @@ these batch forms share the window logic and carry the oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
@@ -96,4 +96,82 @@ def q_offsets_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("consumer_id").agg(
         F.count("event_id").alias("pending"),
         F.min("event_id").alias("next_seq"),
+    )
+
+
+@query(
+    "q_dense_grid_zerofill",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY day, event_type
+    )
+    SELECT d.day, t.event_type, coalesce(a.n, 0) AS n
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    """,
+    tags=("join", "cross", "agg", "reporting"),
+)
+def q_dense_grid_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense day x type reporting grid with explicit zeros — the
+    downstream-dashboard contract that missing combinations are 0, not
+    absent. The cross join multiplies two DIMENSION extracts (30 days x
+    5 types), never facts; the fact side arrives pre-aggregated through
+    a left join. Both dimension sides and the grid broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.to_date("ts").alias("a_day"), F.col("event_type").alias("a_type")
+    ).agg(F.count("*").alias("n"))
+    grid = days.crossJoin(types)
+    return (
+        grid.join(
+            actual,
+            (grid.day == actual.a_day) & (grid.event_type == actual.a_type),
+            "left",
+        )
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@query(
+    "q_interarrival_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(floor(ln(gap_s) / ln(4)) AS BIGINT) AS gap_bucket_log4,
+           count(*) AS n,
+           round(avg(gap_s), 3) AS avg_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL AND gap_s > 0
+    GROUP BY event_type, gap_bucket_log4
+    """,
+    tags=("pubsub", "window", "histogram", "timeseries"),
+)
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per stream (log4-bucketed) — the
+    queue-health metric the reference cannot compute over its opaque
+    payloads (it has no event time at all, SURVEY §2). One window
+    shuffle on event_type for lag(), then a tiny histogram aggregate;
+    the log-scale bucketing is closed-form, not a percentile sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (sec - F.lag(sec).over(w)).alias("gap_s")
+    gaps = ev.select("event_type", gap).filter(
+        F.col("gap_s").isNotNull() & (F.col("gap_s") > 0)
+    )
+    bucket = F.floor(F.log(F.col("gap_s")) / F.log(F.lit(4.0))).cast("bigint")
+    return gaps.groupBy(
+        "event_type", bucket.alias("gap_bucket_log4")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("gap_s"), 3).alias("avg_gap_s"),
     )
