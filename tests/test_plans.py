@@ -179,3 +179,22 @@ def test_full_outer_join_pre_aggregated_inputs(spark):
     full_outer_pos = p.find("FullOuter")
     assert full_outer_pos != -1
     assert "HashAggregate" in p
+
+
+def test_bm25_topk_takeordered_and_broadcast_stats(spark):
+    p = plan(build(spark, "q_text_bm25_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_journey_similarity_no_cartesian(spark):
+    p = plan(build(spark, "q_journey_similarity"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dense_grid_cross_join_is_dimension_sized(spark):
+    """The cross join must sit above two aggregated (distinct) inputs,
+    not the raw fact table."""
+    p = plan(build(spark, "q_dense_grid_zerofill"))
+    assert "HashAggregate" in p
