@@ -158,3 +158,32 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 12)
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, i - 1 AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, i
+    """,
+    tags=("vectors", "agg", "array"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean of 64-dim vectors) — the
+    class-prototype computation behind IVF training, label drift
+    monitoring, and centroid-distance pruning. posexplode turns each
+    vector into (pos, val) rows so the mean is an ordinary partial
+    aggregate: one shuffle of |labels| x 64 partials, regardless of
+    corpus size. (The no-shuffle alternative — aggregate on array
+    struct via zip_with — saves rows but loses partial aggregation;
+    explode + partial agg wins at scale.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy(F.col("label").cast("bigint").alias("label"), "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
