@@ -110,16 +110,16 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(substr(a.path, 1, 40), substr(b.path, 1, 40)) AS dist
     FROM paths a
     JOIN paths b
-      ON substr(a.path, 1, 4) = substr(b.path, 1, 4)
+      ON substr(a.path, 1, 2) = substr(b.path, 1, 2)
      AND a.user_id < b.user_id
-    WHERE levenshtein(substr(a.path, 1, 40), substr(b.path, 1, 40)) <= 12
+    WHERE levenshtein(substr(a.path, 1, 40), substr(b.path, 1, 40)) <= 24
     """,
     tags=("text", "trajectory", "editdist", "window"),
 )
 def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory-similarity join over user journeys: each user's
     time-ordered event-type initials form a path string; pairs sharing
-    a 4-step prefix (equi-join blocking — hash join, no cross product)
+    a 2-step prefix (equi-join blocking — hash join, no cross product)
     are verified by capped edit distance. ORDER-sensitive aggregation
     (string_agg ... ORDER BY) is itself a declared capability: Spark
     expresses it as sort-within-group collect + concat."""
@@ -140,7 +140,7 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = paths.select(
         "user_id",
-        F.substring("path", 1, 4).alias("blk"),
+        F.substring("path", 1, 2).alias("blk"),
         F.substring("path", 1, 40).alias("head"),
     )
     a, b = p.alias("a"), p.alias("b")
@@ -156,7 +156,7 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.user_id").alias("user_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") <= 12)
+        .filter(F.col("dist") <= 24)
     )
 
 

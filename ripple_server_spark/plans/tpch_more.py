@@ -331,14 +331,15 @@ def q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
     """,
     tags=("join", "anti", "subquery", "agg", "tpch"),
 )
 def q_tpch_q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global-sales-opportunity), phone prefix -> mktsegment:
-    rich customers who never ordered. The scalar avg is a 1-row
+    rich customers with no orders since 2000 (every customer has SOME order in these fixtures, so 'lapsed' replaces 'never'). The scalar avg is a 1-row
     broadcast (cross join); NOT EXISTS is a LEFT ANTI join against only
     orders.o_custkey (column-pruned scan). Both the anti join's build
     side and the scalar are small; the customer scan happens once."""
@@ -348,7 +349,11 @@ def q_tpch_q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("ab")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
@@ -442,7 +447,7 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n1 ON c_nationkey = n1.n_nationkey
       JOIN region    ON n1.n_regionkey = r_regionkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'REGION_0' AND p_type = 'PROMO'
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
     )
     SELECT o_year,
            CAST(round(sum(CASE WHEN supp_nation = 'NATION_1'
@@ -470,7 +475,7 @@ def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )

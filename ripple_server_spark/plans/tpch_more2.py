@@ -99,7 +99,7 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN nation   ON n_nationkey = s_nationkey
-    WHERE p_name LIKE '%1%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
     """,
     tags=("join", "agg", "tpch"),
@@ -113,7 +113,7 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%1%"))
+        .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
