@@ -215,7 +215,7 @@ def _gcount(v: pd.Series) -> int:
     SELECT event_type,
            round(exp(avg(ln(value))), 4) AS gmean_value,
            count(*) AS n
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
     tags=("udf", "udaf", "arrow"),
 )
@@ -226,7 +226,10 @@ def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFs shuffle full rows (no partial aggregation) — built-in
     exp(avg(ln x)) is the 100 TB form; this query exists to pin the
     UDAF API against the same oracle."""
-    ev = load_table(spark, sf_dir, "events")
+    # gmean's domain is strictly-positive values (value == 0 exists at
+    # sf0.1 — ln(0) is the classic gmean footgun, filtered identically
+    # in the oracle).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         F.round(_gmean("value"), 4).alias("gmean_value"),
         _gcount("value").alias("n"),
