@@ -61,6 +61,10 @@ class TopicStore:
         # math never re-scans the log while a store instance is live.
         # (Single-writer-per-topic model, same as the reference.)
         self._maxima: dict[str, dict[int, int]] = {}
+        # Retained floor (earliest live seq) per bucket; 0 until a
+        # truncate() raises it. Cold path over an existing log scans
+        # min(seq) once (footer-stat territory, like the maxima).
+        self._floors: dict[str, dict[int, int]] = {}
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "offsets"), exist_ok=True)
 
@@ -152,6 +156,23 @@ class TopicStore:
         self._maxima[topic] = maxima
         return maxima
 
+    def _bucket_floors(self, topic: str) -> dict[int, int]:
+        cached = self._floors.get(topic)
+        if cached is not None:
+            return cached
+        data = self.data_dir(topic)
+        if not any(e.startswith("bucket=") for e in os.listdir(data)):
+            return {}
+        rows = (
+            self.spark.read.parquet(data)
+            .groupBy("bucket")
+            .agg(F.min("seq").alias("m"))
+            .collect()
+        )
+        floors = {r["bucket"]: r["m"] for r in rows}
+        self._floors[topic] = floors
+        return floors
+
     def read_topic(self, topic: str) -> DataFrame:
         return self.spark.read.parquet(self.data_dir(topic))
 
@@ -186,6 +207,44 @@ class TopicStore:
 
         shutil.rmtree(old)
 
+    def truncate(self, topic: str, before_seq: int) -> int:
+        """Retention: drop log FILES wholly below ``before_seq`` in every
+        bucket (the Kafka segment-retention analog — the reference's
+        queue just grows until OOM, `pkg/utils/collection/
+        concurrent_list.go`; a durable log needs an age-out).
+
+        File-granularity by design: a file is deleted only when its max
+        seq < before_seq (parquet footer stats — no data is read or
+        rewritten), so the retained floor is <= before_seq and reads
+        stay consistent: a consumer whose offset predates retention
+        simply resumes at the retained floor, the same contract as
+        Kafka's earliest-offset reset. Compact first for tight floors
+        (one file per bucket => exact truncation). Returns files
+        removed."""
+        import pyarrow.parquet as pq
+
+        data = self.data_dir(topic)
+        removed = 0
+        for bdir in sorted(os.listdir(data)):
+            if not bdir.startswith("bucket="):
+                continue
+            bpath = os.path.join(data, bdir)
+            for fn in sorted(os.listdir(bpath)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(bpath, fn)
+                md = pq.read_metadata(fpath)
+                idx = md.schema.to_arrow_schema().get_field_index("seq")
+                mx = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                if mx < before_seq:
+                    os.remove(fpath)
+                    removed += 1
+        self._floors.pop(topic, None)
+        return removed
+
     # -- consume (A6-A8) ---------------------------------------------------
     def register_consumer(self, consumer_id: str, topic: str) -> None:
         """First-contact registration: offsets start at 0 for every
@@ -213,9 +272,12 @@ class TopicStore:
         rowgroup skipping (seq >= offset) make this a tail read.
         """
         offset = self.committed_offsets(consumer_id, topic).get(bucket, 0)
-        # seq is contiguous per bucket (produce invariant), so delivered
-        # count = min(count, max_seq - offset + 1) from the maxima cache
-        # — sizing the batch launches no job at all on the warm path.
+        # Retention clamp: offsets below the retained floor resume at
+        # the floor (Kafka earliest-offset reset; see truncate()).
+        offset = max(offset, self._bucket_floors(topic).get(bucket, 0))
+        # seq is contiguous per bucket above the floor (produce
+        # invariant), so delivered = min(count, max_seq - offset + 1)
+        # from the maxima cache — sizing launches no job on the warm path.
         mx = self._bucket_maxima(topic).get(bucket, -1)
         delivered = max(0, min(count, mx - offset + 1))
         # The batch is exactly seq ∈ [offset, offset+delivered) — the

@@ -1,0 +1,70 @@
+"""Topic retention (truncate): file-granularity age-out with consistent
+consumer semantics (earliest-offset reset below the retained floor)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.topics import TopicStore
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "topics"))
+    st.create_topic("t", n_buckets=4)
+    ev = load_table(spark, SF_SMOKE, "events")
+    # three produces -> >= 3 files per bucket, so truncation has file
+    # boundaries to work with
+    for i in range(3):
+        st.produce(ev.filter(F.col("event_id") % 3 == i), "t")
+    return st
+
+
+def test_truncate_drops_only_whole_old_files(spark, store):
+    before = store.read_topic("t")
+    n_before = before.count()
+    maxima = store._bucket_maxima("t")
+    cutoff = min(maxima.values()) // 2
+    # materialize BEFORE truncation (lazy plans re-list files at action)
+    n_above_before = before.filter(F.col("seq") >= cutoff).count()
+
+    removed = store.truncate("t", before_seq=cutoff)
+    assert removed > 0
+
+    after = store.read_topic("t")
+    # Nothing at/above the cutoff was lost...
+    assert after.filter(F.col("seq") >= cutoff).count() == n_above_before
+    # ...and whatever survives below it is file-tail remainder only.
+    assert after.count() < n_before
+    # maxima unchanged (retention never touches the head)
+    assert store._bucket_maxima("t") == maxima
+
+
+def test_consume_resumes_at_retained_floor(spark, store):
+    cutoff = min(store._bucket_maxima("t").values()) // 2
+    store.truncate("t", before_seq=cutoff)
+    floors = store._bucket_floors("t")
+
+    store.register_consumer("c_old", "t")  # offset 0, below the floor
+    batch, next_off = store.consume("c_old", "t", bucket=0, count=10)
+    rows = batch.collect()
+    assert len(rows) == 10
+    # delivery starts exactly at the retained floor, stays contiguous
+    seqs = [r["seq"] for r in rows]
+    assert seqs == list(range(floors.get(0, 0), floors.get(0, 0) + 10))
+    assert next_off == floors.get(0, 0) + 10
+
+
+def test_compact_then_truncate_is_exact(spark, store):
+    """After compaction (one file per bucket) a truncate below the max
+    removes nothing (the single file spans the cutoff) — the documented
+    file-granularity contract, exact only at file boundaries."""
+    store.compact("t")
+    cutoff = min(store._bucket_maxima("t").values()) // 2
+    assert store.truncate("t", before_seq=cutoff) == 0
+    # truncating ABOVE every bucket's max drops every file
+    hi = max(store._bucket_maxima("t").values()) + 1
+    assert store.truncate("t", before_seq=hi) == 4
