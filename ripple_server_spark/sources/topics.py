@@ -94,13 +94,30 @@ class TopicStore:
         return sorted(os.listdir(os.path.join(self.root, "topics")))
 
     # -- produce (A5) ------------------------------------------------------
-    def produce(self, df: DataFrame, topic: str, key_col: str = "user_id") -> int:
+    def produce(
+        self,
+        df: DataFrame,
+        topic: str,
+        key_col: str = "user_id",
+        batch_id: str | None = None,
+    ) -> int:
         """Append a batch, assigning bucket + contiguous per-bucket seq.
 
         FIFO order within a bucket follows (ts, event_id) of the batch —
         the arrival order analog. Returns number of rows appended.
+
+        ``batch_id`` makes the append IDEMPOTENT: a replayed produce
+        with an already-applied id is a no-op (returns 0). This is the
+        engine's exactly-once producer story — the reference fires,
+        forgets, and hopes acks arrive (`internal/broker/ack/ack.go`,
+        client-ack disabled at ack.go:36); here replay safety is a
+        recorded batch id, the same mechanism foreachBatch sinks use.
+        Applied ids live in topic meta (bounded: last 1000).
         """
         meta = self.topic_meta(topic)
+        if batch_id is not None:
+            if batch_id in meta.get("applied_batches", []):
+                return 0
         n_buckets = meta["n_buckets"]
         data = self.data_dir(topic)
 
@@ -133,6 +150,10 @@ class TopicStore:
         self._maxima[topic] = {
             b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
         }
+        if batch_id is not None:
+            applied = meta.get("applied_batches", [])
+            meta["applied_batches"] = (applied + [batch_id])[-1000:]
+            self._write_json(self._meta_path(topic), meta)
         return int(got["n"])
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:

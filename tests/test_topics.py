@@ -151,3 +151,29 @@ def test_compact_shrinks_files_and_preserves_log(spark, sf_dir, tmp_path):
     )
     for r in per_bucket:
         assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+
+
+def test_produce_batch_id_idempotence(spark, sf_dir, tmp_path):
+    """A replayed produce with the same batch_id must be a no-op: same
+    row count, same maxima, no duplicate seqs (the exactly-once
+    producer contract the reference's fire-and-forget acks lack)."""
+    st = TopicStore(spark, str(tmp_path / "idem"))
+    st.create_topic("t", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+
+    n1 = st.produce(ev, "t", batch_id="b-1")
+    assert n1 == 200
+    assert st.produce(ev, "t", batch_id="b-1") == 0  # replay -> no-op
+    assert st.read_topic("t").count() == 200
+    n2 = st.produce(ev, "t", batch_id="b-2")  # new id appends
+    assert n2 == 200
+    df = st.read_topic("t")
+    assert df.count() == 400
+    # per-bucket seqs stay contiguous and distinct after the replay mix
+    from pyspark.sql import functions as F2
+    chk = df.groupBy("bucket").agg(
+        F2.min("seq").alias("lo"), F2.max("seq").alias("hi"),
+        F2.countDistinct("seq").alias("n")
+    ).collect()
+    for r in chk:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
