@@ -144,13 +144,20 @@ def fanout_write(
     df: DataFrame, paths: list[str], checkpoint: str
 ) -> StreamingQuery:
     """Replication fan-out analog (A9-A11): each micro-batch is written
-    to every replica path; Spark's batch-id-based sink idempotence
-    replaces the reference's per-message acks + 3 s timeout
-    (internal/broker/ack/ack.go:89-94)."""
+    to every replica path, idempotently — batch-id-keyed subdirectory +
+    overwrite means a replayed batch (restart between sink write and
+    checkpoint commit) rewrites the same bytes instead of appending
+    duplicates. This replaces the reference's per-message acks + 3 s
+    timeout (internal/broker/ack/ack.go:89-94) with exactly-once
+    replicas. Readers see ``batch`` as a partition column of each
+    replica dir.
+
+    A plain ``mode("append")`` here would silently be at-least-once —
+    foreachBatch re-invokes the function for uncommitted batch ids."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         for p in paths:
-            batch.write.mode("append").parquet(p)
+            batch.write.mode("overwrite").parquet(f"{p}/batch={batch_id}")
 
     return (
         df.writeStream.foreachBatch(write_batch)

@@ -145,3 +145,23 @@ def test_interval_join_matches_batch(spark, store):
     want = {(r["left_id"], r["right_id"]) for r in batch.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_fanout_write_replay_is_idempotent(spark, store, tmp_path):
+    """Simulated foreachBatch replay (same batch id delivered twice)
+    must not duplicate replica rows."""
+    from ripple_server_spark.streaming.api import fanout_write
+
+    replicas = [str(tmp_path / f"irep{i}") for i in range(2)]
+    q = fanout_write(
+        api.stream_topic(store, "s1"), replicas, str(tmp_path / "ckpt_ifan")
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = store.read_topic("s1").count()
+    # replay batch 0 by hand: same id, same data -> overwrite, not append
+    batch = store.read_topic("s1")
+    for p in replicas:
+        batch.drop("bucket").write.mode("overwrite").parquet(f"{p}/batch=0")
+    for p in replicas:
+        assert spark.read.parquet(p).count() == n
