@@ -262,3 +262,109 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 24)
     )
+
+
+@query(
+    "q_train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8
+                 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 8
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM events
+    )
+    SELECT split, event_type, count(*) AS n
+    FROM tagged GROUP BY split, event_type
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash,
+    with per-class counts to audit stratification balance. Hash-based
+    (not rand(seed)) so the SAME rows land in the same split on every
+    engine, every rerun, every repartitioning — the property that makes
+    a 100 TB split reproducible and leakage-auditable. Zero shuffles
+    until the audit aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return ev.select(split.alias("split"), "event_type").groupBy(
+        "split", "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w FROM t),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               AS gram
+      FROM idx
+    ),
+    bench AS (SELECT gram FROM grams WHERE doc_id < 10),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id >= 10
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (doc_id IN (SELECT doc_id FROM contaminated))
+             AS n_contaminated
+    FROM documents WHERE doc_id >= 10
+    GROUP BY source
+    """,
+    tags=("text", "dedup", "pipeline", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the benchmark set (here: doc_id < 10 stands in for the
+    eval suite). The overlap test is a semi join on exact n-grams —
+    at 100 TB the benchmark gram set is tiny and BROADCAST, so the
+    corpus-side gram stream never shuffles; contaminated ids come back
+    as a second broadcast semi join into the audit aggregate. This is
+    the standard LLM-pretraining hygiene pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.greatest(F.size(w) - 4, F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(
+                    " ", w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") < 10).select("gram")
+    contaminated = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    flagged = corpus.join(
+        F.broadcast(contaminated.withColumnRenamed("doc_id", "c_id")),
+        corpus.doc_id == F.col("c_id"),
+        "left",
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("c_id").alias("n_contaminated"),
+    )
