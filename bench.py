@@ -51,10 +51,12 @@ def main() -> None:
     # state. Reported value = min.
     timings: dict[str, float] = {}
     for _round in range(2):
-        # Drop persisted intermediates from the previous round: plan-
-        # matched cache hits would otherwise time warm-cache reruns.
-        spark.catalog.clearCache()
         for name, spec in bench_specs.items():
+            # Drop persisted intermediates before EVERY query: queries
+            # sharing pipeline fragments (e.g. the minhash shingle/band
+            # tables) would otherwise time warm-cache reruns of each
+            # other, making per-query numbers incomparable.
+            spark.catalog.clearCache()
             t0 = time.time()
             materialize(spec.builder(spark, sf_dir))
             dt = round(time.time() - t0, 3)

@@ -85,6 +85,7 @@ _PAIRS_CTES = """
     FROM labeled GROUP BY cluster_id
     """,
     tags=("dedup", "graph", "iterative"),
+    bench=True,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs into duplicate

@@ -56,6 +56,7 @@ _K1, _B = 1.2, 0.75
     FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """,
     tags=("text", "ir", "bm25", "sort-limit"),
+    bench=True,
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for the query {vector, stream, window}. Scale shape:

@@ -103,6 +103,7 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, year(o_orderdate)
     """,
     tags=("join", "agg", "tpch"),
+    bench=True,
 )
 def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation x order year, cost
