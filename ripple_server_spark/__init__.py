@@ -29,6 +29,15 @@ generation instead of cross joins.
 
 from ripple_server_spark.session import get_spark
 from ripple_server_spark.catalog import TABLES, load_table, register_views
+from ripple_server_spark.sources.topics import TopicStore
+from ripple_server_spark.sources.rollup import HourlyRollup
 
-__all__ = ["get_spark", "TABLES", "load_table", "register_views"]
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_table",
+    "register_views",
+    "TopicStore",
+    "HourlyRollup",
+]
 __version__ = "0.1.0"
