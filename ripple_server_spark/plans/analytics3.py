@@ -236,3 +236,63 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_b")
     )
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
+
+
+@query(
+    "q_kmv_distinct_sketch",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type,
+           n_exact,
+           CAST(round(CASE WHEN n_exact <= 32 THEN n_exact
+                ELSE (32 - 1) * 281474976710656.0 / max(h)
+           END) AS BIGINT) AS kmv_estimate
+    FROM ranked WHERE r <= 32
+    GROUP BY event_type, n_exact
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=32) distinct-user sketch per event type
+    — the mergeable distinct sketch behind Theta/HLL-family systems:
+    estimate = (k-1) / (k-th smallest hash as a fraction of hash
+    space). Built from md5 so the estimate is DETERMINISTIC and the
+    oracle reproduces it bit-for-bit — a sketch with an exact oracle,
+    unlike approx_count_distinct's rows-only check. Scale shape: the
+    k smallest hashes per group survive partial aggregation (rank<=k
+    window after a distinct — WindowGroupLimit keeps 32/group), so the
+    shuffle carries O(groups x k), never the user universe. n_exact
+    rides along to audit the estimate (sf-small groups are exact by
+    construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_exact"),
+    ).filter(F.col("r") <= 32)
+    est = F.when(F.col("n_exact") <= 32, F.col("n_exact").cast("double")).otherwise(
+        (32 - 1) * 281474976710656.0 / F.max("h").over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.withColumn("kmv_estimate", F.round(est).cast("bigint"))
+        .select("event_type", "n_exact", "kmv_estimate")
+        .distinct()
+    )
