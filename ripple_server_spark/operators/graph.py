@@ -34,6 +34,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    max_local_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it: ``(id, comp)``.
@@ -41,8 +42,34 @@ def connected_components(
     Only vertices that appear in at least one edge are returned
     (isolated vertices are their own singleton cluster by definition —
     callers union them back if needed).
+
+    TWO-TIER execution: the edge set of a near-dup graph is orders of
+    magnitude smaller than the corpus that produced it, so when it fits
+    comfortably on the driver (<= ``max_local_edges``) we collect and
+    run union-find locally — one job, zero iterative shuffles. Only a
+    genuinely large edge set takes the distributed min-label-propagation
+    loop. (Same hybrid strategy as GraphFrames/GraphX aggregation
+    fallbacks; the threshold is edges, not vertices, so 1M edges ≈ tens
+    of MB on the driver.)
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    n_edges = e.count()
+    if n_edges <= max_local_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.collect():
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(v, find(v)) for v in parent]
+        return edges.sparkSession.createDataFrame(labels, "id bigint, comp bigint")
     # Symmetrize once; distinct also dedups multi-edges so every round's
     # join fans out minimally.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()

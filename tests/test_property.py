@@ -139,5 +139,13 @@ def test_connected_components_matches_union_find(spark, edges):
     from ripple_server_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = naive_components(edges)
+    # local union-find tier
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
-    assert got == naive_components(edges)
+    assert got == want
+    # distributed min-label-propagation tier (force with threshold 0)
+    got_dist = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, max_local_edges=0).collect()
+    }
+    assert got_dist == want
