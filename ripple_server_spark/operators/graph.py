@@ -52,7 +52,10 @@ def connected_components(
     fallbacks; the threshold is edges, not vertices, so 1M edges ≈ tens
     of MB on the driver.)
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Persist before the tier-choosing count: without it the (possibly
+    # expensive) edge-producing pipeline would run twice — once for
+    # count(), once for the collect()/loop that follows.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     n_edges = e.count()
     if n_edges <= max_local_edges:
         parent: dict[int, int] = {}
