@@ -183,3 +183,58 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+def cosine_topk_scan_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    margin: int = 3,
+) -> DataFrame:
+    """``cosine_topk_scan`` on the mapInArrow API: the kernel receives
+    raw ``pyarrow.RecordBatch``es — no pandas materialization between
+    Arrow and numpy, which removes the per-batch Series-of-ndarray
+    boxing that dominates mapInPandas overhead for wide fixed-length
+    vectors. Same results (equivalence-tested); at 100 TB prefer this
+    form for pure-numeric kernels and keep mapInPandas where pandas
+    semantics (nullable dtypes, strings) actually help.
+    """
+    import pyarrow as pa
+
+    qrows = queries.select("q_id", "qe").collect()
+    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
+    take = k + margin
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            vid = rb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            col = rb.column("embedding")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(len(vid), -1)
+            sims = (m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
+            sims[vid[:, None] == qids[None, :]] = -np.inf
+            top = min(take, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            sim_out = np.take_along_axis(sims, idx, axis=0).T.ravel()
+            keep = np.isfinite(sim_out)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "q_id": np.repeat(qids, top)[keep],
+                    "neighbor_id": vid[idx].T.ravel()[keep],
+                    "sim": sim_out[keep],
+                }
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "q_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

@@ -191,3 +191,20 @@ def test_streaming_setsim_epochs_match_batch(spark, sf_dir):
             got[key] = r["jaccard"]
         corpus = chunk if corpus is None else corpus.unionByName(chunk)
     assert got == truth
+
+
+def test_cosine_topk_arrow_matches_pandas(spark, sf_dir):
+    """mapInArrow kernel must reproduce the mapInPandas kernel exactly
+    (same math, same tie-breaks) — only the batch transport differs."""
+    from ripple_server_spark.operators.similarity import (
+        cosine_topk_scan,
+        cosine_topk_scan_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    a = {tuple(r) for r in cosine_topk_scan(emb, queries, k=3).collect()}
+    b = {tuple(r) for r in cosine_topk_scan_arrow(emb, queries, k=3).collect()}
+    assert a == b and len(a) > 0
