@@ -149,3 +149,57 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, max_local_edges=0).collect()
     }
     assert got_dist == want
+
+
+produce_plan = st.lists(st.integers(1, 40), min_size=1, max_size=4)
+consume_plan = st.lists(
+    st.tuples(st.integers(1, 30), st.booleans()), min_size=1, max_size=5
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(produce_plan, consume_plan)
+def test_topic_store_invariants(spark, tmp_path_factory, sizes, consumes):
+    """Randomized produce/consume/commit sequences preserve the broker
+    invariants: contiguous per-bucket seqs across appends; consume is
+    non-destructive (same batch until commit); offsets advance only by
+    commit; delivery is in seq order from the committed offset."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path_factory.mktemp("prop_topics"))
+    store = TopicStore(spark, root)
+    store.create_topic("t", n_buckets=3)
+    ev = load_table(spark, SF_SMOKE, "events")
+
+    total = 0
+    off = 0
+    for sz in sizes:
+        batch = ev.filter(
+            (F.col("event_id") >= off) & (F.col("event_id") < off + sz)
+        )
+        total += store.produce(batch, "t")
+        off += sz
+    log = store.read_topic("t")
+    assert log.count() == total
+    # contiguity per bucket
+    for r in log.groupBy("bucket").agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        F.countDistinct("seq").alias("n"),
+    ).collect():
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+    store.register_consumer("c", "t")
+    expect_off = 0
+    mx = store._bucket_maxima("t").get(0, -1)
+    for count, do_commit in consumes:
+        batch, nxt = store.consume("c", "t", bucket=0, count=count)
+        seqs = [r["seq"] for r in batch.collect()]
+        want = list(range(expect_off, min(expect_off + count, mx + 1)))
+        assert seqs == want, (seqs, want)
+        assert nxt == expect_off + len(want)
+        if do_commit:
+            store.commit("c", "t", bucket=0, offset=nxt)
+            expect_off = nxt
+        # without commit the next consume re-reads from expect_off
