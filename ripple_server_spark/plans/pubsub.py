@@ -10,6 +10,8 @@ these batch forms share the window logic and carry the oracles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -174,4 +176,72 @@ def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.round(F.avg("gap_s"), 3).alias("avg_gap_s"),
+    )
+
+
+@query(
+    "q_payload_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, ts,
+             unhex(md5('payload:' || CAST(event_id AS VARCHAR))) AS payload
+      FROM events
+      WHERE event_id < 2000
+    ), routed AS (
+      SELECT event_id, payload,
+             CAST(user_id % 8 AS INT) AS bucket,
+             row_number() OVER (PARTITION BY user_id % 8
+                                ORDER BY ts, event_id) - 1 AS seq
+      FROM src
+    )
+    SELECT seq, event_id,
+           lower(hex(payload)) AS payload_hex,
+           CAST(octet_length(payload) AS BIGINT) AS payload_len
+    FROM routed
+    WHERE bucket = 3 AND seq < 40
+    ORDER BY seq
+    """,
+    tags=("pubsub", "binary", "roundtrip"),
+)
+def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque BINARY payload produce->consume round-trip — the literal
+    queue value semantics of the reference (a message is `Id int` +
+    `Value []byte`, internal/broker/queue/queue.go:16-19; SubArray read
+    queue.go:59-61). Builds deterministic 16-byte payloads from events,
+    pushes them through a real TopicStore (parquet log, bucket routing,
+    contiguous per-bucket seq), consumes a ranged batch from one bucket
+    at offset 0, and exposes the bytes as a hex digest + length so the
+    oracle can assert byte-exactness cross-engine (raw BLOB cells repr
+    differently in Spark/DuckDB collect paths).
+
+    Scale: the produce is one shuffle of the batch (seq window per
+    bucket); the consume is a bucket-pruned, seq-range row-group read —
+    identical plan shape to q_consume_offset_range but over binary
+    values."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.unhex(
+        F.md5(F.concat(F.lit("payload:"), F.col("event_id").cast("string")))
+    ).alias("payload")
+    batch_df = ev.select("event_id", "user_id", "ts", payload)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_payload_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("payloads", n_buckets=8)
+    store.produce(batch_df, "payloads", key_col="user_id")
+    batch, _next = store.consume("c-roundtrip", "payloads", bucket=3, count=40)
+    return batch.select(
+        F.col("seq").cast("bigint").alias("seq"),
+        "event_id",
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+        F.length(F.col("payload")).cast("bigint").alias("payload_len"),
     )
