@@ -126,6 +126,22 @@ def lsh_candidates(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_finish(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc set sizes -> thresholded
+    (doc_a, doc_b, jaccard)."""
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def verify_jaccard(
     cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
@@ -144,15 +160,7 @@ def verify_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
-    return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_finish(inter, sizes, threshold)
 
 
 def minhash_lsh_dedup(
@@ -179,20 +187,40 @@ def minhash_lsh_dedup(
 def ngram_jaccard_pairs(
     docs: DataFrame, block_col: str = "source", threshold: float = 0.01
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard: compare only within a blocking key
-    (here: same source). The candidate generator at true scale is the
-    shared-shingle inverted index or MinHash; blocking keeps the oracle
-    cheap while exercising the same verify kernel."""
+    """Blocked exact n-gram Jaccard via a shared-shingle inverted index.
+
+    Candidate pairs come from the postings self-join on (shingle,
+    block): only documents that share at least one shingle (and the
+    blocking key) ever meet, and the same join computes the
+    intersection size — there is NO all-pairs join within a block
+    anywhere in the plan. This is lossless for any threshold > 0:
+    jaccard >= t > 0 implies n_common >= 1, i.e. the pair shares a
+    shingle and is generated.
+
+    Scale: the join fan-out is sum over shingles of df² within a block
+    (df = posting-list length), not block². Hot shingles (stopword-ish
+    3-grams) are the skew risk; AQE skew-join splits them, and for
+    corpora where that is not enough the prefix-filtered setsim join
+    (setsim_join_prefix, same module) is the threshold-aware exact
+    form that prunes high-df tokens without losing pairs."""
     sh = shingle_sets(docs).persist()
-    ids = docs.select("doc_id", block_col)
-    a = ids.alias("a")
-    b = ids.alias("b")
-    pairs = a.join(
-        b,
-        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")).persist()
-    return verify_jaccard(pairs, sh, threshold)
+    post = sh.join(docs.select("doc_id", block_col), "doc_id")
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _jaccard_finish(inter, sizes, threshold)
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:

@@ -154,7 +154,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard (block = source)."""
+    """Blocked exact n-gram Jaccard (block = source), candidates from a
+    shared-shingle inverted index — no all-pairs join within a block
+    (plan-asserted in tests/test_plans.py)."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -198,3 +198,17 @@ def test_dense_grid_cross_join_is_dimension_sized(spark):
     not the raw fact table."""
     p = plan(build(spark, "q_dense_grid_zerofill"))
     assert "HashAggregate" in p
+
+
+def test_ngram_jaccard_has_no_allpairs_block_join(spark):
+    """Candidate generation must come from the shared-shingle inverted
+    index: every equi-join that touches doc pairs keys on `shingle`;
+    no join keys on the blocking column alone (which would be an
+    all-pairs join within the block)."""
+    p = plan(build(spark, "q_dedup_ngram_jaccard"))
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            keys = ln.split("Join")[1]
+            if "source" in keys:
+                assert "shingle" in keys, f"block-only join key: {ln}"
