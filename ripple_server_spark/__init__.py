@@ -31,6 +31,7 @@ from ripple_server_spark.session import get_spark
 from ripple_server_spark.catalog import TABLES, load_table, register_views
 from ripple_server_spark.sources.topics import TopicStore
 from ripple_server_spark.sources.rollup import HourlyRollup
+from ripple_server_spark.operators.dedup import IncrementalSetSimJoin
 
 __all__ = [
     "get_spark",
@@ -39,5 +40,6 @@ __all__ = [
     "register_views",
     "TopicStore",
     "HourlyRollup",
+    "IncrementalSetSimJoin",
 ]
 __version__ = "0.1.0"

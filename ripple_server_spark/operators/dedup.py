@@ -374,57 +374,109 @@ def setsim_join_prefix(
     return verify_jaccard(cand, sh, threshold)
 
 
-def setsim_join_prefix_incremental(
-    corpus: DataFrame | None,
-    chunk: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-) -> DataFrame:
-    """One epoch of a STREAMING set-similarity join (cf. "Distributed
-    Streaming Set Similarity Join", ICDE 2020, PAPERS.md): verify only
-    pairs that touch the newly-arrived ``chunk`` — (new x old) and
-    (new x new) — never re-verifying old-x-old.
+class IncrementalSetSimJoin:
+    """Stateful STREAMING exact set-similarity join (cf. "Distributed
+    Streaming Set Similarity Join", ICDE 2020, PAPERS.md): each epoch
+    verifies only pairs that touch the newly-arrived chunk — (new x
+    old) and (new x new) — never re-verifying old-x-old, and never
+    re-processing old documents.
 
-    Prefixes are computed against the df of the full corpus-so-far
-    (corpus ∪ chunk): the prefix-filter completeness theorem holds for
-    ANY single consistent global token order per epoch, so each pair is
-    guaranteed to surface in the epoch its later member arrives.
-    Per-epoch cost: df refresh (one agg over shingles — incremental df
-    maintenance is the obvious optimization at scale) + a candidate
-    join whose probe side is only the chunk's prefixes.
+    Epoch cost is O(chunk), not O(corpus): state is three checkpointed
+    DataFrames —
+
+    - ``sh``   (doc_id, shingle): corpus shingle table, grown by union;
+    - ``pref`` (doc_id, shingle): prefix index, grown by union;
+    - ``df``   (shingle, df): document frequency, maintained ADDITIVELY
+      (old df + chunk delta — one agg over the chunk's vocabulary plus
+      a vocab-sized merge, not a recount over corpus shingles).
+
+    Token order for prefixes is FROZEN at (md5(shingle), shingle):
+    consistent across all epochs, so a document's prefix is computed
+    exactly once, at arrival. Prefix-filter completeness holds for any
+    single consistent total order — the df-ascending order of the batch
+    form (:func:`setsim_join_prefix`) is only a candidate-scarcity
+    optimization, never a correctness requirement, so both forms emit
+    the identical exact pair set. The accumulated ``df`` state is what
+    an offline order-refresh (periodic prefix rebuild under the current
+    df order, Kafka-compaction-style) would consume.
+
+    ``localCheckpoint`` after each epoch truncates lineage: the next
+    epoch's plan physically cannot re-tokenize old text (plan-asserted
+    in tests), and state stays spill-safe.
 
     Driven from ``foreachBatch`` this is the streaming dedup gate: new
     documents check into the corpus and emit their near-dup pairs
     before admission.
     """
-    all_docs = chunk if corpus is None else corpus.unionByName(chunk)
-    sh = shingle_sets(all_docs).persist()
-    new_ids = chunk.select("doc_id")
-    df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-    w_size = Window.partitionBy("doc_id")
-    pref = (
-        sh.join(df_freq, on="shingle")
-        .withColumn("r", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_size))
-        .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc_id", "shingle")
-    ).persist()
-    pref_new = pref.join(F.broadcast(new_ids), on="doc_id", how="left_semi")
-    a = pref_new.alias("a")
-    b = pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+
+    def __init__(self, threshold: float = JACCARD_THRESHOLD):
+        self.threshold = threshold
+        self.sh: DataFrame | None = None
+        self.pref: DataFrame | None = None
+        self.df: DataFrame | None = None
+
+    def _prefix_of(self, sh_c: DataFrame) -> DataFrame:
+        w_rank = Window.partitionBy("doc_id").orderBy(
+            F.asc(F.md5("shingle")), F.asc("shingle")
         )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        w_size = Window.partitionBy("doc_id")
+        t = self.threshold
+        return (
+            sh_c.withColumn("r", F.row_number().over(w_rank))
+            .withColumn("n", F.count("*").over(w_size))
+            .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+            .select("doc_id", "shingle")
         )
-        .distinct()
-    )
-    # Every candidate touches the chunk by construction (probe side is
-    # chunk prefixes), so no old-x-old pair can appear and no pair can
-    # repeat across epochs (a pair's epoch = its later member's).
-    return verify_jaccard(cand, sh, threshold)
+
+    def observe(self, chunk: DataFrame) -> DataFrame:
+        """Ingest one chunk; return the NEW qualifying pairs (those with
+        at least one member in the chunk). Union of epoch outputs over
+        any chunking == the batch join's full pair set."""
+        sh_c = shingle_sets(chunk).localCheckpoint()
+        pref_c = self._prefix_of(sh_c).localCheckpoint()
+        df_c = sh_c.groupBy("shingle").agg(F.count("*").alias("df"))
+
+        sh_all = sh_c if self.sh is None else self.sh.unionByName(sh_c)
+        pref_all = pref_c if self.pref is None else self.pref.unionByName(pref_c)
+        a = pref_c.alias("a")
+        b = pref_all.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        # Every candidate touches the chunk by construction (probe side
+        # is chunk prefixes), so no old-x-old pair can appear and no
+        # pair repeats across epochs (a pair's epoch = later member's).
+        pairs = verify_jaccard(cand, sh_all, self.threshold)
+
+        self.sh = sh_all.localCheckpoint()
+        self.pref = pref_all.localCheckpoint()
+        merged = df_c if self.df is None else (
+            self.df.unionByName(df_c)
+            .groupBy("shingle")
+            .agg(F.sum("df").alias("df"))
+        )
+        self.df = merged.localCheckpoint()
+        return pairs
+
+
+def setsim_join_prefix_incremental(
+    corpus: DataFrame | None,
+    chunk: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """One epoch of :class:`IncrementalSetSimJoin` from cold state
+    (compat shim for callers without a live state object: the corpus is
+    replayed as a first epoch, then the chunk is observed)."""
+    inc = IncrementalSetSimJoin(threshold)
+    if corpus is not None:
+        inc.observe(corpus)
+    return inc.observe(chunk)

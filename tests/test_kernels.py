@@ -167,12 +167,14 @@ def test_connected_components_chain_and_clique(spark):
 
 def test_streaming_setsim_epochs_match_batch(spark, sf_dir):
     """Union of per-epoch incremental set-sim joins == the one-shot
-    batch join: no pair missed (prefix completeness holds per epoch),
-    no pair duplicated (each pair surfaces in its later member's
-    epoch)."""
+    batch join: no pair missed (prefix completeness holds under the
+    frozen token order), no pair duplicated (each pair surfaces in its
+    later member's epoch). Also asserts the O(chunk) epoch contract:
+    the emitted plan reads only checkpointed state + the chunk — old
+    text is never re-tokenized, old parquet never re-scanned."""
     from ripple_server_spark.operators.dedup import (
+        IncrementalSetSimJoin,
         setsim_join_prefix,
-        setsim_join_prefix_incremental,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
@@ -181,16 +183,45 @@ def test_streaming_setsim_epochs_match_batch(spark, sf_dir):
         for r in setsim_join_prefix(docs, 0.5).collect()
     }
 
+    inc = IncrementalSetSimJoin(0.5)
     got = {}
-    corpus = None
+    last = None
     for lo, hi in ((0, 60), (60, 120), (120, 180)):
         chunk = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        for r in setsim_join_prefix_incremental(corpus, chunk, 0.5).collect():
+        last = inc.observe(chunk)
+        for r in last.collect():
             key = (r["doc_a"], r["doc_b"])
             assert key not in got, f"pair {key} emitted twice"
             got[key] = r["jaccard"]
-        corpus = chunk if corpus is None else corpus.unionByName(chunk)
     assert got == truth
+
+    # Plan/IO assertion for the final epoch: lineage was truncated at
+    # every state checkpoint, so no Python tokenization kernel and no
+    # document-parquet scan can appear in the epoch plan.
+    jvm = spark._jvm
+    p = jvm.PythonSQLUtils.explainString(last._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in p, "epoch plan re-tokenizes text"
+    assert "parquet" not in p.lower(), "epoch plan re-scans source files"
+
+
+def test_incremental_setsim_df_state_is_additive(spark, sf_dir):
+    """Accumulated df state after N epochs equals the batch df of the
+    whole corpus (the order-refresh input stays exact)."""
+    from ripple_server_spark.operators.dedup import (
+        IncrementalSetSimJoin,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    inc = IncrementalSetSimJoin(0.5)
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        inc.observe(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+    got = {r["shingle"]: r["df"] for r in inc.df.collect()}
+    want = {
+        r["shingle"]: r["df"]
+        for r in shingle_sets(docs).groupBy("shingle").agg(F.count("*").alias("df")).collect()
+    }
+    assert got == want
 
 
 def test_cosine_topk_arrow_matches_pandas(spark, sf_dir):
