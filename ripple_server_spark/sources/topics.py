@@ -43,27 +43,53 @@ from ripple_server_spark.operators.relational import bucket_of
 
 
 class TopicStore:
-    """Filesystem-backed topic registry (the ZooKeeper analog).
+    """Filesystem-backed topic registry (the ZooKeeper analog) with a
+    MANIFEST LOG as the commit protocol.
 
     Layout::
 
         root/
-          topics/<topic>/_meta.json          # n_buckets, created flag
-          topics/<topic>/data/bucket=<n>/    # parquet event log
+          topics/<topic>/_log/<version>.json   # manifest log (source of truth)
+          topics/<topic>/data/bucket=<n>/      # parquet event log (append-only)
           offsets/<consumer_id>--<topic>.json  # committed per-bucket offsets
+
+    Commit protocol (Delta-/Iceberg-style, sized for a filesystem):
+    every mutation (produce / compact / truncate) stages its parquet
+    files under unique names, then writes manifest version v+1 with
+    ``O_CREAT|O_EXCL`` — the atomic rename-free commit point. A
+    manifest is a FULL snapshot: the live file list plus the state that
+    must commit atomically with it (``applied_batches`` for idempotent
+    produce, per-bucket ``maxima``/``floors`` so cold opens never scan
+    the log). Consequences:
+
+    - **exactly-once produce**: a crash between the data write and the
+      commit leaves orphan files that no manifest references — invisible
+      to readers, reclaimed by :meth:`vacuum`; a replayed batch_id is a
+      no-op because the id committed with the files or not at all.
+    - **snapshot-consistent reads**: batch readers resolve the latest
+      manifest and read exactly its files; compaction commits a new
+      file set without touching the old one, so in-flight readers never
+      hit FileNotFound (old files are deleted only by vacuum).
+    - **writer-conflict detection**: O_EXCL on v+1 makes a lost-update
+      race a visible failure; the losing writer rebases (re-applies its
+      file edits to the new base) and retries — optimistic concurrency
+      instead of silent corruption. Per-bucket seq assignment still
+      assumes one producer per topic (the reference's model).
+
+    The directory-tailing streaming source (``streaming/api.py
+    stream_topic``) watches ``data/`` itself and is therefore
+    at-least-once with respect to crashed producers (it may see orphan
+    files); the batch/manifest path is the consistent one.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        # In-memory per-bucket max-seq, maintained by produce() exactly
-        # like the reference broker's in-memory queue length — offset
-        # math never re-scans the log while a store instance is live.
-        # (Single-writer-per-topic model, same as the reference.)
+        # Warm-path caches of the manifest's maxima/floors; produce()
+        # maintains them exactly like the reference broker's in-memory
+        # queue length, so offset math never re-reads the log while a
+        # store instance is live.
         self._maxima: dict[str, dict[int, int]] = {}
-        # Retained floor (earliest live seq) per bucket; 0 until a
-        # truncate() raises it. Cold path over an existing log scans
-        # min(seq) once (footer-stat territory, like the maxima).
         self._floors: dict[str, dict[int, int]] = {}
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "offsets"), exist_ok=True)
@@ -75,20 +101,119 @@ class TopicStore:
     def data_dir(self, topic: str) -> str:
         return os.path.join(self.topic_dir(topic), "data")
 
-    def _meta_path(self, topic: str) -> str:
-        return os.path.join(self.topic_dir(topic), "_meta.json")
+    def _log_dir(self, topic: str) -> str:
+        return os.path.join(self.topic_dir(topic), "_log")
 
     def _offsets_path(self, consumer_id: str, topic: str) -> str:
         return os.path.join(self.root, "offsets", f"{consumer_id}--{topic}.json")
 
+    # -- manifest log ------------------------------------------------------
+    def _manifest_path(self, topic: str, version: int) -> str:
+        return os.path.join(self._log_dir(topic), f"{version:020d}.json")
+
+    def latest_manifest(self, topic: str) -> tuple[int, dict]:
+        """(version, manifest) of the newest committed manifest."""
+        log = self._log_dir(topic)
+        names = [n for n in os.listdir(log) if n.endswith(".json")]
+        if not names:
+            raise FileNotFoundError(f"topic {topic!r} has no manifest")
+        v = max(int(n[:-5]) for n in names)
+        with open(self._manifest_path(topic, v)) as f:
+            return v, json.load(f)
+
+    def _commit(self, topic: str, base_version: int, apply, retries: int = 20) -> dict:
+        """Optimistic-concurrency commit: ``apply(manifest) -> manifest``
+        transforms the base snapshot; O_EXCL on version+1 is the atomic
+        commit point. On collision the edit is re-applied to the newer
+        base and retried (apply must be a self-contained rebase: add
+        these files / drop those files / swap this subset)."""
+        v = base_version
+        for _ in range(retries):
+            with open(self._manifest_path(topic, v)) as f:
+                base = json.load(f)
+            new = apply(dict(base))
+            new["version"] = v + 1
+            path = self._manifest_path(topic, v + 1)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                v, _m = self.latest_manifest(topic)
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(new, f)
+            return new
+        raise RuntimeError(f"manifest commit contention on topic {topic!r}")
+
+    def _move_staged(self, topic: str, staging: str) -> list[str]:
+        """Move staged parquet out of a Spark output dir into the live
+        bucket dirs under collision-free names. The files are INVISIBLE
+        until a manifest referencing them commits."""
+        import shutil
+        import uuid
+
+        data = self.data_dir(topic)
+        tag = uuid.uuid4().hex[:12]
+        rel: list[str] = []
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("bucket="):
+                continue
+            os.makedirs(os.path.join(data, bdir), exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(staging, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                unique = f"{tag}-{fn}"
+                os.rename(
+                    os.path.join(staging, bdir, fn),
+                    os.path.join(data, bdir, unique),
+                )
+                rel.append(f"{bdir}/{unique}")
+        shutil.rmtree(staging, ignore_errors=True)
+        return rel
+
+    def _live_files(self, topic: str) -> list[str]:
+        return self.latest_manifest(topic)[1]["files"]
+
+    def vacuum(self, topic: str) -> int:
+        """Delete data files no manifest-latest references (compacted-
+        away segments, truncated segments, crashed-produce orphans) and
+        all but the newest manifest. Run with no readers mid-snapshot
+        (or after a grace period at scale). Returns files removed."""
+        v, m = self.latest_manifest(topic)
+        live = set(m["files"])
+        data = self.data_dir(topic)
+        removed = 0
+        for bdir in sorted(os.listdir(data)):
+            if not bdir.startswith("bucket="):
+                continue
+            for fn in sorted(os.listdir(os.path.join(data, bdir))):
+                if fn.endswith(".parquet") and f"{bdir}/{fn}" not in live:
+                    os.remove(os.path.join(data, bdir, fn))
+                    removed += 1
+        for n in os.listdir(self._log_dir(topic)):
+            if n.endswith(".json") and int(n[:-5]) < v:
+                os.remove(os.path.join(self._log_dir(topic), n))
+        return removed
+
     # -- DDL (CreateBucket analog) ----------------------------------------
     def create_topic(self, topic: str, n_buckets: int = N_BUCKETS) -> None:
         os.makedirs(self.data_dir(topic), exist_ok=True)
-        self._write_json(self._meta_path(topic), {"topic": topic, "n_buckets": n_buckets})
+        os.makedirs(self._log_dir(topic), exist_ok=True)
+        if not os.listdir(self._log_dir(topic)):
+            self._write_json(
+                self._manifest_path(topic, 1),
+                {
+                    "version": 1,
+                    "topic": topic,
+                    "n_buckets": n_buckets,
+                    "files": [],
+                    "applied_batches": [],
+                    "maxima": {},
+                    "floors": {},
+                },
+            )
 
     def topic_meta(self, topic: str) -> dict:
-        with open(self._meta_path(topic)) as f:
-            return json.load(f)
+        return self.latest_manifest(topic)[1]
 
     def list_topics(self) -> list[str]:
         return sorted(os.listdir(os.path.join(self.root, "topics")))
@@ -107,19 +232,18 @@ class TopicStore:
         the arrival order analog. Returns number of rows appended.
 
         ``batch_id`` makes the append IDEMPOTENT: a replayed produce
-        with an already-applied id is a no-op (returns 0). This is the
-        engine's exactly-once producer story — the reference fires,
-        forgets, and hopes acks arrive (`internal/broker/ack/ack.go`,
-        client-ack disabled at ack.go:36); here replay safety is a
-        recorded batch id, the same mechanism foreachBatch sinks use.
-        Applied ids live in topic meta (bounded: last 1000).
+        with an already-applied id is a no-op (returns 0). Replay
+        safety is transactional, not best-effort: the data files and
+        the applied-batch id become visible in the SAME manifest
+        commit, so a crash anywhere before the commit leaves only
+        orphan files no reader sees (vacuum reclaims them) and the
+        retry re-appends cleanly. Applied ids are bounded (last 1000).
         """
-        meta = self.topic_meta(topic)
+        base_v, meta = self.latest_manifest(topic)
         if batch_id is not None:
             if batch_id in meta.get("applied_batches", []):
                 return 0
         n_buckets = meta["n_buckets"]
-        data = self.data_dir(topic)
 
         existing = self._bucket_maxima(topic)
         routed = df.withColumn("bucket", bucket_of(F.col(key_col), n_buckets))
@@ -138,42 +262,46 @@ class TopicStore:
         # Total + per-bucket counts observed DURING the write (metrics
         # piggyback on the one action) — no persist, no second pass over
         # the batch, and the maxima cache updates for free.
+        import uuid
+
+        staging = os.path.join(self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}")
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("n")] + [
             F.count(F.when(F.col("bucket") == b, 1)).alias(f"c{b}")
             for b in range(n_buckets)
         ]
-        routed.observe(obs, *metrics).write.mode("append").partitionBy(
+        routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(data)
+        ).parquet(staging)
         got = obs.get
-        self._maxima[topic] = {
+        new_files = self._move_staged(topic, staging)
+        maxima = {
             b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
         }
-        if batch_id is not None:
-            applied = meta.get("applied_batches", [])
-            meta["applied_batches"] = (applied + [batch_id])[-1000:]
-            self._write_json(self._meta_path(topic), meta)
+
+        def apply(m: dict) -> dict:
+            m["files"] = list(m["files"]) + new_files
+            m["maxima"] = {str(b): x for b, x in maxima.items()}
+            if batch_id is not None:
+                m["applied_batches"] = (
+                    list(m.get("applied_batches", [])) + [batch_id]
+                )[-1000:]
+            return m
+
+        self._commit(topic, base_v, apply)
+        self._maxima[topic] = maxima
         return int(got["n"])
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:
-        """Current max seq per bucket. Served from the in-memory cache
-        when this store instance has produced before; the cold path
-        (fresh instance over an existing log) is one column-pruned scan
-        of `seq` — at scale, footer-stat territory / a metadata table."""
+        """Current max seq per bucket: warm from the in-memory cache,
+        cold from the manifest — never a log scan (the manifest is the
+        metadata table)."""
         cached = self._maxima.get(topic)
         if cached is not None:
             return cached
-        data = self.data_dir(topic)
-        if not any(e.startswith("bucket=") for e in os.listdir(data)):
-            return {}
-        rows = (
-            self.spark.read.parquet(data)
-            .groupBy("bucket")
-            .agg(F.max("seq").alias("m"))
-            .collect()
-        )
-        maxima = {r["bucket"]: r["m"] for r in rows}
+        maxima = {
+            int(b): x for b, x in self.latest_manifest(topic)[1]["maxima"].items()
+        }
         self._maxima[topic] = maxima
         return maxima
 
@@ -181,24 +309,32 @@ class TopicStore:
         cached = self._floors.get(topic)
         if cached is not None:
             return cached
-        data = self.data_dir(topic)
-        if not any(e.startswith("bucket=") for e in os.listdir(data)):
-            return {}
-        rows = (
-            self.spark.read.parquet(data)
-            .groupBy("bucket")
-            .agg(F.min("seq").alias("m"))
-            .collect()
-        )
-        floors = {r["bucket"]: r["m"] for r in rows}
+        floors = {
+            int(b): x for b, x in self.latest_manifest(topic)[1]["floors"].items()
+        }
         self._floors[topic] = floors
         return floors
 
-    def read_topic(self, topic: str) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir(topic))
+    def read_topic(self, topic: str, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the files of the latest (or a pinned)
+        manifest version — concurrent compaction/retention cannot pull
+        files out from under the scan. ``basePath`` keeps ``bucket``
+        a partition column, so bucket pruning works as before."""
+        data = self.data_dir(topic)
+        if version is None:
+            _v, m = self.latest_manifest(topic)
+        else:
+            with open(self._manifest_path(topic, version)) as f:
+                m = json.load(f)
+        if not m["files"]:
+            # schema-less empty topic: surface the same error a
+            # directory read of an empty log would
+            return self.spark.read.parquet(data)
+        paths = [os.path.join(data, rel) for rel in m["files"]]
+        return self.spark.read.option("basePath", data).parquet(*paths)
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, topic: str) -> None:
+    def compact(self, topic: str, base_version: int | None = None) -> None:
         """Rewrite the topic log so each bucket holds one seq-sorted
         file. Micro-batch appends accumulate small files (one per
         produce per bucket); at scale that degrades scans (file-open
@@ -206,27 +342,43 @@ class TopicStore:
         standard log-store maintenance op (Kafka log segments / Delta
         OPTIMIZE analog): repartition on bucket (each bucket → exactly
         one task), sort by seq inside (range consumes then prune whole
-        row groups), write beside the live dir, atomic swap. Readers
-        see old-or-new, never a mix; seq/content are untouched so
-        consumer offsets stay valid.
+        row groups), stage beside the live files, then COMMIT a
+        manifest that swaps exactly the input file set for the compacted
+        one. Readers pinned to any manifest version see a complete
+        old-or-new snapshot (never a mix, never FileNotFound — old
+        files persist until vacuum); a produce that lands mid-compact
+        is preserved by the rebase (its files are not in the compacted
+        input set, so the swap keeps them). Seq/content are untouched,
+        so consumer offsets stay valid.
         """
-        data = self.data_dir(topic)
+        import uuid
+
         n_buckets = self.topic_meta(topic)["n_buckets"]
-        tmp = data + ".compacting"
-        old = data + ".old"
+        if base_version is None:
+            base_v, base = self.latest_manifest(topic)
+        else:
+            base_v = base_version
+            with open(self._manifest_path(topic, base_v)) as f:
+                base = json.load(f)
+        compacted_input = set(base["files"])
+        staging = os.path.join(self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}")
         (
-            self.read_topic(topic)
+            self.read_topic(topic, version=base_v)
             .repartition(n_buckets, F.col("bucket"))
             .sortWithinPartitions("seq")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(tmp)
+            .parquet(staging)
         )
-        os.rename(data, old)
-        os.rename(tmp, data)
-        import shutil
+        new_files = self._move_staged(topic, staging)
 
-        shutil.rmtree(old)
+        def apply(m: dict) -> dict:
+            # keep files committed concurrently (not part of our input)
+            kept = [f for f in m["files"] if f not in compacted_input]
+            m["files"] = new_files + kept
+            return m
+
+        self._commit(topic, base_v, apply)
 
     def truncate(self, topic: str, before_seq: int) -> int:
         """Retention: drop log FILES wholly below ``before_seq`` in every
@@ -234,37 +386,51 @@ class TopicStore:
         queue just grows until OOM, `pkg/utils/collection/
         concurrent_list.go`; a durable log needs an age-out).
 
-        File-granularity by design: a file is deleted only when its max
+        File-granularity by design: a file ages out only when its max
         seq < before_seq (parquet footer stats — no data is read or
         rewritten), so the retained floor is <= before_seq and reads
         stay consistent: a consumer whose offset predates retention
         simply resumes at the retained floor, the same contract as
-        Kafka's earliest-offset reset. Compact first for tight floors
+        Kafka's earliest-offset reset. The drop is a manifest commit
+        (with per-bucket floors recomputed from the surviving files'
+        min-seq stats); physical deletion is vacuum's job, so pinned
+        snapshot readers are unaffected. Compact first for tight floors
         (one file per bucket => exact truncation). Returns files
-        removed."""
+        dropped."""
         import pyarrow.parquet as pq
 
         data = self.data_dir(topic)
-        removed = 0
-        for bdir in sorted(os.listdir(data)):
-            if not bdir.startswith("bucket="):
-                continue
-            bpath = os.path.join(data, bdir)
-            for fn in sorted(os.listdir(bpath)):
-                if not fn.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(bpath, fn)
-                md = pq.read_metadata(fpath)
-                idx = md.schema.to_arrow_schema().get_field_index("seq")
-                mx = max(
-                    md.row_group(i).column(idx).statistics.max
-                    for i in range(md.num_row_groups)
-                )
-                if mx < before_seq:
-                    os.remove(fpath)
-                    removed += 1
+        base_v, base = self.latest_manifest(topic)
+        drop: set[str] = set()
+        floors: dict[str, int] = {}
+        dropped_end: dict[str, int] = {}  # max seq aged out per bucket
+        for rel in base["files"]:
+            bdir = rel.split("/", 1)[0]
+            b = bdir.split("=", 1)[1]
+            md = pq.read_metadata(os.path.join(data, rel))
+            idx = md.schema.to_arrow_schema().get_field_index("seq")
+            stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            mx = max(s.max for s in stats)
+            mn = min(s.min for s in stats)
+            if mx < before_seq:
+                drop.add(rel)
+                dropped_end[b] = max(dropped_end.get(b, -1), mx)
+            else:
+                floors[b] = min(floors.get(b, mn), mn)
+        for b, end in dropped_end.items():
+            # bucket fully aged out: the floor is one past the last
+            # dropped seq, so consume() delivers nothing rather than
+            # claiming rows that no longer exist
+            floors.setdefault(b, end + 1)
+
+        def apply(m: dict) -> dict:
+            m["files"] = [f for f in m["files"] if f not in drop]
+            m["floors"] = floors
+            return m
+
+        self._commit(topic, base_v, apply)
         self._floors.pop(topic, None)
-        return removed
+        return len(drop)
 
     # -- consume (A6-A8) ---------------------------------------------------
     def register_consumer(self, consumer_id: str, topic: str) -> None:

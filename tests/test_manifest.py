@@ -1,0 +1,131 @@
+"""Manifest-log commit protocol: snapshot isolation, crash-orphan
+invisibility, writer-conflict rebase, vacuum reclamation.
+
+The scenarios mirror what S3-style storage breaks about rename-based
+logs: a reader holding a snapshot while a compactor commits, a producer
+crashing between its data write and its commit, and two maintenance
+ops racing for the same manifest version.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.topics import TopicStore
+
+
+def _mk(spark, sf_dir, tmp_path, topic="m1", n=300, buckets=4):
+    store = TopicStore(spark, str(tmp_path / "store"))
+    store.create_topic(topic, n_buckets=buckets)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < n)
+    store.produce(ev, topic)
+    return store, ev
+
+
+def test_crash_orphan_files_are_invisible_and_vacuumed(spark, sf_dir, tmp_path):
+    """Files in the data dir that no manifest references (a produce that
+    crashed before its commit) are invisible to readers and reclaimed
+    by vacuum — the exactly-once crash-window fix."""
+    store, ev = _mk(spark, sf_dir, tmp_path)
+    n_live = store.read_topic("m1").count()
+
+    # simulate a crashed produce: parquet lands, commit never happens
+    bdir = os.path.join(store.data_dir("m1"), "bucket=0")
+    orphan = os.path.join(bdir, "deadbeef-orphan.parquet")
+    src = glob.glob(os.path.join(bdir, "*.parquet"))[0]
+    import shutil
+
+    shutil.copy(src, orphan)
+
+    assert store.read_topic("m1").count() == n_live  # orphan not read
+    removed = store.vacuum("m1")
+    assert removed >= 1
+    assert not os.path.exists(orphan)
+    assert store.read_topic("m1").count() == n_live
+
+
+def test_produce_commits_batch_id_atomically_with_files(spark, sf_dir, tmp_path):
+    """applied_batches lives IN the manifest: the data files and the
+    idempotency record become visible in one commit."""
+    store, ev = _mk(spark, sf_dir, tmp_path)
+    v0, m0 = store.latest_manifest("m1")
+    store.produce(ev.limit(50), "m1", batch_id="bx")
+    v1, m1 = store.latest_manifest("m1")
+    assert v1 == v0 + 1
+    assert "bx" in m1["applied_batches"] and "bx" not in m0["applied_batches"]
+    assert len(m1["files"]) > len(m0["files"])
+
+
+def test_interleaved_produce_compact_consume(spark, sf_dir, tmp_path):
+    """A produce that lands between a compactor's snapshot read and its
+    commit survives the compaction commit (rebase keeps files that were
+    not part of the compacted input), and consumers see every row."""
+    store, ev = _mk(spark, sf_dir, tmp_path, n=200)
+
+    # compactor reads its input snapshot...
+    base_v, base = store.latest_manifest("m1")
+
+    # ...a concurrent produce commits mid-compact...
+    late = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 260)
+    )
+    store.produce(late, "m1")
+    total = store.read_topic("m1").count()
+
+    # ...then the compactor commits FROM ITS OLD SNAPSHOT; the commit
+    # collides with the produce's manifest version and rebases, keeping
+    # the late files it never compacted
+    store.compact("m1", base_version=base_v)
+
+    after = store.read_topic("m1")
+    assert after.count() == total
+    # per-bucket seq chain still contiguous from 0
+    chk = after.groupBy("bucket").agg(
+        F.min("seq").alias("lo"),
+        F.max("seq").alias("hi"),
+        F.count("*").alias("n"),
+        F.countDistinct("seq").alias("d"),
+    )
+    for r in chk.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["d"] == r["n"]
+
+
+def test_truncate_is_a_manifest_commit_not_a_delete(spark, sf_dir, tmp_path):
+    """Retention drops files from the manifest; a pinned pre-truncate
+    snapshot still reads them until vacuum."""
+    store, ev = _mk(spark, sf_dir, tmp_path)
+    store.compact("m1")
+    v_pre, _ = store.latest_manifest("m1")
+    full = store.read_topic("m1").count()
+
+    maxima = store._bucket_maxima("m1")
+    cutoff = min(maxima.values()) + 1
+    dropped = store.truncate("m1", before_seq=cutoff)
+    assert dropped >= 1
+
+    # live view shrank; pinned snapshot did not
+    assert store.read_topic("m1").count() < full
+    assert store.read_topic("m1", version=v_pre).count() == full
+
+    store.vacuum("m1")
+    assert store.read_topic("m1").count() < full
+
+
+def test_cold_store_instance_never_scans_for_maxima(spark, sf_dir, tmp_path):
+    """A fresh TopicStore over an existing log serves maxima/floors from
+    the manifest (metadata-only cold start — no Spark job over the
+    log)."""
+    store, ev = _mk(spark, sf_dir, tmp_path)
+    warm = store._bucket_maxima("m1")
+
+    cold = TopicStore(spark, str(tmp_path / "store"))
+    tracker = spark.sparkContext.statusTracker()
+    before_jobs = tracker.getJobIdsForGroup(None)
+    got = cold._bucket_maxima("m1")
+    after_jobs = tracker.getJobIdsForGroup(None)
+    assert got == warm
+    assert len(after_jobs) == len(before_jobs), "cold maxima launched a Spark job"

@@ -128,8 +128,21 @@ def test_compact_shrinks_files_and_preserves_log(spark, sf_dir, tmp_path):
     }
     n_files_before = len(glob.glob(str(tmp_path / "t/topics/c1/data/bucket=*/*.parquet")))
 
+    # pin a pre-compaction snapshot: it must stay readable mid-compact
+    v_before, _m = store.latest_manifest("c1")
+
     store.compact("c1")
 
+    # old files persist until vacuum — the pinned snapshot still reads
+    snap = {
+        (r["bucket"], r["seq"], r["event_id"])
+        for r in store.read_topic("c1", version=v_before)
+        .select("bucket", "seq", "event_id")
+        .collect()
+    }
+    assert snap == log_before
+
+    store.vacuum("c1")
     n_files_after = len(glob.glob(str(tmp_path / "t/topics/c1/data/bucket=*/*.parquet")))
     assert n_files_after < n_files_before
     assert n_files_after <= 4  # one per bucket
