@@ -46,3 +46,16 @@ def default_sf_dir() -> str:
 
 def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Broadcast-side caps (fail-fast guards, not tuning knobs): the exact
+# top-k kernels collect the QUERY set to the driver and broadcast it to
+# every corpus task — correct only while the query set is small. A
+# miswired caller (corpus passed as queries) must fail loudly, not
+# silently collect 100 TB to the driver.
+MAX_BROADCAST_QUERIES = 100_000
+
+# Connected components: ceiling on the EDGE BYTES the two-tier solver
+# may collect for the driver-local union-find tier (edges are two int64
+# ids ≈ 16 bytes + object overhead); bigger edge sets take the
+# distributed propagation tier.
+CC_MAX_LOCAL_EDGE_BYTES = 64 << 20  # 64 MiB ≈ 4M edges

@@ -28,13 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ripple_server_spark.config import CC_MAX_LOCAL_EDGE_BYTES
+
+# Driver-side cost model for the local tier: an edge row is two int64
+# ids; 16 payload bytes plus collection overhead.
+_EDGE_BYTES = 16
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    max_local_edges: int = 1_000_000,
+    max_local_edge_bytes: int = CC_MAX_LOCAL_EDGE_BYTES,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id reachable from it: ``(id, comp)``.
@@ -45,19 +51,20 @@ def connected_components(
 
     TWO-TIER execution: the edge set of a near-dup graph is orders of
     magnitude smaller than the corpus that produced it, so when it fits
-    comfortably on the driver (<= ``max_local_edges``) we collect and
-    run union-find locally — one job, zero iterative shuffles. Only a
+    comfortably on the driver (edge BYTES <= ``max_local_edge_bytes``,
+    default config.CC_MAX_LOCAL_EDGE_BYTES) we collect and run
+    union-find locally — one job, zero iterative shuffles. Only a
     genuinely large edge set takes the distributed min-label-propagation
     loop. (Same hybrid strategy as GraphFrames/GraphX aggregation
-    fallbacks; the threshold is edges, not vertices, so 1M edges ≈ tens
-    of MB on the driver.)
+    fallbacks; the budget is bytes, not a row count, so the driver-
+    memory exposure is explicit and configurable.)
     """
     # Persist before the tier-choosing count: without it the (possibly
     # expensive) edge-producing pipeline would run twice — once for
     # count(), once for the collect()/loop that follows.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     n_edges = e.count()
-    if n_edges <= max_local_edges:
+    if n_edges * _EDGE_BYTES <= max_local_edge_bytes:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -25,6 +25,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ripple_server_spark.config import MAX_BROADCAST_QUERIES
+
+
+def _collect_query_rows(queries: DataFrame, max_rows: int = MAX_BROADCAST_QUERIES):
+    """Collect the broadcast-side query set with a fail-fast size guard:
+    the collect is capped at max_rows+1 (never unbounded), and exceeding
+    the cap raises instead of silently pulling a corpus to the driver."""
+    rows = queries.select("q_id", "qe").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query set exceeds the broadcast cap ({max_rows} rows): "
+            "this kernel broadcasts queries to every corpus task — "
+            "pass the small side as queries, or raise "
+            "config.MAX_BROADCAST_QUERIES deliberately"
+        )
+    return rows
+
 
 def cosine_topk_scan(
     emb: DataFrame,
@@ -38,7 +55,7 @@ def cosine_topk_scan(
     ``margin`` extra candidates per batch guard the per-batch pre-prune
     against rounded-tie reordering in the final global rank.
     """
-    qrows = queries.select("q_id", "qe").collect()  # query set is small by contract
+    qrows = _collect_query_rows(queries)
     qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
@@ -128,7 +145,7 @@ def ivf_topk(
     IVF-Flat search shape (FAISS-style) expressed as mapInPandas.
     """
     cent = train_centroids(emb, nlist)
-    qrows = queries.select("q_id", "qe").collect()
+    qrows = _collect_query_rows(queries)
     qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
@@ -201,7 +218,7 @@ def cosine_topk_scan_arrow(
     """
     import pyarrow as pa
 
-    qrows = queries.select("q_id", "qe").collect()
+    qrows = _collect_query_rows(queries)
     qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)

@@ -239,3 +239,19 @@ def test_cosine_topk_arrow_matches_pandas(spark, sf_dir):
     a = {tuple(r) for r in cosine_topk_scan(emb, queries, k=3).collect()}
     b = {tuple(r) for r in cosine_topk_scan_arrow(emb, queries, k=3).collect()}
     assert a == b and len(a) > 0
+
+
+def test_similarity_query_broadcast_cap_fails_fast(spark, sf_dir):
+    """A miswired caller (corpus passed as the query side) must raise,
+    not silently collect the corpus to the driver."""
+    import pytest
+
+    from ripple_server_spark.operators.similarity import _collect_query_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    with pytest.raises(ValueError, match="broadcast cap"):
+        _collect_query_rows(q, max_rows=3)
+    # within the cap: rows come back intact (the limit+1 probe does not
+    # truncate legitimate query sets)
+    assert len(_collect_query_rows(q.limit(5))) == 5

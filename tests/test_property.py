@@ -146,7 +146,7 @@ def test_connected_components_matches_union_find(spark, edges):
     # distributed min-label-propagation tier (force with threshold 0)
     got_dist = {
         r["id"]: r["comp"]
-        for r in connected_components(df, max_local_edges=0).collect()
+        for r in connected_components(df, max_local_edge_bytes=0).collect()
     }
     assert got_dist == want
 
