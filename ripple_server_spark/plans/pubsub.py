@@ -245,3 +245,72 @@ def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
         F.length(F.col("payload")).cast("bigint").alias("payload_len"),
     )
+
+
+@query(
+    "q_fanout_replicas",
+    oracle="""
+    SELECT r.replica, count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || event_type),
+                                   1, 12))::BIGINT) AS content_hash
+    FROM events, (SELECT unnest([0, 1, 2]) AS replica) r
+    WHERE event_id < 1500
+    GROUP BY r.replica
+    """,
+    tags=("pubsub", "replication"),
+)
+def q_fanout_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication fan-out parity (A9-A11 semantic): write one batch to
+    N=3 replica paths — replaying one replica's write to prove
+    idempotence — then read every replica back and fingerprint its
+    content (row count + order-independent bit_xor of md5-derived row
+    hashes). The oracle states the invariant directly: every replica
+    carries exactly the source batch, byte-for-byte. This is the
+    observable contract of the reference's leader->follower gossip +
+    acks (internal/broker/producer/server/core.go:68-103,
+    internal/broker/ack/ack.go) with durability delegated to storage.
+
+    Scale: the fan-out itself is N sequential batch writes (at cluster
+    scale, N DistCp-style jobs or storage-level replication); the
+    parity check is one union + partial-aggregated groupBy per replica.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1500)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_fanout_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    for i in range(3):
+        ev.write.mode("overwrite").parquet(f"{root}/rep{i}/batch=0")
+    # replayed delivery of the same batch id: overwrite, not append
+    ev.write.mode("overwrite").parquet(f"{root}/rep0/batch=0")
+
+    reps = [
+        spark.read.parquet(f"{root}/rep{i}").withColumn("replica", F.lit(i))
+        for i in range(3)
+    ]
+    u = reps[0].unionByName(reps[1]).unionByName(reps[2])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return u.groupBy("replica").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat(cast(event_id as string), "
+            "':', event_type)), 1, 12), 16, 10) as bigint))"
+        ).alias("content_hash"),
+    )

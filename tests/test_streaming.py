@@ -111,7 +111,10 @@ def test_session_window_plan_builds(spark, store):
 
 
 def test_fanout_write_replicates(spark, store, tmp_path):
-    """Gossip fan-out analog: every replica path receives the batch."""
+    """Gossip fan-out analog: every replica path receives the batch,
+    and every replica is BYTE-equal (same full-row multiset, not just
+    the same count) — the N-copy-write equivalence of the reference's
+    leader->follower replication."""
     replicas = [str(tmp_path / f"rep{i}") for i in range(3)]
     q = api.fanout_write(
         api.stream_topic(store, "s1"), replicas, str(tmp_path / "ckpt_fan")
@@ -119,8 +122,13 @@ def test_fanout_write_replicates(spark, store, tmp_path):
     q.processAllAvailable()
     q.stop()
     n = store.read_topic("s1").count()
+    contents = []
     for p in replicas:
-        assert spark.read.parquet(p).count() == n
+        df = spark.read.parquet(p).drop("batch")
+        rows = sorted(tuple(r) for r in df.collect())
+        assert len(rows) == n
+        contents.append(rows)
+    assert contents[0] == contents[1] == contents[2]
 
 
 def test_interval_join_matches_batch(spark, store):
@@ -148,20 +156,40 @@ def test_interval_join_matches_batch(spark, store):
 
 
 def test_fanout_write_replay_is_idempotent(spark, store, tmp_path):
-    """Simulated foreachBatch replay (same batch id delivered twice)
-    must not duplicate replica rows."""
+    """TRUE crash-replay: delete the newest checkpoint commit marker
+    (crash between sink write and checkpoint commit) and restart — the
+    engine redelivers that batch id to foreachBatch, and the batch-id-
+    keyed overwrite must leave replica contents unchanged."""
+    import os
+
     from ripple_server_spark.streaming.api import fanout_write
 
     replicas = [str(tmp_path / f"irep{i}") for i in range(2)]
-    q = fanout_write(
-        api.stream_topic(store, "s1"), replicas, str(tmp_path / "ckpt_ifan")
-    )
+    ckpt = str(tmp_path / "ckpt_ifan")
+    q = fanout_write(api.stream_topic(store, "s1"), replicas, ckpt)
     q.processAllAvailable()
     q.stop()
     n = store.read_topic("s1").count()
-    # replay batch 0 by hand: same id, same data -> overwrite, not append
-    batch = store.read_topic("s1")
-    for p in replicas:
-        batch.drop("bucket").write.mode("overwrite").parquet(f"{p}/batch=0")
-    for p in replicas:
-        assert spark.read.parquet(p).count() == n
+    before = [
+        sorted(tuple(r) for r in spark.read.parquet(p).drop("batch").collect())
+        for p in replicas
+    ]
+    assert all(len(b) == n for b in before)
+
+    # simulate the crash window: newest commit marker never landed
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = fanout_write(api.stream_topic(store, "s1"), replicas, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    after = [
+        sorted(tuple(r) for r in spark.read.parquet(p).drop("batch").collect())
+        for p in replicas
+    ]
+    assert after == before, "replayed batch duplicated replica rows"
