@@ -618,7 +618,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS checksum
     FROM documents
     """,
-    tags=("multimodal",),
+    tags=("multimodal", "stub-codec"),
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload byte length + checksum.
@@ -641,7 +641,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k * 1000 AS BIGINT) AS ts_ms
     FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
     """,
-    tags=("multimodal", "udf", "arrow"),
+    tags=("multimodal", "udf", "arrow", "stub-codec"),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: each binary payload fans out to 4
@@ -664,7 +664,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 AS BIGINT) AS dim
     FROM documents
     """,
-    tags=("multimodal", "udf", "arrow", "vectors"),
+    tags=("multimodal", "udf", "arrow", "vectors", "stub-codec"),
 )
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature-extraction plumbing: payload -> dense embedding via

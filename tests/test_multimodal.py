@@ -61,3 +61,23 @@ def test_embed_feeds_similarity_surface(spark, sf_dir):
 
     norms = emb.select(l2_norm(F.col("embedding")).alias("n")).collect()
     assert all(r["n"] > 0 for r in norms)
+
+
+def test_every_codec_kernel_declares_its_stub_boundary():
+    """All four media kernels must raise NotImplementedError the moment
+    fake=False asks for a real codec — the documented boundary between
+    tested Arrow plumbing and the stubbed decode step."""
+    import pandas as pd
+
+    from ripple_server_spark import multimodal as mm
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"xx"]})
+    boundaries = [
+        mm.decode_batch(iter([pdf]), fake=False),
+        mm.resize_batch(8, 8, fake=False)(iter([pdf])),
+        mm.frame_sample_batch(2, fake=False)(iter([pdf])),
+        mm.embed_batch(4, fake=False)(iter([pdf])),
+    ]
+    for gen in boundaries:
+        with pytest.raises(NotImplementedError):
+            next(gen)
