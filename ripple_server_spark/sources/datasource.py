@@ -50,6 +50,12 @@ TOPIC_SCHEMA_DDL = (
     "value double, props string, seq long, bucket int"
 )
 
+# Tuple layout every reader yields (bucket appended from the partition).
+_SCHEMA_FIELD_ORDER = (
+    "event_id", "ts", "user_id", "event_type", "value", "props", "seq"
+)
+_SEQ_IDX = _SCHEMA_FIELD_ORDER.index("seq")
+
 
 class BucketPartition(InputPartition):
     def __init__(self, bucket_dir: str, bucket: int, offset: int, limit: int | None):
@@ -80,7 +86,6 @@ def _read_bucket(part: BucketPartition):
     tbl = tbl.sort_by("seq")
     if part.limit is not None:
         tbl = tbl.slice(0, part.limit)
-    cols = tbl.column_names
     utc = _dt.timezone.utc
 
     def conv(v):
@@ -90,10 +95,14 @@ def _read_bucket(part: BucketPartition):
             return v.replace(tzinfo=utc)
         return v
 
+    # Bind values BY SCHEMA NAME, not physical column order: Spark maps
+    # yielded tuples positionally onto TOPIC_SCHEMA_DDL, and a topic
+    # written by a different producer may order columns differently.
+    names = _SCHEMA_FIELD_ORDER
     for batch in tbl.to_batches():
         d = batch.to_pydict()
         for i in range(batch.num_rows):
-            yield tuple(conv(d[c][i]) for c in cols) + (part.bucket,)
+            yield tuple(conv(d[name][i]) for name in names) + (part.bucket,)
 
 
 class RippleTopicReader(DataSourceReader):
@@ -138,7 +147,13 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             part = BucketPartition(bdir, b, off, max_rows)
             got = list(_read_bucket(part))
             rows.extend(got)
-            new_cursors[str(b)] = off + len(got)
+            # Advance the cursor from the DATA (max served seq + 1),
+            # not off + row count: after retention raises a bucket's
+            # floor, seq is no longer contiguous from the cursor, and a
+            # count-based cursor would lag and re-deliver the tail
+            # forever.
+            if got:
+                new_cursors[str(b)] = max(r[_SEQ_IDX] for r in got) + 1
         return rows, {"cursors": json.dumps(new_cursors)}
 
     def read(self, start: dict):
@@ -153,8 +168,11 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             off = int(s.get(str(b), 0))
             upto = int(e.get(str(b), 0))
             if upto > off:
-                part = BucketPartition(bdir, b, off, upto - off)
-                yield from _read_bucket(part)
+                # bound by SEQ, not row count: a retention gap between
+                # off and upto must shrink the replay, not let it slide
+                # past upto
+                part = BucketPartition(bdir, b, off, None)
+                yield from (r for r in _read_bucket(part) if r[_SEQ_IDX] < upto)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns committed offsets

@@ -70,3 +70,49 @@ def test_stream_reader_delivers_and_resumes(spark, store, tmp_path):
     ).collect()
     for r in per:
         assert r["mx"] == r["n"] - 1
+
+
+def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path):
+    """After truncate() raises a bucket's floor, the stream cursor must
+    advance from the max served seq (not offset + row count) — a
+    count-based cursor would lag behind the gap and re-deliver the tail
+    of every bucket forever."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "gap_topics"))
+    st.create_topic("g1", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(100), "g1", key_col="user_id")
+    st.compact("g1")
+    st.produce(
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)), "g1"
+    )
+    st.vacuum("g1")
+    # age out the first segment entirely: floors rise above 0
+    maxima = st._bucket_maxima("g1")
+    floor_target = min(maxima.values()) - 10
+    assert st.truncate("g1", before_seq=floor_target) >= 1
+    st.vacuum("g1")
+    floors = st._bucket_floors("g1")
+    assert any(f > 0 for f in floors.values())
+
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "g1")
+        .option("batch_size", 7)  # force many micro-batches across the gap
+        .load()
+        .writeStream.format("memory")
+        .queryName("ds_gap")
+        .option("checkpointLocation", str(tmp_path / "ck_gap"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # exactly-once delivery of every surviving row, no tail re-delivery
+    live = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("g1").select("bucket", "seq").collect()
+    }
+    got = spark.sql("SELECT bucket, seq, count(*) c FROM ds_gap GROUP BY 1, 2").collect()
+    assert all(r["c"] == 1 for r in got), "row delivered more than once"
+    assert {(r["bucket"], r["seq"]) for r in got} == live
