@@ -67,6 +67,79 @@ def delivery_cursor(stream: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TTL'd streaming dedup — GroupState form (no extra deps)
+# --------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = "seen byte"
+
+
+def ttl_dedup_fn(ttl_ms: int | None):
+    """State-transition function for the GroupState TTL dedup (exposed
+    at module level so the TTL lifecycle — arm, re-arm, expire, re-emit
+    after expiry — is unit-testable without a streaming engine run)."""
+
+    def dedup(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry callback: drop the 'seen' bit, emit nothing
+            state.remove()
+            return
+        fresh = not state.exists
+        if fresh:
+            state.update((1,))
+        if ttl_ms is not None:
+            # (re)arm the TTL clock on every touch
+            state.setTimeoutDuration(ttl_ms)
+        if not fresh:
+            return
+        for pdf in batches:
+            if len(pdf):
+                yield pdf[["event_id", "ts", "user_id", "value"]].head(1)
+                return
+
+    return dedup
+
+
+def dedup_stream_ttl_groupstate(
+    events: DataFrame, ttl_ms: int | None = 3_600_000
+) -> DataFrame:
+    """First-occurrence filter with TTL-bounded state on the
+    ``applyInPandasWithState`` API: one 'seen' bit per event_id, aged
+    out by a processing-time timeout after ``ttl_ms`` — so state size
+    follows the TTL horizon, not the stream length. Semantics match
+    :func:`dedup_stream_ttl` (the transformWithState form below, which
+    needs the protobuf package); this form runs on any Spark ≥3.4 with
+    zero extra deps.
+
+    ``ttl_ms=None`` disables the timeout (state grows with distinct
+    keys — fine for bounded drains). Note for finite test drains: with
+    a TTL armed, pending processing-time timers keep the query busy, so
+    ``availableNow``/``processAllAvailable`` never see an idle stream —
+    drain with a plain trigger + stop, or use ttl_ms=None; the TTL
+    transitions themselves are unit-tested via :func:`ttl_dedup_fn`.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("event_id")
+        .applyInPandasWithState(
+            ttl_dedup_fn(ttl_ms),
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # transformWithState (Spark 4 arbitrary-state API): TTL'd streaming dedup
 # --------------------------------------------------------------------------
 
