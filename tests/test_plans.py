@@ -212,3 +212,12 @@ def test_ngram_jaccard_has_no_allpairs_block_join(spark):
             keys = ln.split("Join")[1]
             if "source" in keys:
                 assert "shingle" in keys, f"block-only join key: {ln}"
+
+
+def test_pipeline_projection_ops_have_no_shuffle_or_python(spark):
+    """Chunking and quantization are pure projections: no Exchange, no
+    Python eval — one pass over the corpus at any scale."""
+    for name in ("q_text_chunking", "q_embedding_quantize"):
+        p = plan(build(spark, name))
+        assert "Exchange" not in p, f"{name} shuffles"
+        assert "EvalPython" not in p, f"{name} leaves codegen"
