@@ -28,6 +28,7 @@ PACK_TARGET = 512  # context-window token budget
 
 @query(
     "q_text_chunking",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
@@ -169,6 +170,7 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_quantize",
+    bench=True,
     oracle="""
     WITH mx AS (
       SELECT vec_id, embedding,
@@ -213,6 +215,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_tfidf",
+    bench=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, w, count(*) AS tf

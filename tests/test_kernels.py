@@ -255,3 +255,67 @@ def test_similarity_query_broadcast_cap_fails_fast(spark, sf_dir):
     # within the cap: rows come back intact (the limit+1 probe does not
     # truncate legitimate query sets)
     assert len(_collect_query_rows(q.limit(5))) == 5
+
+
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    """Chunk algebra: chunks tile every token (last chunk may be short),
+    consecutive chunks overlap by exactly stride-vs-width difference,
+    and chunk_idx is dense from 0."""
+    from ripple_server_spark.plans.pipeline2 import CHUNK_STRIDE, CHUNK_TOKENS
+    from ripple_server_spark.plans.registry import SPECS
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    chunks = SPECS["q_text_chunking"].builder(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        if r["doc_id"] in n_tok:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = n_tok[doc_id]
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        # tiling: starts at stride intervals; last chunk reaches the end
+        assert (len(rows) - 1) * CHUNK_STRIDE < n
+        last = rows[-1]
+        assert last["chunk_tokens"] == n - last["chunk_idx"] * CHUNK_STRIDE or (
+            last["chunk_tokens"] == CHUNK_TOKENS
+        )
+        for r in rows[:-1]:
+            assert r["chunk_tokens"] == min(
+                CHUNK_TOKENS, n - r["chunk_idx"] * CHUNK_STRIDE
+            )
+
+
+def test_seq_packing_respects_budget_order(spark, sf_dir):
+    """Packing algebra: within a source, bins are assigned in doc_id
+    order, bin ids are non-decreasing, and a bin's token total only
+    exceeds the budget by at most its final doc (greedy prefix fill)."""
+    from ripple_server_spark.plans.pipeline2 import PACK_TARGET
+    from ripple_server_spark.plans.registry import SPECS
+
+    rows = SPECS["q_seq_packing"].builder(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        bins = [r["pack_bin"] for r in rs]
+        assert bins == sorted(bins), f"bins not monotone in {src}"
+        totals: dict[int, int] = {}
+        for r in rs:
+            totals[r["pack_bin"]] = totals.get(r["pack_bin"], 0) + r["n_tokens"]
+        # every bin but possibly the last started below the budget
+        for b, tot in totals.items():
+            if b != max(bins):
+                assert tot >= 1
+        # prefix-fill invariant: a doc's bin equals prior-tokens // budget
+        run = 0
+        for r in rs:
+            assert r["pack_bin"] == run // PACK_TARGET
+            run += r["n_tokens"]
