@@ -28,7 +28,11 @@ Implementation notes: partition readers use pyarrow directly (executor-
 side, no SparkSession there); the streaming reader is a
 SimpleDataSourceStreamReader (driver-side prefetch), the right tier for
 control-plane-small topics — the parquet/file-stream source in
-streaming/api.py remains the bulk path.
+streaming/api.py remains the bulk path. File lists come from the
+topic's MANIFEST (latest committed version), so both batch and
+streaming reads are snapshot-consistent with TopicStore's commit
+protocol: crashed-produce orphans and mid-compaction files are never
+served.
 """
 
 from __future__ import annotations
@@ -58,19 +62,43 @@ _SEQ_IDX = _SCHEMA_FIELD_ORDER.index("seq")
 
 
 class BucketPartition(InputPartition):
-    def __init__(self, bucket_dir: str, bucket: int, offset: int, limit: int | None):
-        self.bucket_dir = bucket_dir
+    def __init__(self, files: list[str], bucket: int, offset: int, limit: int | None):
+        self.files = files
         self.bucket = bucket
         self.offset = offset
         self.limit = limit
 
 
-def _bucket_dirs(data_dir: str) -> list[tuple[int, str]]:
-    out = []
-    for e in sorted(os.listdir(data_dir)):
-        if e.startswith("bucket="):
-            out.append((int(e.split("=", 1)[1]), os.path.join(data_dir, e)))
-    return out
+def _bucket_files(root: str, topic: str) -> list[tuple[int, list[str]]]:
+    """Per-bucket COMMITTED file lists from the topic's latest manifest
+    (snapshot-consistent: crashed-produce orphans and mid-compaction
+    files are invisible, matching TopicStore.read_topic). Falls back to
+    directory listing for manifest-less legacy layouts."""
+    data_dir = os.path.join(root, "topics", topic, "data")
+    log_dir = os.path.join(root, "topics", topic, "_log")
+    by_bucket: dict[int, list[str]] = {}
+    manifests = (
+        sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+        if os.path.isdir(log_dir)
+        else []
+    )
+    if manifests:
+        with open(os.path.join(log_dir, manifests[-1])) as f:
+            m = json.load(f)
+        for rel in m["files"]:
+            b = int(rel.split("/", 1)[0].split("=", 1)[1])
+            by_bucket.setdefault(b, []).append(os.path.join(data_dir, rel))
+    else:
+        for e in sorted(os.listdir(data_dir)):
+            if e.startswith("bucket="):
+                b = int(e.split("=", 1)[1])
+                bdir = os.path.join(data_dir, e)
+                by_bucket[b] = [
+                    os.path.join(bdir, fn)
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+    return sorted((b, sorted(fs)) for b, fs in by_bucket.items())
 
 
 def _read_bucket(part: BucketPartition):
@@ -80,7 +108,7 @@ def _read_bucket(part: BucketPartition):
 
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(part.bucket_dir, format="parquet")
+    dataset = ds.dataset(part.files, format="parquet")
     flt = ds.field("seq") >= part.offset
     tbl = dataset.to_table(filter=flt)
     tbl = tbl.sort_by("seq")
@@ -113,10 +141,9 @@ class RippleTopicReader(DataSourceReader):
         self.limit = int(options["limit"]) if "limit" in options else None
 
     def partitions(self):
-        data = os.path.join(self.root, "topics", self.topic, "data")
         return [
-            BucketPartition(bdir, b, self.offset, self.limit)
-            for b, bdir in _bucket_dirs(data)
+            BucketPartition(files, b, self.offset, self.limit)
+            for b, files in _bucket_files(self.root, self.topic)
         ]
 
     def read(self, partition: BucketPartition) -> Iterator[tuple]:
@@ -132,9 +159,6 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         self.topic = options["topic"]
         self.batch_size = int(options.get("batch_size", 10_000))
 
-    def _data_dir(self) -> str:
-        return os.path.join(self.root, "topics", self.topic, "data")
-
     def initialOffset(self) -> dict:
         return {"cursors": json.dumps({})}
 
@@ -142,9 +166,9 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         cursors = json.loads(start.get("cursors", "{}"))
         rows: list[tuple] = []
         new_cursors = dict(cursors)
-        for b, bdir in _bucket_dirs(self._data_dir()):
+        for b, files in _bucket_files(self.root, self.topic):
             off = int(cursors.get(str(b), 0))
-            part = BucketPartition(bdir, b, off, max_rows)
+            part = BucketPartition(files, b, off, max_rows)
             got = list(_read_bucket(part))
             rows.extend(got)
             # Advance the cursor from the DATA (max served seq + 1),
@@ -164,14 +188,14 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         # deterministic replay for recovery: serve exactly [start, end)
         s = json.loads(start.get("cursors", "{}"))
         e = json.loads(end.get("cursors", "{}"))
-        for b, bdir in _bucket_dirs(self._data_dir()):
+        for b, files in _bucket_files(self.root, self.topic):
             off = int(s.get(str(b), 0))
             upto = int(e.get(str(b), 0))
             if upto > off:
                 # bound by SEQ, not row count: a retention gap between
                 # off and upto must shrink the replay, not let it slide
                 # past upto
-                part = BucketPartition(bdir, b, off, None)
+                part = BucketPartition(files, b, off, None)
                 yield from (r for r in _read_bucket(part) if r[_SEQ_IDX] < upto)
 
     def commit(self, end: dict) -> None:

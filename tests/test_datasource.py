@@ -3,6 +3,8 @@ pushdown per bucket, and the micro-batch streaming reader."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -116,3 +118,20 @@ def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT bucket, seq, count(*) c FROM ds_gap GROUP BY 1, 2").collect()
     assert all(r["c"] == 1 for r in got), "row delivered more than once"
     assert {(r["bucket"], r["seq"]) for r in got} == live
+
+
+def test_datasource_serves_only_committed_files(spark, store):
+    """The custom source reads the manifest's file list: an orphan
+    parquet dropped into a bucket dir (crashed produce) is invisible."""
+    import glob as _glob
+    import shutil
+
+    n = _read(spark, store).count()
+    bdir = os.path.join(store.data_dir("d1"), "bucket=0")
+    src = _glob.glob(os.path.join(bdir, "*.parquet"))[0]
+    orphan = os.path.join(bdir, "zz-orphan.parquet")
+    shutil.copy(src, orphan)
+    try:
+        assert _read(spark, store).count() == n
+    finally:
+        os.remove(orphan)
