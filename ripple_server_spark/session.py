@@ -23,6 +23,11 @@ from ripple_server_spark.config import default_cpus
 #   functions agree with the DuckDB oracle byte-for-byte.
 # - nanosAsLong: the events table stores TIMESTAMP(NANOS) which Spark's
 #   parquet reader rejects; read as long and convert (catalog.py).
+# - inferTimestampNTZ off: parquet timestamps with isAdjustedToUTC=false
+#   (the regenerated events table is timestamp[us] naive) would read as
+#   TIMESTAMP_NTZ, which unix_micros/window/watermark paths reject; with
+#   the session pinned to UTC, reading them as TIMESTAMP gives identical
+#   values and keeps one timestamp type across the engine.
 RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -30,6 +35,7 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # 64 MiB broadcast threshold: dimension tables (region/nation/
     # customer/part at test SFs; any <= a few hundred MB at 100 TB with
     # executor memory to spare) should never shuffle-join.

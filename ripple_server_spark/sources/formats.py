@@ -16,34 +16,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# TIMESTAMP_NTZ columns (the events table is parquet TIMESTAMP(NANOS),
+# read as NTZ) are formatted via the separate timestampNTZFormat option;
+# without it Spark falls back to a millisecond default and silently
+# truncates µs on write.
+TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _ts_opts(rw):
+    return rw.option("timestampFormat", TS_FMT).option("timestampNTZFormat", TS_NTZ_FMT)
 
 
 def write_json(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+    _ts_opts(df.write.mode("overwrite")).json(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return (
-        spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
-    )
+    return _ts_opts(spark.read.schema(schema)).json(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    (
-        df.write.mode("overwrite")
-        .option("header", "true")
-        .option("timestampFormat", TS_FMT)
-        .csv(path)
-    )
+    _ts_opts(df.write.mode("overwrite").option("header", "true")).csv(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return (
-        spark.read.schema(schema)
-        .option("header", "true")
-        .option("timestampFormat", TS_FMT)
-        .csv(path)
-    )
+    return _ts_opts(spark.read.schema(schema).option("header", "true")).csv(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:
