@@ -64,7 +64,8 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM numbered GROUP BY user_id, d - CAST(rn AS INT)
     )
     SELECT user_id, max(streak_len) AS longest_streak,
-           count(*) AS n_streaks, sum(streak_len) AS active_days
+           count(*) AS n_streaks,
+           CAST(sum(streak_len) AS BIGINT) AS active_days
     FROM islands GROUP BY user_id
     """,
     tags=("window", "analytics", "gaps-islands"),

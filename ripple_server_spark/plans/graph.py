@@ -118,8 +118,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
     drops AS (SELECT id FROM labeled WHERE id <> cluster_id)
     SELECT source, count(*) AS n_kept,
-           sum(CASE WHEN doc_id IN (SELECT id FROM drops)
-                    THEN 1 ELSE 0 END) AS n_dropped_check
+           CAST(sum(CASE WHEN doc_id IN (SELECT id FROM drops)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_check
     FROM documents
     WHERE doc_id NOT IN (SELECT id FROM drops)
     GROUP BY source

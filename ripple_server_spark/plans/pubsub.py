@@ -250,7 +250,7 @@ def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fanout_replicas",
     oracle="""
-    SELECT r.replica, count(*) AS n_rows,
+    SELECT CAST(r.replica AS BIGINT) AS replica, count(*) AS n_rows,
            bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || event_type),
                                    1, 12))::BIGINT) AS content_hash
     FROM events, (SELECT unnest([0, 1, 2]) AS replica) r

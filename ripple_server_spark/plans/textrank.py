@@ -164,7 +164,7 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_centroids",
     oracle="""
-    SELECT label, i - 1 AS pos,
+    SELECT CAST(label AS BIGINT) AS label, i - 1 AS pos,
            round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
     FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
     GROUP BY label, i

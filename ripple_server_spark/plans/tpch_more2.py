@@ -270,7 +270,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q16_supplier_cnt",
     oracle="""
-    SELECT p_brand, p_type, p_size,
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
            count(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#11' AND p_size IN (10, 20, 30, 40, 50)

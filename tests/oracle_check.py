@@ -51,6 +51,40 @@ def _canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+# Spark simpleString -> DuckDB DESCRIBE column_type names it may map to.
+# The driver's value-hash is dtype-sensitive (HUGEINT 0 hashes differently
+# from BIGINT 0 via pandas Decimal), so the local gate must reject *type*
+# drift, not just value drift.  Complex (array/struct/map) types are
+# compared by value only.
+_TYPE_OK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def dtype_diffs(sdf, con, sql: str) -> list[str]:
+    """Column-type incompatibilities between a Spark result and its
+    DuckDB oracle, via ``DESCRIBE`` (bind-only, no execution)."""
+    o_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    out = []
+    for f_ in sdf.schema.fields:
+        allowed = _TYPE_OK.get(f_.dataType.simpleString())
+        otyp = o_types.get(f_.name)
+        if allowed is not None and otyp is not None and otyp not in allowed:
+            out.append(f"{f_.name}: spark={f_.dataType.simpleString()} duckdb={otyp}")
+    return out
+
+
 def compare_query(spark, con, name: str, builder, sql: str, sf_dir: str) -> Diff | None:
     sdf = builder(spark, sf_dir)
     s_cols = sdf.columns
@@ -60,6 +94,9 @@ def compare_query(spark, con, name: str, builder, sql: str, sf_dir: str) -> Diff
     o_rows = o.fetchall()
     if sorted(s_cols) != sorted(o_cols):
         return Diff(name, "columns", f"spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    bad_types = dtype_diffs(sdf, con, sql)
+    if bad_types:
+        return Diff(name, "dtypes", "; ".join(bad_types))
     if len(s_rows) != len(o_rows):
         return Diff(name, "rowcount", f"spark={len(s_rows)} oracle={len(o_rows)}")
     _, sc = _canon_rows(s_cols, s_rows)
