@@ -16,31 +16,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-# TIMESTAMP_NTZ columns (the events table is parquet TIMESTAMP(NANOS),
-# read as NTZ) are formatted via the separate timestampNTZFormat option;
-# without it Spark falls back to a millisecond default and silently
-# truncates µs on write.
+# TIMESTAMP_NTZ columns never arise from the fixture parquet (the
+# session pins inferTimestampNTZ off, so naive parquet micros read as
+# TIMESTAMP) — they appear only via explicit TimestampNTZType schemas or
+# NTZ-producing expressions. The timestampNTZFormat option is defense-
+# in-depth for such frames: without it Spark falls back to a millisecond
+# default and silently truncates µs on write. Writes use the fixed-width
+# 6-digit pattern; reads accept an optional fraction so externally
+# produced NTZ data with 0/3 fractional digits doesn't null out under
+# PERMISSIVE mode.
 TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+TS_NTZ_FMT_READ = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
 
 
-def _ts_opts(rw):
-    return rw.option("timestampFormat", TS_FMT).option("timestampNTZFormat", TS_NTZ_FMT)
+def _ts_write_opts(w):
+    return w.option("timestampFormat", TS_FMT).option("timestampNTZFormat", TS_NTZ_FMT)
+
+
+def _ts_read_opts(r):
+    return r.option("timestampFormat", TS_FMT).option(
+        "timestampNTZFormat", TS_NTZ_FMT_READ
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:
-    _ts_opts(df.write.mode("overwrite")).json(path)
+    _ts_write_opts(df.write.mode("overwrite")).json(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return _ts_opts(spark.read.schema(schema)).json(path)
+    return _ts_read_opts(spark.read.schema(schema)).json(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    _ts_opts(df.write.mode("overwrite").option("header", "true")).csv(path)
+    _ts_write_opts(df.write.mode("overwrite").option("header", "true")).csv(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return _ts_opts(spark.read.schema(schema).option("header", "true")).csv(path)
+    return _ts_read_opts(spark.read.schema(schema).option("header", "true")).csv(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:

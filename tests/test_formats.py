@@ -44,6 +44,35 @@ def test_json_props_column_survives(spark, sf_dir, tmp_path):
     assert all(r["k"] is not None for r in k)
 
 
+def test_ntz_read_accepts_variable_fraction_digits(spark, tmp_path):
+    """Externally produced NTZ JSON with 0 or 3 fractional digits must
+    parse (not silently null under PERMISSIVE) while engine-written
+    6-digit values stay exact."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    p = tmp_path / "ext_ntz"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "ts": "2024-03-01T10:00:00"}\n'
+        '{"id": 2, "ts": "2024-03-01T10:00:00.123"}\n'
+        '{"id": 3, "ts": "2024-03-01T10:00:00.123456"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    got = {r["id"]: r["ts"] for r in formats.read_json(spark, str(p), schema).collect()}
+    assert got == {
+        1: datetime.datetime(2024, 3, 1, 10, 0, 0),
+        2: datetime.datetime(2024, 3, 1, 10, 0, 0, 123000),
+        3: datetime.datetime(2024, 3, 1, 10, 0, 0, 123456),
+    }
+
+
 def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     """ORC roundtrip preserves rows exactly; predicates push into the
     ORC scan like parquet."""
