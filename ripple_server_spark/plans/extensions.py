@@ -445,25 +445,64 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf_topk",
-    oracle=None,  # approximate (centroid-space prune); recall pytest-bounded
+    # The IVF result itself is estimator-specific (centroid-space
+    # prune), so the driver-checkable contract is the RECALL ASSERTION:
+    # Spark computes IVF top-3 AND exact top-3, joins them, and emits a
+    # one-row summary whose recall_ok bit requires aggregate recall@3
+    # >= 0.7, exactly 3 results per query, and sim agreement on every
+    # hit. The oracle states the expected outcome in SQL; any recall /
+    # cardinality / sim degradation flips a value and fails the hash.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) * 3 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
     bench=True,
     tags=("vectors", "ann", "ivf"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: top-3 for 20 query vectors probing 12 of 32
-    centroid cells (~37% of the corpus matmul'd, one pass, no corpus
-    shuffle). The synthetic corpus is isotropic — the IVF worst case —
+    """IVF-Flat ANN with an in-plan recall audit: top-3 for 20 query
+    vectors probing 12 of 32 centroid cells (~37% of the corpus
+    matmul'd, one pass, no corpus shuffle), joined against the exact
+    brute-force top-3 to assert recall@3 >= 0.7 and per-hit sim
+    agreement. The synthetic corpus is isotropic — the IVF worst case —
     hence the wide nprobe; clustered real corpora cut scan fraction
     much harder at the same recall. Deterministic: strided training
-    sample + fixed Lloyd init, so reruns are stable. Recall vs brute
-    force is pytest-bounded (tests/test_kernels.py)."""
-    from ripple_server_spark.operators.similarity import ivf_topk
+    sample + fixed Lloyd init, so reruns are stable. The same bound is
+    pytest-checked per-query in tests/test_kernels.py."""
+    from ripple_server_spark.operators.similarity import cosine_topk_scan, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    return ivf_topk(emb, queries, k=3, nlist=32, nprobe=12)
+    ivf = ivf_topk(emb, queries, k=3, nlist=32, nprobe=12)
+    exact = cosine_topk_scan(emb, queries, k=3).select(
+        "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
+    )
+    per_q = ivf.groupBy("q_id").agg(F.count("*").alias("n_ret"))
+    hits = ivf.join(exact, on=["q_id", "neighbor_id"]).agg(
+        F.count("*").alias("hits"),
+        F.max(F.abs(F.col("sim") - F.col("exact_sim"))).alias("max_sim_err"),
+    )
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.sum("n_ret").cast("bigint").alias("n_returned"),
+            F.min("n_ret").alias("min_ret"),
+        )
+        .crossJoin(hits)
+        .select(
+            "n_queries",
+            "n_returned",
+            (
+                (F.col("hits") >= 0.7 * 3 * F.col("n_queries"))
+                & (F.col("min_ret") == 3)
+                & (F.col("max_sim_err") < 1e-6)
+            ).alias("recall_ok"),
+        )
+    )
 
 
 @query(

@@ -109,7 +109,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     cluster-generated (label column), so probing 4/16 cells should
     catch nearly all true neighbors. Bound recall@3 and require exact
     sim agreement on every hit."""
-    from ripple_server_spark.operators.similarity import cosine_topk_scan
+    from ripple_server_spark.operators.similarity import cosine_topk_scan, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -119,7 +119,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         (r["q_id"], r["neighbor_id"]): r["sim"]
         for r in cosine_topk_scan(emb, queries, k=3).collect()
     }
-    approx = SPECS["q_ann_ivf_topk"].builder(spark, sf_dir).collect()
+    approx = ivf_topk(emb, queries, k=3, nlist=32, nprobe=12).collect()
     assert len(approx) > 0
     hits = 0
     for r in approx:
@@ -128,6 +128,11 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             hits += 1
             assert abs(exact[key] - r["sim"]) < 1e-6
     assert hits / len(exact) >= 0.7, f"recall@3 {hits}/{len(exact)}"
+    # the declared query folds the same audit into its plan and must
+    # report it green
+    [summary] = SPECS["q_ann_ivf_topk"].builder(spark, sf_dir).collect()
+    assert summary["recall_ok"] is True
+    assert summary["n_returned"] == 3 * summary["n_queries"]
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
