@@ -1,0 +1,141 @@
+"""Scheduled topic maintenance — the A15 (cron scheduler) analog.
+
+The reference ships a cron scheduler (``internal/cronjob/cronjob.go:
+28-37``) whose intended broker jobs — periodic segment pushes and
+batch distribution — are left as TODOs (``internal/broker/broker.go:
+51,79``). The Spark-native form of "periodic broker housekeeping" is
+the maintenance loop every log store runs (Kafka's log-cleaner thread,
+Delta's scheduled OPTIMIZE + VACUUM): compact the small files that
+micro-batch produces accumulate, age out segments past retention, and
+reclaim unreferenced files — all through the same manifest commit
+protocol the writers use, so a cycle can run concurrently with
+produces without breaking snapshot isolation.
+
+Two trigger forms, mirroring Structured Streaming's triggers:
+
+- :meth:`TopicMaintenance.run_once` — the ``Trigger.AvailableNow``
+  shape: one compact -> truncate -> vacuum cycle, returns its stats.
+- :meth:`TopicMaintenance.start` / :meth:`stop` — the
+  ``Trigger(processingTime=...)`` shape: a daemon thread fires a cycle
+  every ``interval_s`` until stopped. Cycle errors are recorded in
+  :attr:`history` and do not kill the loop (cron semantics: the next
+  tick runs).
+
+Safety under concurrency (tests/test_maintenance.py):
+
+- compact/truncate commit through the optimistic manifest protocol, so
+  a produce landing mid-cycle is preserved by the loser's rebase;
+- vacuum runs with a positive grace window so files a concurrent
+  produce has moved into ``data/`` but not yet committed are never
+  reclaimed (zero grace is for quiescent cleanup only).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from ripple_server_spark.sources.topics import TopicStore
+
+DEFAULT_VACUUM_GRACE_S = 60.0
+
+
+@dataclass
+class CycleStats:
+    compacted: bool = False
+    files_before: int = 0
+    files_after: int = 0
+    truncated_files: int = 0
+    vacuumed_files: int = 0
+    error: str | None = None
+
+
+@dataclass
+class TopicMaintenance:
+    """Periodic compact + retention + vacuum for one topic.
+
+    ``retain_seqs``: per-bucket retention depth — a cycle truncates
+    files wholly below ``min_bucket_max - retain_seqs + 1`` (file
+    granularity, so the retained floor is conservative). ``None``
+    disables retention (compact + vacuum only).
+
+    ``compact_when_files_over``: compact only when the live file count
+    exceeds this; defaults to ``n_buckets`` (the post-compact state is
+    exactly one file per non-empty bucket, so more files than buckets
+    means produce segments have accumulated).
+    """
+
+    store: TopicStore
+    topic: str
+    interval_s: float = 30.0
+    retain_seqs: int | None = None
+    compact_when_files_over: int | None = None
+    vacuum_grace_s: float = DEFAULT_VACUUM_GRACE_S
+    history: list[CycleStats] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._stop_evt: threading.Event | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- one cycle (Trigger.AvailableNow analog) ---------------------------
+    def run_once(self) -> CycleStats:
+        st = CycleStats()
+        try:
+            v, m = self.store.latest_manifest(self.topic)
+            st.files_before = len(m["files"])
+            # Retention BEFORE compaction: aging out drops whole files,
+            # so it must see the previous cycle's compacted segments —
+            # compacting first would merge expired rows into fresh
+            # files and retention would never fire.
+            if self.retain_seqs is not None:
+                maxima = self.store._bucket_maxima(self.topic)
+                if maxima:
+                    before = min(maxima.values()) - self.retain_seqs + 1
+                    if before > 0:
+                        st.truncated_files = self.store.truncate(self.topic, before)
+                        v, m = self.store.latest_manifest(self.topic)
+            threshold = (
+                self.compact_when_files_over
+                if self.compact_when_files_over is not None
+                else m["n_buckets"]
+            )
+            if len(m["files"]) > threshold:
+                self.store.compact(self.topic, base_version=v)
+                st.compacted = True
+            st.vacuumed_files = self.store.vacuum(
+                self.topic, grace_s=self.vacuum_grace_s
+            )
+            st.files_after = len(self.store.latest_manifest(self.topic)[1]["files"])
+        except Exception as e:  # noqa: BLE001 - cycle errors must not kill the loop
+            st.error = repr(e)
+        self.history.append(st)
+        return st
+
+    # -- periodic loop (Trigger(processingTime=...) analog) ----------------
+    def start(self) -> "TopicMaintenance":
+        if self._thread is not None:
+            raise RuntimeError("maintenance loop already running")
+        self._stop_evt = threading.Event()
+
+        def loop() -> None:
+            while not self._stop_evt.wait(self.interval_s):
+                self.run_once()
+
+        self._thread = threading.Thread(
+            target=loop, daemon=True, name=f"topic-maintenance-{self.topic}"
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._stop_evt.set()
+        self._thread.join(timeout=120)
+        self._thread = None
+
+    def __enter__(self) -> "TopicMaintenance":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

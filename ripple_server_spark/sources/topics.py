@@ -129,8 +129,14 @@ class TopicStore:
         these files / drop those files / swap this subset)."""
         v = base_version
         for _ in range(retries):
-            with open(self._manifest_path(topic, v)) as f:
-                base = json.load(f)
+            try:
+                with open(self._manifest_path(topic, v)) as f:
+                    base = json.load(f)
+            except FileNotFoundError:
+                # base manifest vacuumed away mid-commit: a newer
+                # version exists by definition, so rebase onto latest
+                # (apply is a self-contained edit).
+                v, base = self.latest_manifest(topic)
             new = apply(dict(base))
             new["version"] = v + 1
             path = self._manifest_path(topic, v + 1)
@@ -173,25 +179,49 @@ class TopicStore:
     def _live_files(self, topic: str) -> list[str]:
         return self.latest_manifest(topic)[1]["files"]
 
-    def vacuum(self, topic: str) -> int:
+    def vacuum(self, topic: str, grace_s: float = 0.0) -> int:
         """Delete data files no manifest-latest references (compacted-
         away segments, truncated segments, crashed-produce orphans) and
-        all but the newest manifest. Run with no readers mid-snapshot
-        (or after a grace period at scale). Returns files removed."""
+        all but the newest manifest. Returns files removed.
+
+        ``grace_s`` spares files modified within the last N seconds:
+        a concurrent produce moves staged files into ``data/`` BEFORE
+        its manifest commit, so a zero-grace vacuum racing it could
+        reclaim files that are about to become live (the same reason
+        Delta VACUUM has a retention window). Pass 0 only when no
+        writer is in flight; the scheduled loop
+        (:class:`~ripple_server_spark.sources.maintenance.TopicMaintenance`)
+        always runs with a positive grace."""
+        import time
+
         v, m = self.latest_manifest(topic)
         live = set(m["files"])
         data = self.data_dir(topic)
+        cutoff = time.time() - grace_s
         removed = 0
         for bdir in sorted(os.listdir(data)):
             if not bdir.startswith("bucket="):
                 continue
             for fn in sorted(os.listdir(os.path.join(data, bdir))):
-                if fn.endswith(".parquet") and f"{bdir}/{fn}" not in live:
-                    os.remove(os.path.join(data, bdir, fn))
+                p = os.path.join(data, bdir, fn)
+                if (
+                    fn.endswith(".parquet")
+                    and f"{bdir}/{fn}" not in live
+                    and os.path.getmtime(p) <= cutoff
+                ):
+                    os.remove(p)
                     removed += 1
         for n in os.listdir(self._log_dir(topic)):
-            if n.endswith(".json") and int(n[:-5]) < v:
-                os.remove(os.path.join(self._log_dir(topic), n))
+            p = os.path.join(self._log_dir(topic), n)
+            # grace applies to manifests too: an in-flight commit may
+            # still re-read its base version, and a pinned snapshot
+            # reader its pinned version
+            if (
+                n.endswith(".json")
+                and int(n[:-5]) < v
+                and os.path.getmtime(p) <= cutoff
+            ):
+                os.remove(p)
         return removed
 
     # -- DDL (CreateBucket analog) ----------------------------------------

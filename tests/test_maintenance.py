@@ -1,0 +1,159 @@
+"""Scheduled maintenance (A15 analog): a periodic compact + retention +
+vacuum loop must run CONCURRENTLY with produces without losing rows,
+breaking per-bucket seq contiguity, or tripping readers (snapshot
+isolation: no FileNotFound) — the contract VERDICT r2 task #5 set.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.sources.maintenance import TopicMaintenance
+from ripple_server_spark.sources.topics import TopicStore
+
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def fresh_store(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "topics"))
+    st.create_topic("m1", n_buckets=N_BUCKETS)
+    return st
+
+
+def _data_files(store, topic):
+    data = store.data_dir(topic)
+    out = []
+    for bdir in os.listdir(data):
+        if bdir.startswith("bucket="):
+            out += [
+                f"{bdir}/{fn}"
+                for fn in os.listdir(os.path.join(data, bdir))
+                if fn.endswith(".parquet")
+            ]
+    return out
+
+
+def test_concurrent_produce_with_scheduled_cycle(spark, sf_dir, fresh_store):
+    """Produce batches from the main thread while the maintenance loop
+    fires compact+vacuum cycles every 0.2 s. Every row must survive,
+    seqs stay contiguous, and no cycle may error (a FileNotFound or
+    lost-update would surface as CycleStats.error)."""
+    st = fresh_store
+    ev = load_table(spark, sf_dir, "events").limit(800).cache()
+    ev.count()
+    total = 0
+    with TopicMaintenance(
+        st, "m1", interval_s=0.2, vacuum_grace_s=30.0
+    ) as maint:
+        for i in range(8):
+            batch = ev.filter(
+                (F.col("event_id") >= i * 100) & (F.col("event_id") < (i + 1) * 100)
+            )
+            total += st.produce(batch, "m1", batch_id=f"b{i}")
+            # interleave reads: a snapshot pinned before a cycle must
+            # stay readable mid-cycle (old files survive until vacuum
+            # grace expires)
+            assert st.read_topic("m1").count() == total
+            time.sleep(0.1)
+        # let at least one more cycle fire with no produce in flight
+        time.sleep(0.5)
+    assert total == 800
+    assert [c.error for c in maint.history if c.error] == []
+    assert any(c.compacted for c in maint.history), "no cycle ever compacted"
+    log = st.read_topic("m1")
+    assert log.count() == total
+    per_bucket = (
+        log.groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+    ev.unpersist()
+
+
+def test_quiescent_cycle_compacts_to_one_file_per_bucket(spark, sf_dir, fresh_store):
+    """With no writer in flight, run_once at zero grace must leave
+    exactly one file per non-empty bucket and reclaim every compacted-
+    away segment."""
+    st = fresh_store
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    for i in range(3):
+        st.produce(
+            ev.filter(
+                (F.col("event_id") >= i * 100) & (F.col("event_id") < (i + 1) * 100)
+            ),
+            "m1",
+        )
+    assert len(_data_files(st, "m1")) > N_BUCKETS
+    maint = TopicMaintenance(st, "m1", vacuum_grace_s=0.0)
+    stats = maint.run_once()
+    assert stats.error is None
+    assert stats.compacted and stats.vacuumed_files > 0
+    live = st.latest_manifest("m1")[1]["files"]
+    assert len(live) <= N_BUCKETS
+    assert sorted(_data_files(st, "m1")) == sorted(live)  # nothing orphaned
+    assert st.read_topic("m1").count() == 300
+
+
+def test_retention_truncates_and_consumers_resume_at_floor(spark, sf_dir, fresh_store):
+    """A retention-enabled cycle ages out files wholly below the floor;
+    a consumer whose offset predates retention resumes at the retained
+    floor (Kafka earliest-offset semantics), and produce continues
+    seamlessly after."""
+    st = fresh_store
+    ev = load_table(spark, sf_dir, "events").limit(600)
+    for i in range(3):
+        st.produce(
+            ev.filter(
+                (F.col("event_id") >= i * 200) & (F.col("event_id") < (i + 1) * 200)
+            ),
+            "m1",
+        )
+    # compact first so truncation has per-bucket single files, then
+    # produce more segments so retention has something strictly older
+    TopicMaintenance(st, "m1", vacuum_grace_s=0.0).run_once()
+    st.produce(
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 600) & (F.col("event_id") < 800)),
+        "m1",
+    )
+    maxima_before = dict(st._bucket_maxima("m1"))
+    maint = TopicMaintenance(st, "m1", retain_seqs=40, vacuum_grace_s=0.0)
+    stats = maint.run_once()
+    assert stats.error is None
+    assert stats.truncated_files > 0, "retention dropped nothing"
+    floors = st._bucket_floors("m1")
+    assert any(f > 0 for f in floors.values())
+    # registered consumer starting at 0 resumes at the retained floor
+    st.register_consumer("c-old", "m1")
+    for b in range(N_BUCKETS):
+        batch, _next = st.consume("c-old", "m1", bucket=b, count=10**6)
+        mn = batch.agg(F.min("seq").alias("mn")).collect()[0]["mn"]
+        if mn is not None:
+            assert mn == floors.get(b, 0)
+    # maxima unchanged by retention; produce still extends contiguously
+    assert dict(st._bucket_maxima("m1")) == maxima_before
+    n_new = st.produce(
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 800) & (F.col("event_id") < 900)),
+        "m1",
+    )
+    assert n_new > 0
+    mx_after = st._bucket_maxima("m1")
+    log = st.read_topic("m1")
+    per_bucket = (
+        log.groupBy("bucket")
+        .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["mx"] == mx_after[r["bucket"]]
+        # contiguity from the retained floor, not 0
+        assert r["n"] == r["mx"] - floors.get(r["bucket"], 0) + 1
