@@ -194,3 +194,91 @@ def dedup_stream_ttl(events: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
             timeMode="processingTime",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming leader watch — the A12 watch/re-elect path
+# --------------------------------------------------------------------------
+
+LEADER_STATE_SCHEMA = "roster string, leader long, epoch long"
+LEADER_OUTPUT_SCHEMA = (
+    "group long, leader long, leader_seq long, epoch long, n_members long"
+)
+
+
+def leader_watch_fn(
+    key: tuple,
+    batches: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    """State transition of the leader watch (module-level so the
+    elect → watch → re-elect lifecycle is unit-testable without a
+    streaming engine run; see :func:`leader_watch` for semantics)."""
+    import json as _json
+
+    (group,) = key
+    if state.exists:
+        roster_json, leader, epoch = state.get
+        roster = {int(k): int(v) for k, v in _json.loads(roster_json).items()}
+    else:
+        roster, leader, epoch = {}, -1, 0
+    rows = [pdf[["member", "seq", "alive"]] for pdf in batches if len(pdf)]
+    if rows:
+        deltas = pd.concat(rows, ignore_index=True).sort_values("seq")
+        for member, seq, alive in deltas.itertuples(index=False):
+            member = int(member)
+            if bool(alive):
+                # ZK sequential-node analog: the member's id is the seq
+                # of its FIRST registration (re-registration keeps it)
+                roster.setdefault(member, int(seq))
+            else:
+                roster.pop(member, None)
+    new_leader = (
+        min(roster, key=lambda m: (roster[m], m)) if roster else -1
+    )
+    if new_leader != leader:
+        epoch += 1
+        state.update((_json.dumps(roster), new_leader, epoch))
+        yield pd.DataFrame(
+            [
+                {
+                    "group": group,
+                    "leader": new_leader,
+                    "leader_seq": roster.get(new_leader, -1),
+                    "epoch": epoch,
+                    "n_members": len(roster),
+                }
+            ]
+        )
+    else:
+        state.update((_json.dumps(roster), leader, epoch))
+
+
+def leader_watch(membership: DataFrame) -> DataFrame:
+    """Current leader per group, maintained across micro-batches and
+    emitted ON CHANGE — the watch/re-elect semantics of the reference's
+    leader election (elect: lowest sequential node id wins,
+    internal/lighthouse/election/election.go:50-79; watch: membership
+    change triggers re-election, election.go:85-108). The topic's
+    per-bucket produce seq plays the role of ZooKeeper's sequential
+    ephemeral node ids.
+
+    ``membership`` is a streaming frame of membership deltas with
+    columns ``group`` (election scope), ``member``, ``alive`` (true =
+    register, false = leave/crash), and ``seq`` (arrival order, e.g.
+    the topic seq). State per group is the live roster — O(members),
+    not O(events) — so at scale state size follows cluster size.
+    Output rows appear only on leader change: the initial election and
+    every re-election, with ``epoch`` counting transitions (leader = -1
+    when the last member leaves)."""
+    return (
+        membership.select("group", "member", "alive", "seq")
+        .groupBy("group")
+        .applyInPandasWithState(
+            leader_watch_fn,
+            outputStructType=LEADER_OUTPUT_SCHEMA,
+            stateStructType=LEADER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -184,3 +184,126 @@ def test_ttl_lifecycle_transitions():
 
     again = _StubState()  # state gone after expiry -> emits again
     assert len(list(fn((7,), iter([pdf]), again))) == 1
+
+
+# --------------------------------------------------------------------------
+# Streaming leader watch (A12 watch/re-elect)
+# --------------------------------------------------------------------------
+
+
+class _LeaderStub:
+    """GroupState double for leader_watch_fn."""
+
+    def __init__(self, value=None):
+        self.exists = value is not None
+        self._value = value
+        self.updated = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+        self.exists = True
+
+
+def test_leader_watch_lifecycle_transitions():
+    """elect -> steady-state silence -> leader removal re-elects ->
+    last member leaving vacates the seat (leader -1)."""
+    import json
+
+    import pandas as pd
+
+    from ripple_server_spark.streaming.stateful import leader_watch_fn
+
+    def batch(rows):
+        return iter([pd.DataFrame(rows, columns=["member", "seq", "alive"])])
+
+    # initial election: lowest registration seq wins
+    s = _LeaderStub()
+    out = list(leader_watch_fn((0,), batch([(10, 0, True), (11, 1, True), (12, 2, True)]), s))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert (r["leader"], r["leader_seq"], r["epoch"], r["n_members"]) == (10, 0, 1, 3)
+
+    # steady state (another member joins with a higher seq): no emission
+    s2 = _LeaderStub(value=s.updated)
+    assert list(leader_watch_fn((0,), batch([(13, 3, True)]), s2)) == []
+    assert json.loads(s2.updated[0]) == {"10": 0, "11": 1, "12": 2, "13": 3}
+
+    # leader leaves -> re-election in the same batch epoch
+    s3 = _LeaderStub(value=s2.updated)
+    out = list(leader_watch_fn((0,), batch([(10, 4, False)]), s3))
+    r = out[0].iloc[0]
+    assert (r["leader"], r["leader_seq"], r["epoch"]) == (11, 1, 2)
+
+    # everyone leaves -> seat vacated
+    s4 = _LeaderStub(value=s3.updated)
+    out = list(
+        leader_watch_fn((0,), batch([(11, 5, False), (12, 6, False), (13, 7, False)]), s4)
+    )
+    r = out[0].iloc[0]
+    assert (r["leader"], r["epoch"], r["n_members"]) == (-1, 3, 0)
+
+
+def test_leader_watch_reelects_after_leader_removal(spark, tmp_path):
+    """End-to-end A12: membership deltas flow through a topic; the
+    watch elects the lowest-seq member, then a later micro-batch
+    carrying the leader's departure triggers re-election (the
+    election.go:85-108 watch path). maxFilesPerTrigger=1 forces the
+    removal into its own micro-batch, so the state must carry the
+    roster across batches."""
+    from ripple_server_spark.streaming.stateful import leader_watch
+
+    st = TopicStore(spark, str(tmp_path / "topics"))
+    st.create_topic("elect", n_buckets=2)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, group long, member long, alive boolean"
+        )
+
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(i):
+        return t0 + datetime.timedelta(seconds=i)
+
+    # epoch 1: three members register in each of two groups
+    st.produce(
+        mk(
+            [(i, ts(i), g, 10 * (g + 1) + i, True) for g in (0, 1) for i in range(3)]
+        ),
+        "elect",
+        key_col="group",
+    )
+    # epoch 2: both leaders (lowest-seq members: *0) crash/leave
+    st.produce(
+        mk([(100, ts(100), 0, 10, False), (101, ts(101), 1, 20, False)]),
+        "elect",
+        key_col="group",
+    )
+
+    src = api.stream_topic(st, "elect", max_files_per_trigger=1)
+    q = (
+        leader_watch(src)
+        .writeStream.format("memory")
+        .queryName("m_leader")
+        .option("checkpointLocation", str(tmp_path / "ckpt_leader"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["group"], r["epoch"]): r
+        for r in spark.sql("SELECT * FROM m_leader").collect()
+    }
+    # each group: initial election then a re-election epoch
+    for g in (0, 1):
+        first = rows[(g, 1)]
+        second = rows[(g, 2)]
+        assert first["leader"] == 10 * (g + 1)  # lowest registration seq
+        assert second["leader"] == 10 * (g + 1) + 1  # next-lowest takes over
+        assert second["n_members"] == 2
