@@ -47,20 +47,40 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 64 + h[0], 64 + h[1], 1 + (h[2] % 3)
 
 
+def _pil():
+    """Import the real image codec or raise the documented stub
+    boundary error. The fake=False paths below are REAL whenever
+    Pillow is installed (smoke-tested via RIPPLE_REAL_CODECS=1,
+    tests/test_multimodal.py); this container has no media libraries,
+    so there they raise."""
+    try:
+        import PIL.Image  # noqa: PLC0415
+
+        return PIL.Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "media codecs not available in this environment (pip install pillow)"
+        ) from e
+
+
 def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch in, one metadata frame out.
 
     Generator form means constant memory per task regardless of
     partition size — the shape that survives 100 TB inputs.
     """
+    import io
+
+    Image = None if fake else _pil()
     for pdf in pdf_iter:
-        if not fake:
-            # Real decode would go here (PIL / torchaudio / pyav).
-            raise NotImplementedError("media codecs not available in this environment")
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
-            w, h, c = _fake_decode(b)
+            if fake:
+                w, h, c = _fake_decode(b)
+            else:
+                im = Image.open(io.BytesIO(b))
+                (w, h), c = im.size, len(im.getbands())
             rows.append(
                 {
                     "doc_id": doc_id,
@@ -76,13 +96,22 @@ def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterato
         ])
 
 
+def decode_payloads(payloads: DataFrame, fake: bool = True) -> DataFrame:
+    """(doc_id, payload binary) -> typed metadata; the entry point for
+    REAL media bytes (fake=False + Pillow installed decodes actual
+    images; smoke-tested behind RIPPLE_REAL_CODECS=1)."""
+    import functools
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        functools.partial(decode_batch, fake=fake), schema=DECODE_SCHEMA
+    )
+
+
 def decode_documents(docs: DataFrame) -> DataFrame:
     """Full pipeline: binary ingest -> Arrow-batched decode -> typed
     metadata DataFrame. Partitioning is preserved (no shuffle: decode is
     a map-side transform)."""
-    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
-        decode_batch, schema=DECODE_SCHEMA
-    )
+    return decode_payloads(attach_binary_payload(docs))
 
 
 RESIZE_SCHEMA = "doc_id long, width long, height long, checksum string, payload binary"
@@ -97,24 +126,29 @@ def resize_batch(
     100 TB an output-bounded pass."""
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _pil()
         for pdf in pdf_iter:
-            if not fake:
-                # Real path: PIL.Image.open(io.BytesIO(b)).resize(...)
-                raise NotImplementedError(
-                    "media codecs not available in this environment"
-                )
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                # STUB resize: deterministic target-keyed digest chain,
-                # truncated to a size proportional to the target dims.
-                seed = hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
-                buf = bytearray()
-                block = seed
-                while len(buf) < target_w * target_h // 64:
-                    block = hashlib.md5(block).digest()
-                    buf.extend(block)
-                resized = bytes(buf[: target_w * target_h // 64])
+                if fake:
+                    # STUB resize: deterministic target-keyed digest
+                    # chain, truncated to a size proportional to the
+                    # target dims.
+                    seed = hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
+                    buf = bytearray()
+                    block = seed
+                    while len(buf) < target_w * target_h // 64:
+                        block = hashlib.md5(block).digest()
+                        buf.extend(block)
+                    resized = bytes(buf[: target_w * target_h // 64])
+                else:
+                    im = Image.open(io.BytesIO(b)).resize((target_w, target_h))
+                    sink = io.BytesIO()
+                    im.save(sink, format="PNG")
+                    resized = sink.getvalue()
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -131,11 +165,19 @@ def resize_batch(
     return kernel
 
 
+def resize_payloads(
+    payloads: DataFrame, target_w: int = 32, target_h: int = 32, fake: bool = True
+) -> DataFrame:
+    """(doc_id, payload) -> resized payload (real PNG re-encode when
+    fake=False and Pillow is installed)."""
+    return payloads.select("doc_id", "payload").mapInPandas(
+        resize_batch(target_w, target_h, fake=fake), schema=RESIZE_SCHEMA
+    )
+
+
 def resize_documents(docs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
     """Binary->binary media transform pipeline (no shuffle)."""
-    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
-        resize_batch(target_w, target_h), schema=RESIZE_SCHEMA
-    )
+    return resize_payloads(attach_binary_payload(docs), target_w, target_h)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum string, ts_ms long"
@@ -194,26 +236,38 @@ def embed_batch(dim: int = 16, fake: bool = True):
     forward pass over the same Arrow batches."""
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _pil()
         for pdf in pdf_iter:
-            if not fake:
-                raise NotImplementedError("no model runtime in this environment")
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                hx = hashlib.md5(bytes(payload)).hexdigest()[:dim]
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "embedding": [(ord(c) - 100.0) / 10.0 for c in hx],
-                    }
-                )
+                b = bytes(payload)
+                if fake:
+                    hx = hashlib.md5(b).hexdigest()[:dim]
+                    emb = [(ord(c) - 100.0) / 10.0 for c in hx]
+                else:
+                    # Real (model-free) visual feature: grayscale
+                    # downsample to `dim` pixels, normalized to [0,1] —
+                    # a deployment swaps in a model forward pass over
+                    # the same Arrow batches.
+                    im = Image.open(io.BytesIO(b)).convert("L").resize((dim, 1))
+                    emb = [p / 255.0 for p in im.getdata()]
+                out.append({"doc_id": doc_id, "embedding": emb})
             yield pd.DataFrame(out, columns=["doc_id", "embedding"])
 
     return kernel
 
 
+def embed_payloads(payloads: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """(doc_id, payload) -> embedding (real grayscale-downsample
+    features when fake=False and Pillow is installed)."""
+    return payloads.select("doc_id", "payload").mapInPandas(
+        embed_batch(dim, fake=fake), schema=EMBED_SCHEMA
+    )
+
+
 def embed_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
     """Media feature-extraction pipeline: payload -> embedding column
     (feeds the similarity/ANN operators directly)."""
-    return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
-        embed_batch(dim), schema=EMBED_SCHEMA
-    )
+    return embed_payloads(attach_binary_payload(docs), dim)

@@ -103,15 +103,34 @@ def minhash_band_hashes(
     )
 
 
-def lsh_candidates(bands_df: DataFrame) -> DataFrame:
+def lsh_candidates(
+    bands_df: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs sharing at least one band bucket.
 
     The join key is (band, bh): only documents that collide in a bucket
     meet — this is the step that replaces the O(n²) cross join. At
     100 TB, a hot bucket (giant cluster of near-identical docs) is the
-    skew risk: AQE skew-join splitting handles it, or cap bucket size
-    upstream with a count filter.
+    skew risk: a bucket of size s emits s(s-1)/2 pairs, so one
+    million-doc bucket is 5·10^11 pairs no matter how well AQE splits
+    the join. ``max_bucket_size`` is the upstream cap: buckets above it
+    are excluded from pair generation (one partial-agg count + a
+    left-semi prune, both cheap relative to the self-join they bound).
+    Pairs whose docs ALSO collide in a sub-cap bucket of another band
+    still surface (band redundancy); a bucket hot in EVERY band is a
+    giant cluster of literal duplicates, which belongs to exact
+    hash-dedup (run first — q_dedup_exact) rather than to near-dup
+    LSH. None (the default, and the declared query's setting) disables
+    the cap so candidates match the exact DuckDB oracle.
     """
+    if max_bucket_size is not None:
+        small = (
+            bands_df.groupBy("band", "bh")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        bands_df = bands_df.join(small, on=["band", "bh"], how="left_semi")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -168,6 +187,7 @@ def minhash_lsh_dedup(
     perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
@@ -180,7 +200,7 @@ def minhash_lsh_dedup(
     """
     sh = shingle_sets(docs).persist()
     band_df = minhash_band_hashes(sh, perms, bands).persist()
-    cand = lsh_candidates(band_df).persist()
+    cand = lsh_candidates(band_df, max_bucket_size=max_bucket_size).persist()
     return verify_jaccard(cand, sh, threshold)
 
 

@@ -324,3 +324,37 @@ def test_seq_packing_respects_budget_order(spark, sf_dir):
         for r in rs:
             assert r["pack_bin"] == run // PACK_TARGET
             run += r["n_tokens"]
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A giant cluster of identical docs makes every band bucket hot
+    (s(s-1)/2 pairs); max_bucket_size must exclude those buckets while
+    near-dup pairs colliding in sub-cap buckets still surface."""
+    from ripple_server_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_band_hashes,
+        shingle_sets,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again today"
+    near_a = "entirely different content about spark lsh banding alpha beta gamma one"
+    near_b = "entirely different content about spark lsh banding alpha beta gamma two"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(30)] + [(100, near_a), (101, near_b)],
+        "doc_id long, text string",
+    )
+    bands = minhash_band_hashes(shingle_sets(docs)).persist()
+
+    uncapped = lsh_candidates(bands)
+    capped = lsh_candidates(bands, max_bucket_size=10)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # uncapped: the identical cluster alone contributes 30*29/2 pairs
+    assert n_uncapped >= 30 * 29 // 2
+    # capped: every hot-cluster bucket (size 30 > 10) is pruned
+    assert n_capped < 30 * 29 // 2
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert all(not (a < 100 and b < 100) for a, b in capped_pairs)
+    # the near-dup pair lives in a size-2 bucket and must survive
+    assert (100, 101) in capped_pairs
+    bands.unpersist()

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ripple_server_spark.catalog import load_table
@@ -64,20 +66,66 @@ def test_embed_feeds_similarity_surface(spark, sf_dir):
 
 
 def test_every_codec_kernel_declares_its_stub_boundary():
-    """All four media kernels must raise NotImplementedError the moment
-    fake=False asks for a real codec — the documented boundary between
-    tested Arrow plumbing and the stubbed decode step."""
+    """Without media libraries, every kernel must raise
+    NotImplementedError the moment fake=False asks for a real codec —
+    the documented boundary between tested Arrow plumbing and the
+    stubbed decode step. (With Pillow installed the image kernels ARE
+    real — see test_real_codecs_smoke — so only the video kernel's
+    boundary is unconditional.)"""
     import pandas as pd
 
     from ripple_server_spark import multimodal as mm
 
     pdf = pd.DataFrame({"doc_id": [1], "payload": [b"xx"]})
-    boundaries = [
-        mm.decode_batch(iter([pdf]), fake=False),
-        mm.resize_batch(8, 8, fake=False)(iter([pdf])),
-        mm.frame_sample_batch(2, fake=False)(iter([pdf])),
-        mm.embed_batch(4, fake=False)(iter([pdf])),
-    ]
+    boundaries = [mm.frame_sample_batch(2, fake=False)(iter([pdf]))]
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        boundaries += [
+            mm.decode_batch(iter([pdf]), fake=False),
+            mm.resize_batch(8, 8, fake=False)(iter([pdf])),
+            mm.embed_batch(4, fake=False)(iter([pdf])),
+        ]
     for gen in boundaries:
         with pytest.raises(NotImplementedError):
             next(gen)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RIPPLE_REAL_CODECS") != "1",
+    reason="real-codec smoke: set RIPPLE_REAL_CODECS=1 in an environment with Pillow",
+)
+def test_real_codecs_smoke(spark):
+    """End-to-end REAL image path (decode -> resize -> embed) over
+    Spark with actual PNG bytes: proves the fake=False branch is a
+    working codec integration, not prose, wherever Pillow exists."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    def png(w, h, color):
+        im = Image.new("RGB", (w, h), color)
+        sink = io.BytesIO()
+        im.save(sink, format="PNG")
+        return sink.getvalue()
+
+    from ripple_server_spark import multimodal as mm
+
+    payloads = spark.createDataFrame(
+        [(1, png(40, 30, (255, 0, 0))), (2, png(8, 8, (0, 0, 255)))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in mm.decode_payloads(payloads, fake=False).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) == (40, 30, 3)
+    assert (meta[2]["width"], meta[2]["height"]) == (8, 8)
+
+    resized = mm.resize_payloads(payloads, 16, 16, fake=False).collect()
+    for r in resized:
+        im = Image.open(io.BytesIO(bytes(r["payload"])))
+        assert im.size == (16, 16)
+
+    embs = {r["doc_id"]: r["embedding"] for r in mm.embed_payloads(payloads, dim=16, fake=False).collect()}
+    assert all(len(v) == 16 and all(0.0 <= x <= 1.0 for x in v) for v in embs.values())
+    # solid-color images embed to constant vectors with distinct levels
+    assert len(set(embs[1])) == 1 and len(set(embs[2])) == 1
+    assert embs[1][0] != embs[2][0]
