@@ -166,6 +166,30 @@ def fanout_write(
     )
 
 
+def pick_replica(consumer_id: str, n_replicas: int) -> int:
+    """Read-request load balancing (A4/A19 analog): the reference's
+    consumer loadbalancer picks a random follower index per read
+    (internal/broker/consumer/loadbalancer/loadbalancer.go:13-19).
+    Deterministic md5-of-consumer variant: the same consumer always
+    lands on the same replica (read-your-own-cache affinity) while the
+    consumer population spreads uniformly — and reruns are
+    reproducible, the engine-wide invariant (no rand())."""
+    import hashlib
+
+    return int(hashlib.md5(consumer_id.encode()).hexdigest(), 16) % n_replicas
+
+
+def read_from_replica(
+    spark: SparkSession, replica_paths: list[str], consumer_id: str
+) -> DataFrame:
+    """Consume path through the load balancer: pick this consumer's
+    replica and read only that copy. Replica parity (every copy is
+    byte-identical — fanout_write's exactly-once contract, proven by
+    q_fanout_replicas) is what makes serving reads from ANY single
+    follower correct."""
+    return spark.read.parquet(replica_paths[pick_replica(consumer_id, len(replica_paths))])
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently in the source, then stop (the batch-
     parity trigger used by tests)."""

@@ -131,6 +131,35 @@ def test_fanout_write_replicates(spark, store, tmp_path):
     assert contents[0] == contents[1] == contents[2]
 
 
+def test_replica_read_load_balances_and_matches_leader(spark, store, tmp_path):
+    """Consume-path load balancing (A4/A19): each consumer
+    deterministically lands on one replica, the population spreads
+    over all replicas, and what any consumer reads is byte-equal to
+    the leader log (replica parity makes single-follower serving
+    correct)."""
+    from ripple_server_spark.streaming.api import pick_replica, read_from_replica
+
+    replicas = [str(tmp_path / f"rep{i}") for i in range(3)]
+    q = api.fanout_write(
+        api.stream_topic(store, "s1"), replicas, str(tmp_path / "ckpt_lb")
+    )
+    q.processAllAvailable()
+    q.stop()
+    leader = sorted(
+        tuple(r) for r in store.read_topic("s1").collect()
+    )
+    consumers = [f"consumer-{i}" for i in range(40)]
+    picked = {c: pick_replica(c, 3) for c in consumers}
+    assert set(picked.values()) == {0, 1, 2}  # spread, not degenerate
+    assert all(pick_replica(c, 3) == picked[c] for c in consumers)  # sticky
+    for c in consumers[:3]:
+        got = sorted(
+            tuple(r)
+            for r in read_from_replica(spark, replicas, c).drop("batch").collect()
+        )
+        assert got == leader
+
+
 def test_interval_join_matches_batch(spark, store):
     """Stream-stream interval join (clicks ⋈ purchases within 1h by
     user) must produce exactly the batch join's pairs."""
