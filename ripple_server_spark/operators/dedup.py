@@ -165,7 +165,23 @@ def verify_jaccard(
     cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via two semi-structured joins on
-    the shingle table (never materializes full shingle sets per row)."""
+    the shingle table (never materializes full shingle sets per row).
+
+    The shingle table is first pruned to docs that appear in at least
+    one candidate pair: near-dup candidates are a small fraction of the
+    corpus, so this turns the verify joins from corpus-sized shuffles
+    into candidate-sized ones — the dominant cost of verification at
+    100 TB. The semi-join's build side (distinct candidate doc ids) is
+    left to AQE, which sees its runtime size and broadcasts when small.
+    """
+    # No distinct: a left-semi build side tolerates duplicate keys, so
+    # skipping it saves a shuffle on the candidate set.
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    # Persist: the pruned table feeds three consumers (sizes + both
+    # intersection sides); without it the semi-join runs three times.
+    sh = sh.join(cand_docs, "doc_id", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
