@@ -1,0 +1,420 @@
+"""Corpus-hygiene operators (round 3): span-level boilerplate removal,
+unigram-LM quality scoring, per-source quota capping, Zipf corpus
+audit, and Bloom-filter decontamination. No reference analog (the
+reference is a message queue — SURVEY.md §2); this extends the
+LLM-data-pipeline surface BASELINE.json mandates. Every query has an
+exact DuckDB oracle: determinism comes from md5-derived hashing and
+integer counting, never rand() or float-order-sensitive reductions
+(the one float output, the Zipf slope, is rounded well above the
+summation-order noise floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+# Span width for boilerplate removal: non-overlapping W-word segments
+# stand in for "lines" (the fixture corpus is single-line text); the
+# operator is the Common-Crawl-style repeated-line dedup with the line
+# boundary generalized to a fixed word window.
+SPAN_WORDS = 8
+# A span present in >= this many distinct docs is boilerplate.
+SPAN_DOC_THRESHOLD = 3
+
+# 48-bit md5 prefix as BIGINT: the engine-portable order-independent
+# fingerprint primitive (same construction as q_upsample_by_weight).
+_H48 = "cast(conv(substring(md5({expr}), 1, 12), 16, 10) as bigint)"
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id, source, i AS span_idx,
+               array_to_string(w[(i * {SPAN_WORDS} + 1):((i + 1) * {SPAN_WORDS})], ' ')
+                   AS span
+        FROM t, unnest(range(0, CAST(ceil(len(w) / {SPAN_WORDS}.0) AS BIGINT))) AS u(i)
+    ),
+    boiler AS (
+        SELECT span FROM spans
+        GROUP BY span HAVING count(DISTINCT doc_id) >= {SPAN_DOC_THRESHOLD}
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               count(*) AS n_spans,
+               count(*) FILTER (b.span IS NOT NULL) AS n_dropped,
+               coalesce(string_agg(s.span, ' ' ORDER BY s.span_idx)
+                            FILTER (b.span IS NULL), '') AS kept_text
+        FROM spans s LEFT JOIN boiler b ON b.span = s.span
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(n_dropped) AS BIGINT) AS n_spans_dropped,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || kept_text),
+                                   1, 12))::BIGINT) AS kept_hash
+    FROM per_doc GROUP BY source
+    """,
+    tags=("pipeline", "dedup", "text", "boilerplate"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (line-level) boilerplate removal: segment every
+    document into non-overlapping {SPAN_WORDS}-word spans, drop each
+    span that occurs in >= {SPAN_DOC_THRESHOLD} distinct documents
+    corpus-wide (headers/footers/licenses in a real crawl), and
+    reassemble the surviving text in order. Per-source report carries a
+    bit_xor fingerprint of (doc_id, reassembled text) so the oracle
+    verifies the actual reassembly, not just counts.
+
+    Scale shape: span extraction is a narrow map-side fan-out (no
+    shuffle, rows multiply ~n_words/{SPAN_WORDS}); the boilerplate set
+    is one partial-agg count shuffled on span; it is tiny (only spans
+    crossing the threshold) so the drop join broadcasts. Reassembly
+    sorts WITHIN each doc's collected spans — no global sort. One
+    corpus-sized shuffle total (the per-doc groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_spans = F.ceil(F.size(w) / F.lit(float(SPAN_WORDS))).cast("bigint")
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.struct(
+                    i.alias("span_idx"),
+                    F.concat_ws(
+                        " ", F.slice(w, i * SPAN_WORDS + 1, SPAN_WORDS)
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", "s.span_idx", "s.span")
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SPAN_DOC_THRESHOLD)
+        .select("span", F.lit(1).alias("is_boiler"))
+    )
+    flagged = spans.join(F.broadcast(boiler), "span", "left")
+    # collect_list skips nulls, so kept spans are exactly the non-boiler
+    # rows; array_sort on (span_idx, span) structs restores doc order.
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("span_idx", "span")
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_spans"),
+        F.count("is_boiler").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    fp = _H48.format(
+        expr="concat(cast(doc_id as string), ':', kept_text)"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.sum("n_dropped").cast("bigint").alias("n_spans_dropped"),
+        F.expr(f"bit_xor({fp})").alias("kept_hash"),
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM toks)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(ln((SELECT t FROM total)) - avg(ln(v.c)), 4) AS nll
+    FROM toks JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "quality", "lm", "text"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: train token frequencies on the corpus
+    itself (one groupBy), then score every document by its mean
+    negative log-probability — the cheap perplexity proxy used to
+    rank/flter pretraining text (high nll = rare-token gibberish, low
+    nll = repetitive boilerplate). nll = ln(T) - mean(ln(count(tok)))
+    keeps all aggregation in integer counts until one final ln/avg.
+
+    Scale shape: the vocab table is vocabulary-sized (millions of rows
+    at 100 TB, far under the broadcast cap after the count agg); the
+    scoring join is therefore a broadcast map-side join — the corpus
+    token stream never shuffles until the per-doc aggregate. The global
+    token total is a 1-row broadcast cross join."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("t"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.first(F.log("t")) - F.avg(F.log("c")), 4
+            ).alias("nll"),
+        )
+    )
+
+
+@query(
+    "q_source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_before,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           bit_xor(CASE WHEN rn <= 15
+                        THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   END) AS kept_hash
+    FROM ranked GROUP BY source
+    """,
+    tags=("pipeline", "sampling", "quota", "window"),
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (domain balancing): keep at most 15 docs
+    per source, chosen by deterministic md5 order — the anti-domination
+    lever that stops one crawl domain from flooding the mixture. The
+    kept set is fingerprinted (bit_xor over kept doc hashes) so the
+    oracle verifies WHICH docs survive, not just how many.
+
+    Scale shape: one window partitioned BY SOURCE (never global); a
+    skewed mega-domain is exactly the case the cap exists for — if one
+    source's partition is too large for a task, pre-filter with an
+    approximate per-source count and sample before ranking (same
+    two-pass trick as q_seeded_shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    )
+    kept_h = _H48.format(expr="cast(doc_id as string)")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum((F.col("rn") <= 15).cast("int")).cast("bigint").alias("n_kept"),
+            F.expr(f"bit_xor(case when rn <= 15 then {kept_h} end)").alias(
+                "kept_hash"
+            ),
+        )
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM vocab
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope
+    FROM ranked WHERE rank <= 1000
+    """,
+    tags=("pipeline", "stats", "corpus"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf audit: regression slope of log-frequency vs log-rank
+    over the top-1000 vocabulary. Natural text sits near -1; a corpus
+    whose slope drifts far from it is machine-generated, boilerplate-
+    heavy, or truncated — a one-row health metric data teams track
+    per crawl snapshot.
+
+    Scale shape: everything after the token count is vocabulary-sized;
+    the rank window orders at most the top-1000 rows that survive the
+    frequency cut... except ranking must precede the cut, so the window
+    runs over the vocab table — vocabulary-sized, not corpus-sized, and
+    single-partition only over ~1e6-row vocab aggregates (acceptable; a
+    100 TB deployment would pre-prune with an approx frequency floor)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    ).filter(F.col("rank") <= 1000)
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias("zipf_slope"),
+    )
+
+
+# Bloom geometry: m = 2^16 bits (three independent 16-bit positions per
+# gram fall out of one md5 as 4-hex-digit slices — no modulo, so Spark
+# and DuckDB agree bit-for-bit), k = 3.
+_BLOOM_K_OFFSETS = (1, 5, 9)
+
+
+def _bloom_positions_sql(gram_expr: str) -> list[str]:
+    return [
+        f"('0x' || substr(md5({gram_expr}), {o}, 4))::BIGINT"
+        for o in _BLOOM_K_OFFSETS
+    ]
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, source, unnest(range(1, greatest(len(w) - 3, 1))) AS i, w
+            FROM t),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                   AS gram
+        FROM idx
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+    bits AS (
+        SELECT DISTINCT pos FROM bench,
+        unnest([{", ".join(_bloom_positions_sql("gram"))}]) AS u(pos)
+    ),
+    corpus_pos AS (
+        SELECT g.doc_id, g.source, g.gram, u.pos
+        FROM grams g, unnest([{", ".join(_bloom_positions_sql("g.gram"))}]) AS u(pos)
+        WHERE g.doc_id >= 10
+    ),
+    bloom_pos_grams AS (
+        SELECT doc_id, source, gram
+        FROM corpus_pos c JOIN bits b ON b.pos = c.pos
+        GROUP BY doc_id, source, gram
+        HAVING count(*) = {len(_BLOOM_K_OFFSETS)}
+    ),
+    exact_grams AS (
+        SELECT g.doc_id, g.gram FROM grams g
+        JOIN bench b ON b.gram = g.gram WHERE g.doc_id >= 10
+    ),
+    per_doc AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN EXISTS (SELECT 1 FROM bloom_pos_grams p
+                                 WHERE p.doc_id = d.doc_id) THEN 1 ELSE 0 END AS bloomed,
+               CASE WHEN EXISTS (SELECT 1 FROM exact_grams e
+                                 WHERE e.doc_id = d.doc_id) THEN 1 ELSE 0 END AS exact
+        FROM documents d WHERE d.doc_id >= 10
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(bloomed) AS BIGINT) AS n_bloom_flagged,
+           CAST(sum(exact) AS BIGINT) AS n_exact_flagged,
+           CAST(sum(bloomed) - sum(exact) AS BIGINT) AS n_false_pos
+    FROM per_doc GROUP BY source
+    """,
+    tags=("pipeline", "decontamination", "sketch", "bloom"),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination with an in-plan exactness
+    audit. The benchmark 5-gram set (doc_id < 10 stands in for the eval
+    suite, as in q_decontaminate) is folded into a 2^16-bit Bloom
+    filter; corpus docs are flagged when any of their grams hits all
+    k=3 bloom positions. Because a Bloom filter has no false negatives,
+    exact-flagged docs are a subset of bloom-flagged docs — the plan
+    computes both and reports n_false_pos = bloom - exact per source,
+    so the driver verifies the filter's soundness AND measures its
+    precision (same auditable-estimator contract as q_ann_ivf_topk).
+
+    Scale shape: at 100 TB the bloom bit set is what ships — ~8 KB
+    here, <=2^16 distinct positions always, broadcast to every task
+    regardless of benchmark size (the exact gram set, broadcast in
+    q_decontaminate, can be GBs); membership is then a map-side join.
+    The exact arm exists for the audit and would be sampled in
+    production."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.greatest(F.size(w) - 4, F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(
+                    " ", w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(F.substring(F.md5(col), o, 4), 16, 10).cast("long")
+                for o in _BLOOM_K_OFFSETS
+            ]
+        )
+
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    bits = bench.select(
+        F.explode(positions(F.col("gram"))).alias("pos")
+    ).distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    corpus_pos = corpus.select(
+        "doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos")
+    )
+    bloom_docs = (
+        corpus_pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == len(_BLOOM_K_OFFSETS))
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloomed", F.lit(1))
+    )
+    exact_docs = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact", F.lit(1))
+    )
+    base = docs.filter(F.col("doc_id") >= 10).select("doc_id", "source")
+    flagged = base.join(F.broadcast(bloom_docs), "doc_id", "left").join(
+        F.broadcast(exact_docs), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("bloomed", F.lit(0))).cast("bigint").alias(
+            "n_bloom_flagged"
+        ),
+        F.sum(F.coalesce("exact", F.lit(0))).cast("bigint").alias(
+            "n_exact_flagged"
+        ),
+        (
+            F.sum(F.coalesce("bloomed", F.lit(0)))
+            - F.sum(F.coalesce("exact", F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
