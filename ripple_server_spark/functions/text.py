@@ -161,6 +161,32 @@ def shingles_pandas(text: Column, k: int = SHINGLE_K) -> Column:
     return _shingle_udfs[k](text)
 
 
+_span_udfs: dict = {}
+
+
+def spans_pandas(text: Column, width: int) -> Column:
+    """Arrow-batched non-overlapping word-window segmenter: text ->
+    [span_0, span_1, ...] where span_i = words[i*width:(i+1)*width]
+    joined by spaces (last span may be short). Same rationale as
+    :func:`shingles_pandas`: the HOF-expression form re-evaluates the
+    captured split() per lambda invocation (lambdas block codegen
+    subexpression elimination), so the Arrow kernel is the large-corpus
+    path. Use with posexplode to recover (span_idx, span)."""
+    if width not in _span_udfs:
+
+        def _kernel(s: pd.Series) -> pd.Series:
+            out = []
+            for t in s:
+                w = t.split(" ")
+                out.append(
+                    [" ".join(w[i : i + width]) for i in range(0, len(w), width)]
+                )
+            return pd.Series(out)
+
+        _span_udfs[width] = pandas_udf(_kernel, "array<string>")
+    return _span_udfs[width](text)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: whole-content hash + min-shingle hash.
 

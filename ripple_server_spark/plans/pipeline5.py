@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
 from ripple_server_spark.config import JACCARD_THRESHOLD
-from ripple_server_spark.functions.text import shingles_pandas
+from ripple_server_spark.functions.text import shingles_pandas, spans_pandas
 from ripple_server_spark.operators import dedup as _dedup
 from ripple_server_spark.plans.registry import query
 
@@ -83,23 +83,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts WITHIN each doc's collected spans — no global sort. One
     corpus-sized shuffle total (the per-doc groupBy)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n_spans = F.ceil(F.size(w) / F.lit(float(SPAN_WORDS))).cast("bigint")
+    # Arrow span kernel + posexplode: the HOF-expression alternative
+    # captures split(text) in its lambda and re-splits per span (lambdas
+    # block codegen subexpression elimination).
     spans = docs.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.struct(
-                    i.alias("span_idx"),
-                    F.concat_ws(
-                        " ", F.slice(w, i * SPAN_WORDS + 1, SPAN_WORDS)
-                    ).alias("span"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", "source", "s.span_idx", "s.span")
+        F.posexplode(spans_pandas(F.col("text"), SPAN_WORDS)).alias(
+            "span_idx", "span"
+        ),
+    )
     boiler = (
         spans.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("nd"))
