@@ -477,3 +477,146 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_embedding_decontaminate",
+    oracle="""
+    WITH mx AS (
+        SELECT b.vec_id, b.label,
+               round(max(list_dot_product(a.embedding, b.embedding) /
+                     (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding)))), 6)
+                   AS max_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 10 AND b.vec_id >= 10
+        GROUP BY b.vec_id, b.label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(max(max_sim), 4) AS top_sim
+    FROM mx GROUP BY label
+    """,
+    tags=("pipeline", "decontamination", "vectors"),
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: the third arm next
+    to exact n-gram (q_decontaminate) and fuzzy MinHash
+    (q_fuzzy_decontaminate) — flag corpus vectors whose max cosine to
+    any benchmark vector (vec_id < 10) crosses the threshold, per
+    label. Catches reworded leakage that shares no surface n-grams.
+
+    Scale shape: the benchmark side is tiny and BROADCAST; one scan of
+    the corpus computes a running max over bench vectors (the join
+    fan-out is |corpus| x |bench| rows but map-side only, reduced by a
+    partial-agg max before any shuffle). At real scale the bench side
+    is still thousands of vectors — the same brute-force broadcast
+    shape as cosine_topk_scan, with IVF/LSH pruning (q_ann_*) as the
+    documented escalation."""
+    from ripple_server_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 10).select(
+        F.col("embedding").alias("be"),
+        l2_norm(F.col("embedding")).alias("bn"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("cn")
+    )
+    mx = (
+        corpus.join(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            (dot(F.col("be"), F.col("embedding")) / (F.col("bn") * F.col("cn"))).alias(
+                "sim"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.max("sim"), 6).alias("max_sim"))
+    )
+    return mx.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum((F.col("max_sim") >= 0.35).cast("int")).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        F.round(F.max("max_sim"), 4).alias("top_sim"),
+    )
+
+
+@query(
+    "q_corpus_pipeline_e2e",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE n_chars >= 150 AND len(string_split(text, ' ')) >= 25
+          AND lang IN ('en', 'de', 'fr')
+    ),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+    ),
+    survivors AS (
+        SELECT f.* FROM filtered f JOIN exact_kept k ON k.doc_id = f.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM survivors
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS kept_hash
+    FROM ranked WHERE rn <= 15
+    GROUP BY source
+    """,
+    tags=("pipeline", "e2e", "dedup", "quality", "quota"),
+)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus assembly run, one declared plan: quality
+    filter (length / word count / language) -> exact near... exact
+    dedup (keep min doc_id per content hash) -> per-source quota cap
+    (md5-deterministic, 15 docs) -> per-source yield report with a
+    kept-set fingerprint. This is the composition the individual
+    operators exist for; the fingerprint proves WHICH documents the
+    whole pipeline kept, end to end.
+
+    Scale shape: filter is scan-pushed, dedup is one hash shuffle on
+    md5(text), the keep join is an AQE-sized semi join, the quota
+    window partitions by source — no global window, no collect, three
+    shuffles total for a full corpus run."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    filtered = docs.filter(
+        (F.col("n_chars") >= 150)
+        & (words >= 25)
+        & F.col("lang").isin("en", "de", "fr")
+    ).select(
+        "doc_id", "source", "text", words.cast("bigint").alias("n_tokens")
+    )
+    exact_kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = filtered.join(exact_kept, "doc_id", "left_semi")
+    rank_key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    )
+    kept_h = _H48.format(expr="cast(doc_id as string)")
+    return (
+        survivors.withColumn("rn", rn)
+        .filter(F.col("rn") <= 15)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.expr(f"bit_xor({kept_h})").alias("kept_hash"),
+        )
+    )
