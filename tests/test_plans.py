@@ -221,3 +221,38 @@ def test_pipeline_projection_ops_have_no_shuffle_or_python(spark):
         p = plan(build(spark, name))
         assert "Exchange" not in p, f"{name} shuffles"
         assert "EvalPython" not in p, f"{name} leaves codegen"
+
+
+def test_span_dedup_no_global_sort(spark):
+    """Span reassembly must sort within each doc's collected spans only
+    (array_sort), never globally, and the per-doc/per-source rollups
+    are ordinary partial aggregates."""
+    p = plan(build(spark, "q_span_dedup"))
+    assert "Sort [" not in p.replace("SortAggregate", "")
+    assert "Window" not in p
+
+
+def test_unigram_logprob_vocab_join_is_mapside(spark):
+    """The vocab scoring join and the 1-row total join must broadcast —
+    the corpus token stream shuffles only at the per-doc aggregate."""
+    p = plan(build(spark, "q_unigram_logprob"))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quota_cap_window_partitions_by_source(spark):
+    """The quota window must be partitioned (per source), never a
+    global single-partition window."""
+    p = plan(build(spark, "q_source_quota_cap"))
+    assert "Window" in p
+    assert "partitionBy" not in p or "source" in p  # formatted plans inline specs
+    # a global window would show an Exchange SinglePartition feeding it
+    assert "SinglePartition" not in p
+
+
+def test_corpus_pipeline_e2e_shape(spark):
+    """End-to-end assembly: dedup keep-join stays a semi join, the
+    quota window is source-partitioned, no global sort."""
+    p = plan(build(spark, "q_corpus_pipeline_e2e"))
+    assert "LeftSemi" in p
+    assert "SinglePartition" not in p
