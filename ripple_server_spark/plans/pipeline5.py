@@ -283,6 +283,69 @@ def _bloom_positions_sql(gram_expr: str) -> list[str]:
     ]
 
 
+def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
+    """Per-doc Bloom + exact contamination flags: (doc_id, source,
+    bloomed, exact) for every corpus doc (doc_id >= bench_below); the
+    benchmark is docs with doc_id < bench_below. Factored out of
+    q_bloom_decontaminate so property tests can drive it on arbitrary
+    tables (tests/test_property.py cross-checks against a pure-Python
+    Bloom simulation)."""
+    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
+    # construction, so no distinct shuffle is needed — and ~10x faster
+    # than the HOF-expression form, whose lambda re-splits the text per
+    # element (lambdas block codegen subexpression elimination).
+    # Persisted: the gram table feeds four consumers (bench set, bloom
+    # probe position fan-out, exact arm, probe grouping).
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_pandas(F.col("text"), 5)).alias("gram"),
+    ).persist()
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(F.substring(F.md5(col), o, 4), 16, 10).cast("long")
+                for o in _BLOOM_K_OFFSETS
+            ]
+        )
+
+    bench = grams.filter(F.col("doc_id") < bench_below).select("gram").distinct()
+    bits = bench.select(
+        F.explode(positions(F.col("gram"))).alias("pos")
+    ).distinct()
+    corpus = grams.filter(F.col("doc_id") >= bench_below)
+    corpus_pos = corpus.select(
+        "doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos")
+    )
+    bloom_docs = (
+        corpus_pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == len(_BLOOM_K_OFFSETS))
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloomed", F.lit(1))
+    )
+    exact_docs = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact", F.lit(1))
+    )
+    base = docs.filter(F.col("doc_id") >= bench_below).select("doc_id", "source")
+    return (
+        base.join(F.broadcast(bloom_docs), "doc_id", "left")
+        .join(F.broadcast(exact_docs), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("bloomed", F.lit(0)).alias("bloomed"),
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+        )
+    )
+
+
 @query(
     "q_bloom_decontaminate",
     oracle=f"""
@@ -351,67 +414,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact arm exists for the audit and would be sampled in
     production."""
     docs = load_table(spark, sf_dir, "documents")
-    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
-    # construction, so no distinct shuffle is needed — and ~10x faster
-    # than the HOF-expression form, whose lambda re-splits the text per
-    # element (lambdas block codegen subexpression elimination).
-    # Persisted: the gram table feeds four consumers (bench set, bloom
-    # probe position fan-out, exact arm, probe grouping).
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(shingles_pandas(F.col("text"), 5)).alias("gram"),
-    ).persist()
-
-    def positions(col):
-        return F.array(
-            *[
-                F.conv(F.substring(F.md5(col), o, 4), 16, 10).cast("long")
-                for o in _BLOOM_K_OFFSETS
-            ]
-        )
-
-    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
-    bits = bench.select(
-        F.explode(positions(F.col("gram"))).alias("pos")
-    ).distinct()
-    corpus = grams.filter(F.col("doc_id") >= 10)
-    corpus_pos = corpus.select(
-        "doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos")
-    )
-    bloom_docs = (
-        corpus_pos.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("k_hits"))
-        .filter(F.col("k_hits") == len(_BLOOM_K_OFFSETS))
-        .select("doc_id")
-        .distinct()
-        .withColumn("bloomed", F.lit(1))
-    )
-    exact_docs = (
-        corpus.join(F.broadcast(bench), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact", F.lit(1))
-    )
-    base = docs.filter(F.col("doc_id") >= 10).select("doc_id", "source")
-    flagged = base.join(F.broadcast(bloom_docs), "doc_id", "left").join(
-        F.broadcast(exact_docs), "doc_id", "left"
-    )
+    flagged = bloom_doc_flags(docs)
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.coalesce("bloomed", F.lit(0))).cast("bigint").alias(
-            "n_bloom_flagged"
-        ),
-        F.sum(F.coalesce("exact", F.lit(0))).cast("bigint").alias(
-            "n_exact_flagged"
-        ),
-        (
-            F.sum(F.coalesce("bloomed", F.lit(0)))
-            - F.sum(F.coalesce("exact", F.lit(0)))
-        )
-        .cast("bigint")
-        .alias("n_false_pos"),
+        F.sum("bloomed").cast("bigint").alias("n_bloom_flagged"),
+        F.sum("exact").cast("bigint").alias("n_exact_flagged"),
+        (F.sum("bloomed") - F.sum("exact")).cast("bigint").alias("n_false_pos"),
     )
 
 

@@ -203,3 +203,87 @@ def test_topic_store_invariants(spark, tmp_path_factory, sizes, consumes):
             store.commit("c", "t", bucket=0, offset=nxt)
             expect_off = nxt
         # without commit the next consume re-reads from expect_off
+
+
+# ---------------------------------------------------------------------------
+# Round-3 corpus-hygiene invariants
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_span_kernel_matches_naive(spark, texts):
+    """spans_pandas == naive non-overlapping W-word segmentation
+    (including empty and shorter-than-W texts)."""
+    from ripple_server_spark.functions.text import spans_pandas
+
+    W = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in df.select(
+            "doc_id", spans_pandas(F.col("text"), W).alias("spans")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        want = [" ".join(w[j : j + W]) for j in range(0, len(w), W)]
+        assert got[i] == want, (t, got[i], want)
+
+
+def _py_bloom_flags(texts: dict[int, str], bench_below: int):
+    """Pure-Python simulation of bloom_doc_flags: 5-gram sets, md5-slice
+    positions, k-position AND membership."""
+    import hashlib
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)} if len(w) >= 5 else set()
+
+    def pos(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return {int(h[0:4], 16), int(h[4:8], 16), int(h[8:12], 16)}
+
+    bench = set().union(*(grams(t) for d, t in texts.items() if d < bench_below), set())
+    bits = set().union(*(pos(g) for g in bench), set())
+    out = {}
+    for d, t in texts.items():
+        if d < bench_below:
+            continue
+        g = grams(t)
+        exact = int(bool(g & bench))
+        bloomed = int(any(pos(x) <= bits for x in g))
+        out[d] = (bloomed, exact)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_bloom_flags_match_python_simulation(spark, texts):
+    """bloom_doc_flags == an independent pure-Python Bloom simulation,
+    and the no-false-negative invariant (exact => bloomed) holds."""
+    from ripple_server_spark.plans.pipeline5 import bloom_doc_flags
+
+    table = {i: t for i, t in enumerate(texts)}
+    bench_below = max(1, len(texts) // 3)
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in table.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["bloomed"], r["exact"])
+        for r in bloom_doc_flags(df, bench_below=bench_below).collect()
+    }
+    want = _py_bloom_flags(table, bench_below)
+    assert got == want
+    for bloomed, exact in got.values():
+        assert exact <= bloomed  # Bloom filters have no false negatives
