@@ -195,3 +195,75 @@ def run_available_now(writer: DataStreamWriter) -> None:
     parity trigger used by tests)."""
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+class StreamingGate:
+    """Per-micro-batch quality gating for streaming writes: attach
+    observed metrics (Spark Observation expressions) to the streaming
+    DataFrame, collect them per batch from the progress events, and
+    expose violations — the streaming face of
+    ``operators/observe.QualityGate``.
+
+    Metrics accumulate inside each micro-batch's execution (no extra
+    pass over the stream); progress events deliver them to the driver
+    after every batch. ``violations()`` replays the rules over every
+    batch seen so far, so a pipeline can poll between batches or assert
+    once at the end of an ``availableNow`` run.
+
+    At scale this is how streaming ingest enforces contracts (null keys,
+    empty payloads, late-data floods) without a second subscription on
+    the topic."""
+
+    def __init__(self, name: str = "stream_gate") -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.name = name
+        self.batches: list[dict] = []
+        self._rules: list[tuple[str, object, str]] = []
+        gate = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                om = event.progress.observedMetrics
+                row = om.get(gate.name)
+                if row is not None:
+                    gate.batches.append(row.asDict())
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._listener = _Listener()
+
+    def attach(self, spark, df: DataFrame, **metrics) -> DataFrame:
+        """Register the listener and attach named metric expressions.
+        Streaming DataFrames use the string-name observe form (an
+        Observation object is batch-only)."""
+        spark.streams.addListener(self._listener)
+        named = [expr.alias(n) for n, expr in metrics.items()]
+        return df.observe(self.name, *named)
+
+    def require(self, metric: str, pred, rule: str) -> "StreamingGate":
+        self._rules.append((metric, pred, rule))
+        return self
+
+    def violations(self) -> list[tuple[int, str, object, str]]:
+        """(batch_index, metric, value, rule) for every rule failure.
+
+        Empty micro-batches (e.g. a source's startup batch) report
+        count metrics as 0 and sum metrics as None — predicates must
+        tolerate both (or the caller filters batches by n_rows)."""
+        out = []
+        for i, row in enumerate(self.batches):
+            for m, pred, rule in self._rules:
+                if m in row and not pred(row[m]):
+                    out.append((i, m, row[m], rule))
+        return out
+
+    def close(self, spark) -> None:
+        spark.streams.removeListener(self._listener)

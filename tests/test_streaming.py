@@ -222,3 +222,54 @@ def test_fanout_write_replay_is_idempotent(spark, store, tmp_path):
         for p in replicas
     ]
     assert after == before, "replayed batch duplicated replica rows"
+
+
+def test_streaming_gate_observes_and_flags(spark, tmp_path):
+    """StreamingGate: per-batch observed metrics arrive via the
+    listener (no extra pass), clean batches pass, a rule violation is
+    reported with its batch and value."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.streaming.api import StreamingGate
+
+    from tests.conftest import SF_SMOKE
+
+    src_dir = str(tmp_path / "in")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src_dir)
+
+    gate = StreamingGate("doc_gate")
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    observed = gate.attach(
+        spark,
+        stream,
+        n_rows=F.count(F.lit(1)),
+        short_docs=F.sum((F.length("text") < 5).cast("long")),
+    )
+    gate.require(
+        "short_docs", lambda v: (v or 0) == 0, "no near-empty documents"
+    )
+    # impossible rule proves violations carry batch + value
+    gate.require("n_rows", lambda v: (v or 0) < 10, "tiny-batch rule (expected to fail)")
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener delivery is async — poll briefly
+        deadline = time.time() + 20
+        while time.time() < deadline and not gate.batches:
+            time.sleep(0.2)
+    finally:
+        gate.close(spark)
+    rows = sum(b.get("n_rows", 0) for b in gate.batches)
+    assert rows == docs.count()
+    viols = gate.violations()
+    assert all(m != "short_docs" for _, m, _, _ in viols)
+    assert any(m == "n_rows" and v >= 10 for _, m, v, _ in viols)
