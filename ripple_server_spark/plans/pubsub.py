@@ -314,3 +314,75 @@ def q_fanout_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "':', event_type)), 1, 12), 16, 10) as bigint))"
         ).alias("content_hash"),
     )
+
+
+@query(
+    "q_topic_time_travel",
+    oracle="""
+    SELECT 'first_batch' AS snapshot,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT 'latest' AS snapshot,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("pubsub", "time-travel", "mvcc", "manifest"),
+)
+def q_topic_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC time travel on the topic log: produce two batches, COMPACT
+    the log between reads, then read the manifest version pinned after
+    batch 1 alongside the latest version — the pinned snapshot must
+    still equal exactly batch 1 (content-fingerprinted) even though
+    compaction rewrote the data layout underneath. This is the
+    Delta/Iceberg-style `VERSION AS OF` read the manifest-log commit
+    protocol exists to support (reader pins a version; writers only
+    ever add manifests).
+
+    Scale: a version read lists the pinned manifest's files — O(files
+    in snapshot), no log replay; compaction cost is amortized
+    maintenance (sources/maintenance.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_time_travel_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("tt", n_buckets=4)
+    store.produce(ev.filter(F.col("event_id") < 1000), "tt", key_col="user_id")
+    v1, _ = store.latest_manifest("tt")
+    store.produce(
+        ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)),
+        "tt",
+        key_col="user_id",
+    )
+    store.compact("tt")
+
+    def snap(df: DataFrame, label: str) -> DataFrame:
+        h = (
+            "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12),"
+            " 16, 10) as bigint))"
+        )
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.expr(h).alias("ids_hash"),
+        )
+
+    pinned = store.read_topic("tt", version=v1)
+    latest = store.read_topic("tt")
+    return snap(pinned, "first_batch").unionAll(snap(latest, "latest"))
