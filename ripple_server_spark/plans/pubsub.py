@@ -386,3 +386,78 @@ def q_topic_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned = store.read_topic("tt", version=v1)
     latest = store.read_topic("tt")
     return snap(pinned, "first_batch").unionAll(snap(latest, "latest"))
+
+
+@query(
+    "q_consumer_lag",
+    oracle="""
+    WITH depth AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS bucket, count(*) AS depth
+      FROM events WHERE event_id < 2000 GROUP BY 1
+    ),
+    consumers(consumer_id, bucket, committed) AS (
+      VALUES ('fast', 0, 0), ('fast', 1, 25), ('fast', 2, 50), ('fast', 3, 75),
+             ('slow', 0, 0), ('slow', 1, 0), ('slow', 2, 0), ('slow', 3, 0)
+    )
+    SELECT c.consumer_id, CAST(c.bucket AS BIGINT) AS bucket,
+           CAST(c.committed AS BIGINT) AS committed,
+           d.depth,
+           d.depth - c.committed AS lag
+    FROM consumers c JOIN depth d ON d.bucket = c.bucket
+    """,
+    tags=("pubsub", "offsets", "lag", "ops"),
+)
+def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag report: per (consumer, bucket), the gap between the
+    committed offset and the bucket's high-water mark — THE operational
+    metric of a message queue (the reference tracks exactly this state
+    in its per-consumer ZK cursors + bucket queues). Exercises the real
+    TopicStore: produce routes by user_id, one consumer commits
+    per-bucket offsets, one never commits; lag comes from the store's
+    committed_offsets + manifest-served bucket maxima (no log scan).
+
+    Scale: depth is a partial-agg count per bucket; committed offsets
+    are O(consumers x buckets) metadata — the report is a broadcast
+    join of metadata against the depth aggregate."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_consumer_lag_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("lagtest", n_buckets=4)
+    store.produce(
+        ev.select("event_id", "user_id", "ts"), "lagtest", key_col="user_id"
+    )
+    for cid in ("fast", "slow"):
+        store.register_consumer(cid, "lagtest")
+    for b in range(4):
+        store.commit("fast", "lagtest", bucket=b, offset=25 * b)
+
+    depth = (
+        store.read_topic("lagtest")
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("depth"))
+    )
+    committed_rows = [
+        (cid, int(b), int(store.committed_offsets(cid, "lagtest").get(b, 0)))
+        for cid in ("fast", "slow")
+        for b in range(4)
+    ]
+    consumers = spark.createDataFrame(
+        committed_rows, "consumer_id string, bucket bigint, committed bigint"
+    )
+    return F.broadcast(consumers).join(depth, "bucket").select(
+        "consumer_id",
+        "bucket",
+        "committed",
+        "depth",
+        (F.col("depth") - F.col("committed")).alias("lag"),
+    )
