@@ -309,9 +309,24 @@ class TopicStore:
             b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
         }
 
+        # Message schema of the staged files (bucket is a partition dir,
+        # not a file column): tracked in the manifest so reads only pay
+        # footer-merging (mergeSchema) after a producer actually evolved
+        # the schema — the Delta/Iceberg metadata-tracked-evolution shape.
+        fields = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in routed.drop("bucket").schema.fields
+        ]
+
         def apply(m: dict) -> dict:
             m["files"] = list(m["files"]) + new_files
             m["maxima"] = {str(b): x for b, x in maxima.items()}
+            prev = m.get("schema")
+            if prev is None:
+                m["schema"] = fields
+            elif set(prev) != set(fields):
+                m["schema"] = list(prev) + [f for f in fields if f not in prev]
+                m["schema_evolved"] = True
             if batch_id is not None:
                 m["applied_batches"] = (
                     list(m.get("applied_batches", [])) + [batch_id]
@@ -361,7 +376,16 @@ class TopicStore:
             # directory read of an empty log would
             return self.spark.read.parquet(data)
         paths = [os.path.join(data, rel) for rel in m["files"]]
-        return self.spark.read.option("basePath", data).parquet(*paths)
+        # mergeSchema only when the manifest recorded an actual schema
+        # evolution: without it the read silently adopts one file's
+        # schema and DROPS evolved columns; with it unconditionally,
+        # every read pays driver-side footer merging. Union semantics
+        # (old rows null out new columns) match Delta/Iceberg evolution;
+        # compaction rewrites to one uniform schema and clears the flag.
+        reader = self.spark.read.option("basePath", data)
+        if m.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- maintenance -------------------------------------------------------
     def compact(self, topic: str, base_version: int | None = None) -> None:
@@ -406,6 +430,10 @@ class TopicStore:
             # keep files committed concurrently (not part of our input)
             kept = [f for f in m["files"] if f not in compacted_input]
             m["files"] = new_files + kept
+            # compacted files share one (merged) schema; only files a
+            # concurrent producer landed mid-compact can still diverge
+            if not kept:
+                m["schema_evolved"] = False
             return m
 
         self._commit(topic, base_v, apply)

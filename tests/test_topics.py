@@ -190,3 +190,57 @@ def test_produce_batch_id_idempotence(spark, sf_dir, tmp_path):
     ).collect()
     for r in chk:
         assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_schema_evolution_on_produce(spark, tmp_path):
+    """A later produce may ADD columns; snapshot reads must surface the
+    union schema with nulls for pre-evolution rows (previously the read
+    silently dropped evolved columns)."""
+    from ripple_server_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    store = TopicStore(spark, str(tmp_path))
+    store.create_topic("evo", n_buckets=2)
+    store.produce(ev.filter(F.col("event_id") < 100), "evo", key_col="user_id")
+    store.produce(
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+        .withColumn("tag", F.lit("v2")),
+        "evo",
+        key_col="user_id",
+    )
+    df = store.read_topic("evo")
+    assert "tag" in df.columns
+    assert df.count() == 200
+    assert df.filter(F.col("tag").isNull()).count() == 100  # old rows
+    assert df.filter(F.col("tag") == "v2").count() == 100
+    # consume path carries the evolved column too
+    batch, _ = store.consume("c-evo", "evo", bucket=0, count=10_000)
+    assert "tag" in batch.columns
+
+
+def test_schema_evolution_flag_and_compact_reset(spark, tmp_path):
+    """The manifest tracks evolution: un-evolved topics read without
+    mergeSchema; an evolving produce sets the flag; compaction rewrites
+    to one uniform schema and clears it (evolved column survives)."""
+    from ripple_server_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    store = TopicStore(spark, str(tmp_path))
+    store.create_topic("evo2", n_buckets=2)
+    store.produce(ev.filter(F.col("event_id") < 100), "evo2", key_col="user_id")
+    assert not store.latest_manifest("evo2")[1].get("schema_evolved")
+    store.produce(
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+        .withColumn("tag", F.lit("v2")),
+        "evo2",
+        key_col="user_id",
+    )
+    assert store.latest_manifest("evo2")[1]["schema_evolved"] is True
+    store.compact("evo2")
+    m = store.latest_manifest("evo2")[1]
+    assert m["schema_evolved"] is False
+    df = store.read_topic("evo2")
+    assert "tag" in df.columns and df.count() == 200
+    assert df.filter(F.col("tag") == "v2").count() == 100
