@@ -318,9 +318,30 @@ class TopicStore:
             for f in routed.drop("bucket").schema.fields
         ]
 
+        touched = [b for b in range(n_buckets) if int(got[f"c{b}"]) > 0]
+        state = {"files": new_files, "existing": existing, "maxima": maxima}
+
+        class _SeqRace(Exception):
+            """A concurrent produce advanced a bucket we also appended
+            to: our staged seqs were computed from a stale base and
+            would overlap — the commit must NOT land as-is."""
+
+            def __init__(self, latest_maxima: dict[int, int]):
+                self.latest_maxima = latest_maxima
+
         def apply(m: dict) -> dict:
-            m["files"] = list(m["files"]) + new_files
-            m["maxima"] = {str(b): x for b, x in maxima.items()}
+            cur = {int(b): x for b, x in m.get("maxima", {}).items()}
+            if any(
+                cur.get(b, -1) != state["existing"].get(b, -1) for b in touched
+            ):
+                raise _SeqRace(cur)
+            m["files"] = list(m["files"]) + state["files"]
+            # merge per TOUCHED bucket only — blanket overwrite would
+            # clobber a concurrent producer's counts on other buckets
+            mx = dict(m.get("maxima", {}))
+            for b in touched:
+                mx[str(b)] = state["maxima"][b]
+            m["maxima"] = mx
             prev = m.get("schema")
             if prev is None:
                 m["schema"] = fields
@@ -333,8 +354,51 @@ class TopicStore:
                 )[-1000:]
             return m
 
-        self._commit(topic, base_v, apply)
-        self._maxima[topic] = maxima
+        while True:
+            try:
+                committed = self._commit(topic, base_v, apply)
+                break
+            except _SeqRace as race:
+                # Seq rebase: shift our staged rows by the per-bucket
+                # delta and restage. The superseded staged files were
+                # never committed — they are crash-orphan-equivalent and
+                # vacuum reclaims them. One extra pass over the BATCH
+                # (never the topic), only on an actual write race.
+                new_existing = race.latest_maxima
+                data = self.data_dir(topic)
+                old_paths = [os.path.join(data, f) for f in state["files"]]
+                deltas = [
+                    (b, new_existing.get(b, -1) - state["existing"].get(b, -1))
+                    for b in touched
+                ]
+                delta_df = self.spark.createDataFrame(
+                    deltas, "bucket int, _delta bigint"
+                )
+                shifted = (
+                    self.spark.read.option("basePath", data)
+                    .parquet(*old_paths)
+                    .join(F.broadcast(delta_df), on="bucket", how="left")
+                    .withColumn(
+                        "seq", F.col("seq") + F.coalesce(F.col("_delta"), F.lit(0))
+                    )
+                    .drop("_delta")
+                )
+                restage = os.path.join(
+                    self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
+                )
+                shifted.write.mode("overwrite").partitionBy("bucket").parquet(
+                    restage
+                )
+                state["files"] = self._move_staged(topic, restage)
+                state["existing"] = new_existing
+                state["maxima"] = {
+                    b: new_existing.get(b, -1) + int(got[f"c{b}"])
+                    for b in touched
+                }
+                base_v, _ = self.latest_manifest(topic)
+        self._maxima[topic] = {
+            int(b): x for b, x in committed["maxima"].items()
+        }
         return int(got["n"])
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:

@@ -129,3 +129,47 @@ def test_cold_store_instance_never_scans_for_maxima(spark, sf_dir, tmp_path):
     after_jobs = tracker.getJobIdsForGroup(None)
     assert got == warm
     assert len(after_jobs) == len(before_jobs), "cold maxima launched a Spark job"
+
+
+def test_concurrent_produce_seq_race_is_rebased(spark, sf_dir, tmp_path):
+    """Two producers appending from the same observed base must not
+    assign overlapping seqs: the second commit detects the advanced
+    maxima, shifts its staged rows, and lands contiguously.
+
+    The race is forced deterministically: store1 warms its maxima
+    cache, store2 (a second instance on the same root) produces, then
+    store1 produces from its now-stale cache."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    b1 = ev.filter(F.col("event_id") < 100)
+    b2 = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+    b3 = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 300))
+
+    s1 = TopicStore(spark, str(tmp_path))
+    s1.create_topic("race", n_buckets=2)
+    s1.produce(b1, "race")  # warms s1's maxima cache
+    s2 = TopicStore(spark, str(tmp_path))
+    s2.produce(b2, "race")  # advances maxima behind s1's back
+    s1.produce(b3, "race")  # stale base -> must rebase, not overlap
+
+    df = s1.read_topic("race")
+    assert df.count() == 300
+    per_bucket = (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("seq").alias("nd"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["nd"] == r["n"], "overlapping seqs"
+        assert (r["lo"], r["hi"]) == (0, r["n"] - 1), "non-contiguous seqs"
+    # manifest maxima agree with the data
+    maxima = {int(b): x for b, x in s1.latest_manifest("race")[1]["maxima"].items()}
+    for r in per_bucket:
+        assert maxima[r["bucket"]] == r["hi"]
