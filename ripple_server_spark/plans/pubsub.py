@@ -461,3 +461,58 @@ def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "depth",
         (F.col("depth") - F.col("committed")).alias("lag"),
     )
+
+
+@query(
+    "q_topic_schema_evolution",
+    oracle="""
+    SELECT coalesce(tag, '<pre-evolution>') AS tag,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM (
+      SELECT event_id, CASE WHEN event_id % 2 = 1 THEN 'v2' END AS tag
+      FROM events
+    ) GROUP BY 1
+    """,
+    tags=("pubsub", "schema-evolution", "manifest"),
+)
+def q_topic_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the topic log, end to end: batch 2 adds a
+    column; the snapshot read must surface the union schema with
+    pre-evolution rows nulled (Delta/Iceberg semantics) — previously a
+    naive single-file-schema read silently DROPPED evolved columns.
+    The manifest tracks evolution so un-evolved topics never pay
+    footer-merge reads (sources/topics.py read_topic).
+
+    Scale: evolution costs one manifest flag; the merged-footer read is
+    O(files in snapshot) and compaction resets it."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_schema_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("evo", n_buckets=4)
+    store.produce(
+        ev.filter(F.col("event_id") % 2 == 0), "evo", key_col="user_id"
+    )
+    store.produce(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn("tag", F.lit("v2")),
+        "evo",
+        key_col="user_id",
+    )
+    return (
+        store.read_topic("evo")
+        .groupBy(F.coalesce("tag", F.lit("<pre-evolution>")).alias("tag"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+    )

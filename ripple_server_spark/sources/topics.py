@@ -342,12 +342,17 @@ class TopicStore:
             for b in touched:
                 mx[str(b)] = state["maxima"][b]
             m["maxima"] = mx
+            # an empty batch stages no files — its DataFrame schema must
+            # not evolve the manifest (nothing on disk carries it)
             prev = m.get("schema")
-            if prev is None:
-                m["schema"] = fields
-            elif set(prev) != set(fields):
-                m["schema"] = list(prev) + [f for f in fields if f not in prev]
-                m["schema_evolved"] = True
+            if state["files"]:
+                if prev is None:
+                    m["schema"] = fields
+                elif set(prev) != set(fields):
+                    m["schema"] = list(prev) + [
+                        f for f in fields if f not in prev
+                    ]
+                    m["schema_evolved"] = True
             if batch_id is not None:
                 m["applied_batches"] = (
                     list(m.get("applied_batches", [])) + [batch_id]
