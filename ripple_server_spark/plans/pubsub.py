@@ -324,14 +324,14 @@ def q_fanout_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(event_id) AS BIGINT) AS sum_ids,
            bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
                AS ids_hash
-    FROM events WHERE event_id < 1000
+    FROM events WHERE event_id % 2 = 0
     UNION ALL
     SELECT 'latest' AS snapshot,
            count(*) AS n_rows,
            CAST(sum(event_id) AS BIGINT) AS sum_ids,
            bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
                AS ids_hash
-    FROM events WHERE event_id < 2000
+    FROM events
     """,
     tags=("pubsub", "time-travel", "mvcc", "manifest"),
 )
@@ -362,12 +362,12 @@ def q_topic_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     store = TopicStore(spark, root)
     store.create_topic("tt", n_buckets=4)
-    store.produce(ev.filter(F.col("event_id") < 1000), "tt", key_col="user_id")
+    store.produce(
+        ev.filter(F.col("event_id") % 2 == 0), "tt", key_col="user_id"
+    )
     v1, _ = store.latest_manifest("tt")
     store.produce(
-        ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)),
-        "tt",
-        key_col="user_id",
+        ev.filter(F.col("event_id") % 2 == 1), "tt", key_col="user_id"
     )
     store.compact("tt")
 
