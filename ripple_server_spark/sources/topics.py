@@ -329,7 +329,19 @@ class TopicStore:
             def __init__(self, latest_maxima: dict[int, int]):
                 self.latest_maxima = latest_maxima
 
+        class _AlreadyApplied(Exception):
+            """A concurrent producer committed this batch_id after our
+            entry check: landing again would double-append. The staged
+            files become vacuum-reclaimed orphans."""
+
         def apply(m: dict) -> dict:
+            # idempotence must be re-checked INSIDE the commit, not just
+            # at entry — a replayed produce racing its twin would
+            # otherwise both pass the entry check and double-append
+            if batch_id is not None and batch_id in m.get(
+                "applied_batches", []
+            ):
+                raise _AlreadyApplied()
             cur = {int(b): x for b, x in m.get("maxima", {}).items()}
             if any(
                 cur.get(b, -1) != state["existing"].get(b, -1) for b in touched
@@ -363,6 +375,8 @@ class TopicStore:
             try:
                 committed = self._commit(topic, base_v, apply)
                 break
+            except _AlreadyApplied:
+                return 0
             except _SeqRace as race:
                 # Seq rebase: shift our staged rows by the per-bucket
                 # delta and restage. The superseded staged files were

@@ -173,3 +173,41 @@ def test_concurrent_produce_seq_race_is_rebased(spark, sf_dir, tmp_path):
     maxima = {int(b): x for b, x in s1.latest_manifest("race")[1]["maxima"].items()}
     for r in per_bucket:
         assert maxima[r["bucket"]] == r["hi"]
+
+
+def test_replayed_batch_id_race_cannot_double_append(spark, sf_dir, tmp_path):
+    """The batch_id idempotence check re-runs inside the commit: a
+    replayed produce whose twin landed after its entry check (forced
+    via a second store instance) must append nothing."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    batch = ev.filter(F.col("event_id") < 100)
+
+    s1 = TopicStore(spark, str(tmp_path))
+    s1.create_topic("idem", n_buckets=2)
+    s1.produce(batch, "idem", batch_id="B1")  # warms s1's caches
+    # s2 replays B1 — s2's entry check reads the manifest fresh and is
+    # a no-op; then force the in-commit path on a THIRD instance whose
+    # entry check is defeated by monkeypatching latest_manifest once.
+    s2 = TopicStore(spark, str(tmp_path))
+    assert s2.produce(batch, "idem", batch_id="B1") == 0
+
+    s3 = TopicStore(spark, str(tmp_path))
+    real = s3.latest_manifest
+    calls = {"n": 0}
+
+    def stale_once(topic):
+        v, m = real(topic)
+        calls["n"] += 1
+        if calls["n"] == 1:  # entry check sees a manifest without B1
+            m = dict(m)
+            m["applied_batches"] = []
+        return v, m
+
+    s3.latest_manifest = stale_once
+    assert s3.produce(batch, "idem", batch_id="B1") == 0
+
+    df = s1.read_topic("idem")
+    assert df.count() == 100  # appended exactly once across all replays
