@@ -18,8 +18,10 @@ DuckDB oracles regenerate them bit-for-bit) — no JVM/py hash seeds.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ripple_server_spark.config import (
     JACCARD_THRESHOLD,
@@ -198,6 +200,99 @@ def verify_jaccard(
     return _jaccard_finish(inter, sizes, threshold)
 
 
+
+_minhash_sig_udfs: dict = {}
+
+
+def minhash_sigs_pandas(text, k: int = 3, perms: int = MINHASH_PERMS):
+    """Arrow kernel: text -> the ``perms`` MinHash minima in ONE pass,
+    bit-identical to the expr pipeline (distinct word k-gram shingles,
+    md5 split into two 48-bit halves h1/h2, permutation s = min(h1 +
+    s*h2) — Kirsch-Mitzenmacher double hashing). Returns null for docs
+    with no shingle (matching the expr path, where such docs simply
+    have no rows).
+
+    This replaces the corpus-wide shingle explode + ``perms``-column
+    groupBy with a narrow per-doc map: no shuffle at all until the band
+    bucket join. The shingle table is then only ever materialized for
+    CANDIDATE docs (verification), not the corpus.
+    """
+    import hashlib
+
+    key = (k, perms)
+    if key not in _minhash_sig_udfs:
+
+        def _kernel(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            seeds = np.arange(perms, dtype=np.int64)
+            out = []
+            for t in s:
+                w = t.split(" ")
+                if len(w) < k:
+                    out.append(None)
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+                )
+                h1 = np.empty(len(grams), dtype=np.int64)
+                h2 = np.empty(len(grams), dtype=np.int64)
+                for j, g in enumerate(grams):
+                    # first/second 48 bits of the digest == the expr
+                    # path's conv(substring(hex,1,12)) / (13,12)
+                    d = hashlib.md5(g.encode()).digest()
+                    h1[j] = int.from_bytes(d[:6], "big")
+                    h2[j] = int.from_bytes(d[6:12], "big")
+                # (perms, n) matrix of h1 + s*h2; min over shingles
+                out.append((h1[None, :] + seeds[:, None] * h2[None, :]).min(axis=1))
+            return pd.Series(out)
+
+        _minhash_sig_udfs[key] = pandas_udf(_kernel, "array<long>")
+    return _minhash_sig_udfs[key](text)
+
+
+def minhash_band_hashes_from_docs(
+    docs: DataFrame, perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bh) straight from the corpus: signatures via the
+    Arrow kernel (zero shuffle), band hashes as a JVM projection over
+    the signature array — md5 of the band's mins joined in seed order,
+    identical to :func:`minhash_band_hashes`."""
+    rows = perms // bands
+    # Parallelism recovery: a corpus packed into few row groups (the
+    # local fixtures are ONE) would run the kernel on that few tasks.
+    # At real scale input splits >> cores and this branch is a no-op;
+    # the repartition only ever pays when the input cannot otherwise
+    # use the cluster.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    sigs = docs.select(
+        "doc_id", minhash_sigs_pandas(F.col("text"), perms=perms).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * rows + i].cast("string")
+                            for i in range(rows)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     perms: int = MINHASH_PERMS,
@@ -207,12 +302,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
-    Persists at every plan fan-out: the shingle table feeds four
-    branches (signatures + both intersection sides + set sizes) and the
-    band table feeds its own self-join — without persists Spark re-runs
-    tokenization/md5-min once per branch, which at 100 TB is 4+ full
-    corpus passes. All persisted sets are small relative to the corpus
-    (shingles ~linear, bands = docs × n_bands) and spill-safe.
+    Shuffle budget (the 100 TB shape): signature aggregation is
+    partial-agg so its shuffle carries |docs| wide rows (never the
+    shingle table); the band self-join shuffles docs x bands rows; and
+    verification prunes the shingle table to candidate docs before any
+    join (verify_jaccard). Persists at the plan fan-outs. A
+    kernel-signature variant (minhash_band_hashes_from_docs) computes
+    the mins per doc in Python instead — bit-identical and shuffle-free
+    on the signature side, but JVM md5 under codegen beats Python
+    hashlib, so the expr path is the default on measurement.
     """
     sh = shingle_sets(docs).persist()
     band_df = minhash_band_hashes(sh, perms, bands).persist()

@@ -358,3 +358,18 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     # the near-dup pair lives in a size-2 bucket and must survive
     assert (100, 101) in capped_pairs
     bands.unpersist()
+
+
+def test_minhash_kernel_bands_match_expr_path(spark, sf_dir):
+    """minhash_band_hashes_from_docs (Arrow kernel signatures) is
+    bit-identical to the expr pipeline's band table — the two
+    implementations are interchangeable, chosen on measured cost."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = set(
+        map(tuple, dedup.minhash_band_hashes(dedup.shingle_sets(docs)).collect())
+    )
+    kern = set(map(tuple, dedup.minhash_band_hashes_from_docs(docs).collect()))
+    assert expr == kern
