@@ -65,9 +65,16 @@ class HourlyRollup:
     def refresh(self) -> dict:
         """Fold all log rows newer than the high-water mark into the
         rollup. Returns {"hours_refreshed": k, "new_rows": n}."""
-        log = self.store.read_topic(self.topic)
+        # ONE manifest read serves both the folded snapshot and the new
+        # high-water mark: taking maxima from a separate (possibly
+        # newer) read would advance the HWM past rows a concurrent
+        # produce landed AFTER our snapshot — silently never folded.
+        v, manifest = self.store.latest_manifest(self.topic)
+        log = self.store.read_topic(self.topic, version=v)
         hwm = self._load_hwm()
-        maxima = self.store._bucket_maxima(self.topic)
+        maxima = {
+            int(b): x for b, x in manifest.get("maxima", {}).items()
+        }
 
         if hwm:
             hwm_df = self.spark.createDataFrame(

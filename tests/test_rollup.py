@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -138,3 +139,49 @@ def test_rollup_driven_by_stream(spark, tmp_root):
     q.awaitTermination()
     assert sum(r["new_rows"] for r in refreshes) == ev.count()
     assert _actual(rollup) == _expected(store.read_topic("t"))
+
+
+def test_refresh_hwm_is_pinned_to_folded_snapshot(spark, sf_dir, tmp_path):
+    """A produce landing between the refresh's log snapshot and its
+    state write must NOT be covered by the recorded high-water mark —
+    the next refresh has to fold it. Forced by serving refresh a stale
+    manifest while the real log already advanced."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    store = TopicStore(spark, str(tmp_path / "store"))
+    store.create_topic("t", n_buckets=2)
+    store.produce(ev.filter(F.col("event_id") % 2 == 0), "t")
+    v1 = store.latest_manifest("t")[0]
+    # the "concurrent" produce: lands after the snapshot refresh will see
+    store.produce(ev.filter(F.col("event_id") % 2 == 1), "t")
+
+    roll = HourlyRollup(spark, store, "t", str(tmp_path / "roll"))
+    real = store.latest_manifest
+    store.latest_manifest = lambda topic: (
+        (v1, json.load(open(store._manifest_path(topic, v1))))
+        if topic == "t"
+        else real(topic)
+    )
+    try:
+        roll.refresh()  # folds only the even batch
+    finally:
+        store.latest_manifest = real
+    roll.refresh()  # must pick up the odd batch
+
+    got = {
+        (r["hour_key"], r["event_type"]): r["n"] for r in roll.read().collect()
+    }
+    want = {
+        (r["hour_key"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
