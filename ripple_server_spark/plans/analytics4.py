@@ -1,0 +1,362 @@
+"""Round-3 analytics additions: deterministic weighted sampling,
+count-min-sketch heavy hitters, exact robust statistics, and an
+equi-height histogram. No reference analog (the reference is a message
+queue — SURVEY.md §2); these extend the training-data-pipeline and
+stats surfaces BASELINE.json mandates. Determinism rules follow the
+registry contract: md5-derived pseudo-randomness (never rand()),
+integer arithmetic wherever a comparison or selection depends on it,
+and floats rounded only at the result edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.plans.registry import query
+
+# 48-bit md5 prefix as BIGINT — the engine-portable hash primitive used
+# across the pipeline queries (same construction as q_seeded_shuffle).
+_TWO48 = float(1 << 48)
+
+# Coarse value-range stripe used by the two-pass exact-rank trick:
+# events.value is uniform on [0, 500), so /50 gives ~10 stripes.
+_STRIPE = 50.0
+
+
+def _h48(col):
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+_WS_SEED = "ws1"
+_WS_K = 10
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((('0x' || substr(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)),
+                     1, 12))::BIGINT + 0.5) / {_TWO48})
+                   / greatest(n_chars, 1) AS es_key
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY es_key DESC, doc_id
+           ) AS BIGINT) AS pick_rank
+    FROM keyed
+    QUALIFY pick_rank <= {_WS_K}
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    doc draws u = md5-uniform in (0,1) and competes with key u^(1/w),
+    w = n_chars; the top-k keys per source are the sample. Ranking uses
+    the monotone log form ln(u)/w (avoids pow() cross-engine edge
+    cases); the hash-derived u makes the draw reproducible across
+    engines, runs, and partitionings — the property rand() cannot give
+    a training pipeline.
+
+    Scale shape: one narrow projection computes the key (codegen md5 +
+    ln, no shuffle), then a single per-source top-k window — the same
+    partial top-k Spark already pushes map-side via WindowGroupLimit.
+    No global sort, no driver collect; sample size per group is k
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_h48(F.concat_ws(":", F.lit(_WS_SEED), F.col("doc_id"))) + F.lit(0.5)) / F.lit(_TWO48)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= _WS_K)
+        .select("source", "doc_id", "n_chars", "pick_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 20
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH uc AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    fan AS (
+        SELECT user_id, cnt, r,
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   % {_CMS_WIDTH} AS b
+        FROM uc, unnest([0, 1, 2, 3]) AS t(r)
+    ),
+    sketch AS (
+        SELECT r, b, CAST(sum(cnt) AS BIGINT) AS s FROM fan GROUP BY r, b
+    ),
+    est AS (
+        SELECT f.user_id, min(s.s) AS est_count
+        FROM fan f JOIN sketch s ON s.r = f.r AND s.b = f.b
+        GROUP BY f.user_id
+    )
+    SELECT e.user_id, e.est_count, uc.cnt AS exact_count,
+           e.est_count >= uc.cnt AS overestimates
+    FROM est e JOIN uc USING (user_id)
+    QUALIFY row_number() OVER (ORDER BY e.est_count DESC, e.user_id)
+        <= {_CMS_TOPK}
+    """,
+    tags=("agg", "sketch", "cms", "heavy-hitters"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with an in-plan soundness audit:
+    build a {_CMS_DEPTH}x{_CMS_WIDTH} CMS over per-user event counts
+    (md5-derived row hashes — deterministic, mergeable), estimate each key
+    as min over rows, and emit the top-{_CMS_TOPK} estimated users
+    alongside their exact counts and the CMS overestimate guarantee
+    (est >= exact must hold for every row — a violated bit fails the
+    hash).
+
+    Scale shape: counts are partial-aggregated per key FIRST (one
+    shuffle on user_id — the same shuffle an exact count needs), then
+    the sketch is built from the key-level table, so the d-way fan-out
+    multiplies keys, not events. The sketch itself is a fixed
+    {_CMS_DEPTH * _CMS_WIDTH}-counter table — broadcastable state that
+    an executor could maintain incrementally; here it round-trips
+    through a groupBy to stay declarative. At 100 TB the event->key
+    aggregation dominates and is unavoidable for the audit; a
+    production streaming CMS drops it and keeps only the 2 KB sketch."""
+    events = load_table(spark, sf_dir, "events")
+    uc = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    fan = uc.select(
+        "user_id",
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])).alias("r"),
+    ).withColumn(
+        "b",
+        _h48(F.concat_ws(":", F.col("r"), F.col("user_id"))) % _CMS_WIDTH,
+    )
+    sketch = fan.groupBy("r", "b").agg(F.sum("cnt").cast("bigint").alias("s"))
+    est = (
+        fan.join(sketch, on=["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("s").alias("est_count"))
+    )
+    ranked = est.join(uc, on="user_id").select(
+        "user_id",
+        "est_count",
+        F.col("cnt").alias("exact_count"),
+        (F.col("est_count") >= F.col("cnt")).alias("overestimates"),
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact robust statistics (median / MAD / winsorized mean)
+# --------------------------------------------------------------------------
+
+
+def _rank_in_group(df: DataFrame, group: str, value: str, tie: str) -> DataFrame:
+    """Exact global rank of `value` within `group` WITHOUT a
+    single-partition-per-group window: stripe rows by coarse value
+    range, count stripes (tiny aggregate), broadcast cumulative stripe
+    offsets back, and rank only within (group, stripe). rank =
+    stripe offset + local row_number — no task ever holds a whole
+    group. The q_seeded_shuffle two-pass trick applied per group."""
+    striped = df.withColumn("_stripe", F.floor(F.col(value) / _STRIPE).cast("bigint"))
+    counts = striped.groupBy(group, "_stripe").agg(F.count("*").alias("_n"))
+    woff = (
+        Window.partitionBy(group)
+        .orderBy("_stripe")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group, "_stripe", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy(group, "_stripe").orderBy(value, tie)
+    return (
+        striped.join(F.broadcast(offsets), on=[group, "_stripe"])
+        .withColumn("rn", F.col("_off") + F.row_number().over(wloc))
+        .drop("_stripe", "_off")
+    )
+
+
+@query(
+    "q_robust_stats",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, n, value AS med FROM ranked
+        WHERE rn = (n + 1) // 2
+    ),
+    lo AS (
+        SELECT r.event_type, r.value AS p05 FROM ranked r JOIN med m USING (event_type)
+        WHERE r.rn = greatest(1, CAST(ceil(0.05 * m.n) AS BIGINT))
+    ),
+    hi AS (
+        SELECT r.event_type, r.value AS p95 FROM ranked r JOIN med m USING (event_type)
+        WHERE r.rn = CAST(ceil(0.95 * m.n) AS BIGINT)
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS d,
+               row_number() OVER (
+                   PARTITION BY e.event_type ORDER BY abs(e.value - m.med), e.event_id
+               ) AS drn,
+               m.n
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, d AS mad FROM dev WHERE drn = (n + 1) // 2
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m.med), 4) AS med,
+           round(any_value(md.mad), 4) AS mad,
+           round(avg(least(greatest(e.value, l.p05), h.p95)), 3) AS win_mean
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad md USING (event_type)
+    JOIN lo l USING (event_type)
+    JOIN hi h USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("agg", "stats", "robust", "percentile"),
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact robust statistics per event_type: lower median, MAD
+    (median absolute deviation), and the 5%-winsorized mean — the
+    outlier-resistant profile a data-quality monitor wants where plain
+    mean/stddev are skew-blind. Selection is exact rank (not
+    percentile_cont interpolation) so both engines pick identical data
+    values.
+
+    Scale shape: exact per-group order statistics normally mean a
+    per-group sort on one task; here every rank comes from
+    :func:`_rank_in_group` — stripe-count + broadcast offsets + local
+    window — so the widest task holds one (group, value-stripe) slice.
+    Two striped passes (values, then absolute deviations), each a
+    single shuffle; the winsorized mean reuses the p05/p95 cut points
+    as a broadcast join, one final aggregate. The approx path for
+    billion-group data stays q_approx_percentile_value."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ranked = _rank_in_group(events, "event_type", "value", "event_id")
+    n_tbl = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = ranked.join(F.broadcast(n_tbl), on="event_type")
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    lo = ranked.filter(
+        F.col("rn") == F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")).cast("bigint"))
+    ).select("event_type", F.col("value").alias("p05"))
+    hi = ranked.filter(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint")).select(
+        "event_type", F.col("value").alias("p95")
+    )
+    dev = (
+        events.join(F.broadcast(med), on="event_type")
+        .withColumn("d", F.abs(F.col("value") - F.col("med")))
+        .select("event_type", "event_id", "d")
+    )
+    dev_ranked = _rank_in_group(dev, "event_type", "d", "event_id").join(
+        F.broadcast(n_tbl), on="event_type"
+    )
+    mad = dev_ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("d").alias("mad")
+    )
+    cuts = med.join(mad, on="event_type").join(lo, on="event_type").join(hi, on="event_type")
+    return (
+        events.join(F.broadcast(cuts), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))), 3
+            ).alias("win_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-height histogram (optimizer-style column statistics)
+# --------------------------------------------------------------------------
+
+_EQH_BUCKETS = 10
+
+
+@query(
+    "q_equiheight_histogram",
+    oracle=f"""
+    WITH r AS (
+        SELECT value,
+               row_number() OVER (ORDER BY value, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    )
+    SELECT ((rn - 1) * {_EQH_BUCKETS}) // n AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM r GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "stats", "equi-height"),
+)
+def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram of events.value ({_EQH_BUCKETS} buckets of
+    equal row count with their [lo, hi] bounds) — the column statistic
+    cost-based optimizers and skew detectors build. Bucket membership
+    is exact integer arithmetic on the global rank, so both engines
+    produce identical boundaries (no ntile() semantics dependence).
+
+    Scale shape: the oracle's global row_number() is the textbook
+    single-partition killer; the builder instead stripes by coarse
+    value range and ranks within stripes against broadcast cumulative
+    offsets (:func:`_rank_in_group` with one global group) — the exact
+    equivalent plan whose widest task sees ~1/{_EQH_BUCKETS} of the
+    data. Same two-pass shape a production ANALYZE uses before falling
+    back to sampled quantiles."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .withColumn("g", F.lit(1))
+    )
+    ranked = _rank_in_group(events, "g", "value", "event_id")
+    n_total = events.groupBy("g").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(n_total), on="g")
+        .withColumn("bucket", F.expr(f"((rn - 1) * {_EQH_BUCKETS}) div n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
