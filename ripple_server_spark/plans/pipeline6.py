@@ -1,0 +1,248 @@
+"""Round-3 pipeline additions: containment-based near-duplicate
+detection (doc-inside-doc), bigram language-model quality scoring, and
+a CDC/merge apply operator (latest-wins upsert + delete). No reference
+analog (SURVEY.md §2 — the reference is a message queue); these extend
+the dedup/text/log-store surfaces. Registry determinism contract
+applies: md5-derived hashing, integer selection arithmetic, floats
+rounded only at the result edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions.text import tokens
+from ripple_server_spark.operators.dedup import shingle_sets
+from ripple_server_spark.plans.registry import query
+
+# Shared 3-gram shingle CTE (same definition as extensions._SH_CTE so
+# containment and Jaccard agree on the shingle universe).
+_SH_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM t),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx)
+"""
+
+_CONTAIN_TOPK = 25
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SH_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    post AS (SELECT s.doc_id, s.shingle, d.source FROM sh s JOIN src d USING (doc_id)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM post a JOIN post b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    directed AS (
+        SELECT CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END AS contained_id,
+               CASE WHEN na.n <= nb.n THEN i.doc_b ELSE i.doc_a END AS container_id,
+               i.n_common,
+               least(na.n, nb.n) AS n_contained
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+    )
+    SELECT contained_id, container_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           round(n_common::DOUBLE / n_contained, 4) AS containment
+    FROM directed
+    QUALIFY row_number() OVER (
+        ORDER BY n_common::DOUBLE / n_contained DESC, contained_id, container_id
+    ) <= {_CONTAIN_TOPK}
+    """,
+    tags=("dedup", "containment", "text"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    with A the smaller shingle set — the asymmetric score that catches a
+    document EMBEDDED in a larger one (quote, syndication, wrapper
+    boilerplate), which symmetric Jaccard dilutes toward 0. The
+    top-{_CONTAIN_TOPK} most-contained pairs are emitted as
+    (contained, container) with a deterministic id tie-break.
+
+    Scale shape: identical candidate generation to q_dedup_ngram_jaccard
+    — shared-shingle inverted-index self-join within the source block,
+    never all-pairs (lossless for any threshold > 0 since C >= t > 0
+    implies a shared shingle). The direction/denominator step is a
+    broadcast-size join against per-doc set sizes. Hot-shingle skew is
+    AQE-split; the prefix-filtered setsim join remains the exact
+    high-skew fallback (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).persist()
+    post = sh.join(docs.select("doc_id", "source"), "doc_id")
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    small_is_a = F.col("n_a") <= F.col("n_b")
+    directed = (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_id"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_id"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.least("n_a", "n_b").cast("bigint").alias("n_contained"),
+        )
+    )
+    c = F.col("n_common") / F.col("n_contained")
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row driver merge — no single-partition window.
+    return (
+        directed.orderBy(F.desc(c), F.asc("contained_id"), F.asc("container_id"))
+        .limit(_CONTAIN_TOPK)
+        .withColumn("containment", F.round(c, 4))
+    )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        FROM t WHERE len(w) >= 2
+    ),
+    heads AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    pairs AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(w) AS tok FROM t)
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((p.c12 + 1.0) / (h.c1 + vocab.v))), 3) AS avg_logp
+    FROM bg
+    JOIN heads h USING (w1)
+    JOIN pairs p USING (w1, w2)
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm", "quality", "pipeline"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per-document mean log P(w_i | w_{i-1})
+    under an add-one-smoothed corpus bigram model — the step up from
+    q_unigram_logprob that actually penalizes scrambled word salad, the
+    standard cheap perplexity proxy for corpus filtering.
+
+    Scale shape: bigram pairing is a shuffle-free array zip
+    (slice + arrays_zip + explode stays in codegen — no positional
+    window, no self-join on token position). The model tables are
+    vocabulary-sized aggregates (heads ~V rows, pairs ~V² bounded by
+    corpus bigram count); scoring joins the bigram stream against them
+    on their natural keys. V is a one-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(F.size("w") >= 2)
+    n = F.size("w")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, n - 1).alias("w1"),
+                F.slice(F.col("w"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    heads = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return (
+        bg.join(heads, "w1")
+        .join(pairs, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 3).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
+_CDC_BUCKETS = 8
+
+
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, value, op
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ),
+    state AS (SELECT user_id, value FROM latest WHERE op <> 'D')
+    SELECT user_id % {_CDC_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           bit_xor(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS key_xor,
+           round(sum(value), 2) AS sum_value
+    FROM state GROUP BY bucket
+    """,
+    tags=("cdc", "merge", "upsert", "pubsub"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE apply: treat the event log as a changelog over key =
+    user_id (each event upserts the key's value; event_type 'error'
+    deletes the key), materialize the final table state with
+    latest-wins-by-seq semantics, and emit per-bucket summaries — key
+    count, md5 key-set fingerprint, surviving-value sum — so the oracle
+    verifies the merged STATE, not just counts. This is the log->table
+    duality every log store needs (Kafka compacted topics, Delta MERGE)
+    and the batch analog of TopicStore.compact's keep-latest semantics.
+
+    Scale shape: one shuffle on the merge key, then a per-key
+    WindowGroupLimit (rank 1 of event_id DESC — Spark prunes to the
+    top row map-side, no full per-key sort materialization), then a
+    {_CDC_BUCKETS}-way reaggregation. MERGE at 100 TB is exactly this
+    shape plus a join against the base snapshot, which q_fact_join /
+    topics.compact already exercise."""
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    state = latest.filter(F.col("op") != "D")
+    return state.groupBy((F.col("user_id") % _CDC_BUCKETS).alias("bucket")).agg(
+        F.count("*").alias("n_keys"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)"
+            " as bigint))"
+        ).alias("key_xor"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
