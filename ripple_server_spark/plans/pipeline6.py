@@ -246,3 +246,63 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key_xor"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_ann_pq_topk",
+    # Like q_ann_ivf_topk, the PQ result is estimator-specific, so the
+    # driver-checkable contract is the RECALL ASSERTION: top-3 via
+    # PQ+ADC+exact-rerank joined against brute-force top-3; recall_ok
+    # requires aggregate recall@3 >= 0.7, exactly 3 rows per query, and
+    # per-hit sim agreement. Any degradation flips a value.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) * 3 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+    bench=True,
+    tags=("vectors", "ann", "pq"),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with an in-plan recall audit: top-3 for
+    20 query vectors through the PQ pipeline (encode corpus as 8-byte
+    codes -> ADC table-lookup ranking -> exact cosine re-rank of the
+    top-128 shortlist), joined against brute-force top-3 to assert
+    recall@3 >= 0.7 and per-hit sim agreement. Deterministic: strided
+    codebook training sample, fixed Lloyd init (recall measured 0.93
+    at sf0.1 — the isotropic worst case). Same audit contract as
+    q_ann_ivf_topk; per-query bound pytest-checked in
+    tests/test_kernels.py."""
+    from ripple_server_spark.operators.similarity import cosine_topk_scan, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pq = pq_topk(emb, queries, k=3)
+    exact = cosine_topk_scan(emb, queries, k=3).select(
+        "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
+    )
+    per_q = pq.groupBy("q_id").agg(F.count("*").alias("n_ret"))
+    hits = pq.join(exact, on=["q_id", "neighbor_id"]).agg(
+        F.count("*").alias("hits"),
+        F.max(F.abs(F.col("sim") - F.col("exact_sim"))).alias("max_sim_err"),
+    )
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.sum("n_ret").cast("bigint").alias("n_returned"),
+            F.min("n_ret").alias("min_ret"),
+        )
+        .crossJoin(hits)
+        .select(
+            "n_queries",
+            "n_returned",
+            (
+                (F.col("hits") >= 0.7 * 3 * F.col("n_queries"))
+                & (F.col("min_ret") == 3)
+                & (F.col("max_sim_err") < 1e-6)
+            ).alias("recall_ok"),
+        )
+    )

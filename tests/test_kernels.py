@@ -135,6 +135,36 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert summary["n_returned"] == 3 * summary["n_queries"]
 
 
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ + ADC + exact re-rank must recover most of the exact top-3
+    even on the isotropic fixture corpus (PQ's worst case): bound
+    recall@3, and — because the shortlist is re-ranked with the TRUE
+    cosine — require exact sim agreement on every hit."""
+    from ripple_server_spark.operators.similarity import cosine_topk_scan, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk_scan(emb, queries, k=3).collect()
+    }
+    approx = pq_topk(emb, queries, k=3).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact:
+            hits += 1
+            assert abs(exact[key] - r["sim"]) < 1e-6
+    assert hits / len(exact) >= 0.7, f"recall@3 {hits}/{len(exact)}"
+    # the declared query folds the same audit into its plan
+    [summary] = SPECS["q_ann_pq_topk"].builder(spark, sf_dir).collect()
+    assert summary["recall_ok"] is True
+    assert summary["n_returned"] == 3 * summary["n_queries"]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """salted_join must reproduce the plain equi-join exactly while
     spreading each key over n_salts shuffle partitions."""
