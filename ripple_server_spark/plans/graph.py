@@ -12,7 +12,7 @@ exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
@@ -145,3 +145,125 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.lit(0).cast("bigint").alias("n_dropped_check"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+# --------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+# One power-iteration step as a SQL CTE pair: in-mass per node plus the
+# redistributed dangling mass (nodes with no out-edges). Unrolled
+# _PR_ITERS times so DuckDB states the exact fixpoint prefix.
+_PR_STEP = """
+    pr{k} AS (
+        SELECT nodes.t,
+               (1 - {d}) / nn.n
+               + {d} * (coalesce(im.m, 0) + dg.m / nn.n) AS pr
+        FROM nodes
+        CROSS JOIN nn
+        CROSS JOIN (
+            SELECT coalesce(sum(p.pr), 0) AS m
+            FROM pr{j} p
+            WHERE p.t NOT IN (SELECT DISTINCT prev FROM edges)
+        ) dg
+        LEFT JOIN (
+            SELECT e.curr AS t, sum(p.pr * e.p) AS m
+            FROM edges e JOIN pr{j} p ON p.t = e.prev
+            GROUP BY e.curr
+        ) im ON im.t = nodes.t
+    )"""
+
+
+def _pr_oracle() -> str:
+    steps = ",".join(
+        _PR_STEP.format(k=k, j=k - 1, d=_PR_DAMP) for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS prev, event_type AS curr, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev, curr
+    ),
+    edges AS (
+        SELECT prev, curr,
+               n::DOUBLE / sum(n) OVER (PARTITION BY prev) AS p
+        FROM trans
+    ),
+    nodes AS (SELECT DISTINCT event_type AS t FROM events),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT t, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {steps}
+    SELECT t AS event_type, round(pr, 6) AS pagerank
+    FROM pr{_PR_ITERS}
+    """
+
+
+@query(
+    "q_pagerank_types",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative", "markov"),
+)
+def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_PR_ITERS} power iterations, damping {_PR_DAMP}) over
+    the event-type transition graph — which states a user journey
+    gravitates to, the weighted-graph centrality companion to the
+    connected-components fixpoint above. Edge weights are the Markov
+    transition probabilities of q_event_transitions; dangling mass is
+    redistributed uniformly each step (the standard formulation). The
+    oracle unrolls the same {_PR_ITERS} iterations as SQL CTEs, so this
+    is an ITERATIVE algorithm with an exact hash-checked oracle.
+
+    Scale shape: each iteration is one shuffle — ranks join edges on
+    src (broadcast: ranks are node-sized), partial-aggregated by dst.
+    The rank table never exceeds |V| rows; the event log is touched
+    once (edge extraction), not per iteration. For billion-node graphs
+    swap the broadcast for a src-partitioned join and localCheckpoint
+    every few rounds exactly as connected_components does."""
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("event_type").over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    trans = (
+        ev.select("user_id", "event_type", prev.alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("prev"), F.col("event_type").alias("curr"))
+        .agg(F.count("*").alias("n"))
+    )
+    edges = trans.withColumn(
+        "p", F.col("n") / F.sum("n").over(Window.partitionBy("prev"))
+    ).select("prev", "curr", "p")
+    nodes = ev.select(F.col("event_type").alias("t")).distinct()
+    n_nodes = float(nodes.count())
+    edges = edges.persist()
+    srcs = edges.select(F.col("prev").alias("t")).distinct()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITERS):
+        in_mass = (
+            edges.join(F.broadcast(ranks), edges["prev"] == ranks["t"])
+            .groupBy(F.col("curr").alias("t"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("m"))
+        )
+        dangling = (
+            ranks.join(srcs, on="t", how="left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(in_mass, on="t", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "t",
+                (
+                    F.lit((1 - _PR_DAMP) / n_nodes)
+                    + _PR_DAMP
+                    * (F.coalesce(F.col("m"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("t").alias("event_type"), F.round("pr", 6).alias("pagerank"))
