@@ -306,3 +306,130 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 30
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        FROM t WHERE len(w) >= 2
+    ),
+    pair AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+    ),
+    n AS (SELECT count(*)::DOUBLE AS total FROM (SELECT unnest(w) AS tok FROM t))
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+           round(ln(p.c12 * n.total / (u1.c * u2.c)), 4) AS pmi
+    FROM pair p
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    CROSS JOIN n
+    WHERE p.c12 >= {_COLL_MIN_COUNT}
+    QUALIFY row_number() OVER (
+        ORDER BY ln(p.c12 * n.total / (u1.c * u2.c)) DESC, p.w1, p.w2
+    ) <= {_COLL_TOPK}
+    """,
+    tags=("text", "collocations", "pmi", "pipeline"),
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocation extraction: the top-{_COLL_TOPK} word
+    bigrams by pointwise mutual information ln(c12·N / (c1·c2)) with
+    support >= {_COLL_MIN_COUNT} — phrase mining, the corpus-analysis
+    companion to the bigram LM (multi-word expressions to protect from
+    tokenizer splits, vocabulary induction, boilerplate phrase
+    discovery).
+
+    Scale shape: same shuffle-free bigram zip as q_bigram_logprob;
+    unigram/bigram count tables are vocabulary-sized; the final cut is
+    TakeOrderedAndProject (per-partition top-k + k-row merge), not a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("w"))
+    n_arr = F.size("w")
+    bg = t.filter(n_arr >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, n_arr - 1).alias("w1"),
+                F.slice(F.col("w"), 2, n_arr - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    toks = t.select(F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(F.col("c12") * F.col("total") / (F.col("c1") * F.col("c2")))
+    return (
+        pair.filter(F.col("c12") >= _COLL_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc(pmi), F.asc("w1"), F.asc("w2"))
+        .limit(_COLL_TOPK)
+        .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                F.round(pmi, 4).alias("pmi"))
+    )
+
+
+@query(
+    "q_funnel_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY touch_type
+    """,
+    tags=("analytics", "attribution", "window", "funnel"),
+)
+def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the most recent
+    preceding click/view in the same user's stream (or 'none' for
+    organic purchases) and report purchase count + attributed value per
+    touch type — the marketing-funnel companion to q_funnel_conversion,
+    and the canonical use of last_value(... IGNORE NULLS) over an
+    unbounded preceding frame.
+
+    Scale shape: one shuffle on user_id for the per-user ordered
+    window (the same partitioning every per-user query here reuses),
+    then a 3-row aggregate. The frame is running-state, so Spark
+    evaluates it in a single pass per user — no per-row rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
