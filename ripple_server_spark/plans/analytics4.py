@@ -164,12 +164,9 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("exact_count"),
         (F.col("est_count") >= F.col("cnt")).alias("overestimates"),
     )
-    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
-    return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CMS_TOPK)
-        .drop("rn")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + k-row merge) — no single-partition window over the keys.
+    return ranked.orderBy(F.desc("est_count"), F.asc("user_id")).limit(_CMS_TOPK)
 
 
 # --------------------------------------------------------------------------

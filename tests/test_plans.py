@@ -256,3 +256,72 @@ def test_corpus_pipeline_e2e_shape(spark):
     p = plan(build(spark, "q_corpus_pipeline_e2e"))
     assert "LeftSemi" in p
     assert "SinglePartition" not in p
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """The per-source top-k rank filter must be pushed map-side
+    (WindowGroupLimit) — no per-source full sort materialization."""
+    p = plan(build(spark, "q_weighted_sample"))
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+
+
+def test_cms_topk_is_take_ordered(spark):
+    """The heavy-hitter cut must be TakeOrderedAndProject over the
+    key-level estimates, never a single-partition window; the sketch
+    fan-out happens AFTER the per-key partial aggregate (events join
+    only the groupBy, no d-way event multiplication)."""
+    p = plan(build(spark, "q_heavy_hitters_cms"))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_striped_rank_never_single_partitions_base_data(spark):
+    """q_robust_stats / q_equiheight_histogram rank via the striped
+    two-pass: every window over base-table rows must be partitioned by
+    the stripe; at most the stripe-COUNT table (<=256 rows/group) may
+    pass through a SinglePartition cumulative window."""
+    for name in ("q_robust_stats", "q_equiheight_histogram"):
+        p = plan(build(spark, name))
+        assert "windowspecdefinition(_stripe" in p or "windowspecdefinition(event_type" in p, name
+        # row_number over raw rows always carries the stripe column
+        assert "row_number" in p, name
+        for line in p.splitlines():
+            if "Window [row_number()" in line:
+                assert "_stripe" in line, f"{name}: unstriped data window: {line}"
+
+
+def test_containment_candidates_are_inverted_index(spark):
+    """Containment shares the ngram-Jaccard candidate generator: the
+    pair join must key on (shingle, source) — no all-pairs block join,
+    no cartesian — and the final cut is TakeOrderedAndProject."""
+    p = plan(build(spark, "q_dedup_containment"))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bigram_pairing_is_shuffle_free_zip(spark):
+    """Bigram extraction must be an array zip in the scan stage: no
+    Window over token positions, no self-join of the token stream on
+    (doc_id, pos); the 1-row vocab total must broadcast."""
+    for name in ("q_bigram_logprob", "q_text_collocations"):
+        p = plan(build(spark, name))
+        assert "Window" not in p, name
+        assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p, name
+
+
+def test_cdc_latest_wins_uses_window_group_limit(spark):
+    """The latest-wins rank-1 filter must be pushed map-side
+    (WindowGroupLimit): Spark keeps only each key's top row per
+    partition before the shuffle."""
+    p = plan(build(spark, "q_cdc_apply"))
+    assert "WindowGroupLimit" in p
+
+
+def test_pagerank_rank_table_joins_broadcast(spark):
+    """Each PageRank iteration joins the node-sized rank table against
+    edges — rank side must broadcast (no SortMergeJoin of ranks against
+    the event log; the log is touched once for edge extraction)."""
+    p = plan(build(spark, "q_pagerank_types"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
