@@ -357,3 +357,127 @@ def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample with linear gap interpolation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_resample_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               avg(value) AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT event_type, min(hour) AS mn, max(hour) AS mx
+        FROM hourly GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    ),
+    joined AS (
+        SELECT g.event_type, g.hour, h.v FROM grid g
+        LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    ),
+    walls AS (
+        SELECT event_type, hour, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM joined
+        WINDOW
+            w_prev AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           -- arithmetic half-up rounding: engine round() differs on the
+           -- exact 4-dp midpoints linear blends systematically produce
+           -- (Spark HALF_UP vs DuckDB nearbyint); floor(x*1e4 + 0.5)
+           -- is the same IEEE ops in both engines.
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv)
+                            * (date_diff('hour', ph, hour)::DOUBLE
+                               / date_diff('hour', ph, nh))
+                  END) * 10000 + 0.5) / 10000 AS value,
+           v IS NULL AS interpolated
+    FROM walls
+    """,
+    tags=("timeseries", "resample", "interpolate", "window"),
+)
+def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each event type's value series with LINEAR
+    interpolation of empty hours — the gap-fill contract a downstream
+    model-training or monitoring pipeline wants when zero-fill
+    (q_dense_grid_zerofill) would fabricate cliffs. Each missing hour
+    takes pv + (nv-pv)·Δ/span between its nearest real neighbors;
+    edge hours are always real (the grid spans each type's own
+    min..max).
+
+    Scale shape: the hourly aggregate is one shuffle; the dense grid
+    comes from a sequence() explode of a per-type [min,max] span (a
+    5-row dimension — never a fact-sized join); the neighbor walls are
+    two running-state window passes over GRID rows (~dimension-sized,
+    not event-sized) on the same per-type partitioning. The raw event
+    table is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    # NOTE: the hourly mean stays a full-precision double until the one
+    # result-edge round. Pre-rounding it (e.g. to 6 dp) would make the
+    # linear blend land systematically on exact 4-dp midpoints, where
+    # Spark (HALF_UP on the binary expansion) and DuckDB disagree.
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    joined = grid.join(hourly, on=["event_type", "hour"], how="left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    walls = joined.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(real_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(real_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    frac = F.expr("timestampdiff(HOUR, ph, hour)").cast("double") / F.expr(
+        "timestampdiff(HOUR, ph, nh)"
+    )
+    blended = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    # Arithmetic half-up (floor(x*1e4 + 0.5)/1e4): linear blends of
+    # 2-dp fixture values systematically land on exact 4-dp midpoints,
+    # where Spark's HALF_UP (decimal-string) and DuckDB's nearbyint
+    # (binary) disagree; this form is identical IEEE ops in both.
+    return walls.select(
+        "event_type",
+        "hour",
+        (F.floor(blended * 10000 + 0.5) / 10000).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    )
