@@ -481,3 +481,71 @@ def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(blended * 10000 + 0.5) / 10000).alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with a match tolerance (merge_asof semantics)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_HOURS = 6
+
+
+@query(
+    "q_asof_join_tolerance",
+    oracle=f"""
+    WITH probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), ref AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT event_id, user_id, ts, 0 AS is_ref, CAST(NULL AS BIGINT) AS rid
+      FROM probe
+      UNION ALL
+      SELECT event_id, user_id, ts, 1 AS is_ref, event_id AS rid FROM ref
+    ), c AS (
+      SELECT event_id, user_id, ts, is_ref,
+             last_value(rid IGNORE NULLS) OVER w AS asof_event_id,
+             last_value(CASE WHEN is_ref = 1 THEN ts END IGNORE NULLS)
+               OVER w AS asof_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC, is_ref DESC, rid ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN asof_ts >= ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+                THEN asof_event_id END AS asof_event_id,
+           CASE WHEN asof_ts >= ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+                THEN epoch_us(asof_ts) END AS asof_ts_us
+    FROM c WHERE is_ref = 0
+    """,
+    tags=("join", "asof", "tolerance", "window"),
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof
+    semantics): each click takes the user's latest purchase at-or-
+    before it ONLY if that purchase is within {_ASOF_TOL_HOURS} hours —
+    older state is expired to NULL rather than silently joined, the
+    contract feature-store point-in-time lookups need.
+
+    Scale shape: identical to q_asof_join (union + one running-state
+    window per key — no O(n·m) range intermediate); the tolerance is a
+    post-window codegen conditional, zero extra cost."""
+    from ripple_server_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    probe = ev.filter(F.col("event_type") == "click").drop("event_type")
+    ref = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    out = asof_join(probe, ref, key="user_id", time_col="ts", ref_id_col="event_id")
+    fresh = F.col("asof_ts") >= F.col("ts") - F.expr(
+        f"interval {_ASOF_TOL_HOURS} hours"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(fresh, F.col("asof_event_id")).alias("asof_event_id"),
+        F.when(fresh, F.unix_micros("asof_ts")).alias("asof_ts_us"),
+    )

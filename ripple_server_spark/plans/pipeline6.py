@@ -433,3 +433,98 @@ def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnts AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM cnts GROUP BY doc_id)
+    SELECT c.doc_id, any_value(n.n_tokens) AS n_tokens,
+           round(ln(any_value(n.n_tokens))
+                 - sum(c.c * ln(c.c)) / any_value(n.n_tokens), 4) AS token_entropy
+    FROM cnts c JOIN n USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "quality", "entropy", "pipeline"),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) - (1/n)·Σ c·ln(c) — the information-theoretic quality
+    signal that catches both keyword-stuffing (low entropy: few tokens
+    repeated) and random-character noise (entropy ~ ln n with all
+    counts 1), orthogonal to the length/stopword heuristics of
+    q_text_quality and the LM scores.
+
+    Scale shape: explode + two partial aggregates keyed by doc_id (the
+    natural partitioning every per-doc text query shares) — no joins
+    against corpus-level state at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("token_entropy"),
+    )
+
+
+@query(
+    "q_source_kl_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT d.source, unnest(string_split(d.text, ' ')) AS w FROM documents d
+    ),
+    sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+    sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source),
+    qc AS (SELECT w, count(*) AS cq FROM toks GROUP BY w),
+    qn AS (SELECT count(*)::DOUBLE AS nq FROM toks)
+    SELECT sc.source, any_value(sn.n) AS n_tokens,
+           round(sum((sc.c::DOUBLE / sn.n)
+                     * ln((sc.c::DOUBLE / sn.n) / (qc.cq / qn.nq))), 4)
+               AS kl_vs_corpus
+    FROM sc
+    JOIN sn USING (source)
+    JOIN qc USING (w)
+    CROSS JOIN qn
+    GROUP BY sc.source
+    """,
+    tags=("text", "corpus", "kl", "stats", "pipeline"),
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution, KL(P_s || Q) = Σ p·ln(p/q) — the domain-shift
+    audit a mixture designer reads before setting q_mix_weights: a
+    source with high KL is lexically unlike the blend it joins (q > 0
+    always holds because the corpus distribution is a superset of every
+    source's support).
+
+    Scale shape: both distributions are vocabulary-sized aggregates;
+    the scoring join is (source x vocab) rows against the vocab table
+    on its natural key, and the corpus total is a 1-row broadcast. The
+    token stream is read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    sc = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    sn = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    qc = toks.groupBy("w").agg(F.count("*").alias("cq"))
+    qn = toks.agg(F.count("*").cast("double").alias("nq"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cq") / F.col("nq")
+    return (
+        sc.join(F.broadcast(sn), "source")
+        .join(qc, "w")
+        .crossJoin(F.broadcast(qn))
+        .groupBy("source")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
+        )
+    )
