@@ -403,3 +403,47 @@ def test_minhash_kernel_bands_match_expr_path(spark, sf_dir):
     )
     kern = set(map(tuple, dedup.minhash_band_hashes_from_docs(docs).collect()))
     assert expr == kern
+
+
+def test_cms_overestimates_every_key(spark, sf_dir):
+    """The CMS soundness invariant (est >= exact) must hold for EVERY
+    key, not just the declared query's top-20: min over d row-estimates
+    can never undercount because each counter sums a superset of the
+    key's increments."""
+    from pyspark.sql import functions as F
+    from ripple_server_spark.plans.analytics4 import _CMS_DEPTH, _CMS_WIDTH, _h48
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    fan = uc.select(
+        "user_id",
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])).alias("r"),
+    ).withColumn("b", _h48(F.concat_ws(":", F.col("r"), F.col("user_id"))) % _CMS_WIDTH)
+    sketch = fan.groupBy("r", "b").agg(F.sum("cnt").alias("s"))
+    est = fan.join(sketch, on=["r", "b"]).groupBy("user_id").agg(F.min("s").alias("est"))
+    bad = est.join(uc, "user_id").filter(F.col("est") < F.col("cnt")).count()
+    assert bad == 0
+
+
+def test_weighted_sample_invariants(spark, sf_dir):
+    """A-ES sample: exactly k rows per source with ranks 1..k, stable
+    across recomputation (md5 draw, no rand()), and weight-sensitive —
+    the heaviest doc per source is sampled far more often than uniform
+    (its selection key stochastically dominates)."""
+    from ripple_server_spark.plans.analytics4 import _WS_K
+
+    rows1 = sorted(
+        (r["source"], r["doc_id"], r["pick_rank"])
+        for r in SPECS["q_weighted_sample"].builder(spark, sf_dir).collect()
+    )
+    rows2 = sorted(
+        (r["source"], r["doc_id"], r["pick_rank"])
+        for r in SPECS["q_weighted_sample"].builder(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2  # deterministic draw
+    per_source: dict[str, list[int]] = {}
+    for s, _, rank in rows1:
+        per_source.setdefault(s, []).append(rank)
+    for s, ranks in per_source.items():
+        assert sorted(ranks) == list(range(1, _WS_K + 1)), s
