@@ -109,6 +109,13 @@ _PRIORITY_PREFIXES = (
     "q_text_",
     "q_multimodal_",
     "q_payload_",
+    # Round-3 additions that declare a NEW operator family (vs a
+    # variant of an already-verified one) rank ahead of variants so a
+    # capped driver budget verifies each family at least once.
+    "q_cdc_",
+    "q_pagerank_",
+    "q_heavy_hitters_",
+    "q_weighted_",
 )
 
 
