@@ -282,6 +282,11 @@ def train_pq_codebooks(
     x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
     dim = x.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim divisible by m (dim={dim}, m={m}): trailing "
+            "dimensions would be silently dropped from codes and ADC"
+        )
     dsub = dim // m
     books = np.empty((m, ksub, dsub))
     for j in range(m):
@@ -305,12 +310,15 @@ def pq_topk(
     m: int = 16,
     ksub: int = 16,
     rerank: int = 128,
+    margin: int = 8,
 ) -> DataFrame:
     """Product-quantization ANN with exact re-ranking: encode each
     corpus vector as ``m`` codebook ids (log2(ksub)*m bits — a 16x
     memory cut at m=8/ksub=16 on float32x64), rank candidates by
     asymmetric-distance (ADC) table lookups, then re-rank the top
-    ``rerank`` candidates per query with the TRUE cosine. Defaults
+    ``rerank`` candidates per query with the TRUE cosine (each batch
+    emits ``rerank + margin`` so the rounded-tie global cut cannot be
+    partition-dependent — same guard as cosine_topk_scan). Defaults
     (m=16, ksub=16) encode a 64-dim float32 vector in 8 bytes — 32x
     compression; recall@3 = 0.93 at sf0.1 on the isotropic fixture
     corpus (PQ's worst case; clustered real embeddings quantize far
@@ -328,6 +336,7 @@ def pq_topk(
     """
     books = train_pq_codebooks(emb, m=m, ksub=ksub)
     dsub = books.shape[2]
+    take_batch = rerank + margin  # tie guard for the rounded global cut
     qrows = _collect_query_rows(queries)
     qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
@@ -350,7 +359,7 @@ def pq_topk(
                 codes = np.argmax(sub @ books[j].T - half_norms[j][None, :], axis=1)
                 sims += lut[:, j, :][:, codes]  # (Q, B)
             sims[qids[:, None] == vid[None, :]] = -np.inf
-            take = min(rerank, sims.shape[1])
+            take = min(take_batch, sims.shape[1])
             idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]  # (Q, take)
             out = pd.DataFrame(
                 {

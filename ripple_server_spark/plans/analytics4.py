@@ -106,7 +106,7 @@ _CMS_TOPK = 20
                ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
                     || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
                    % {_CMS_WIDTH} AS b
-        FROM uc, unnest([0, 1, 2, 3]) AS t(r)
+        FROM uc, unnest(range({_CMS_DEPTH})) AS t(r)
     ),
     sketch AS (
         SELECT r, b, CAST(sum(cnt) AS BIGINT) AS s FROM fan GROUP BY r, b
@@ -126,9 +126,9 @@ _CMS_TOPK = 20
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with an in-plan soundness audit:
-    build a {_CMS_DEPTH}x{_CMS_WIDTH} CMS over per-user event counts
+    build a 4x512 CMS over per-user event counts
     (md5-derived row hashes — deterministic, mergeable), estimate each key
-    as min over rows, and emit the top-{_CMS_TOPK} estimated users
+    as min over rows, and emit the top-20 estimated users
     alongside their exact counts and the CMS overestimate guarantee
     (est >= exact must hold for every row — a violated bit fails the
     hash).
@@ -137,7 +137,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id — the same shuffle an exact count needs), then
     the sketch is built from the key-level table, so the d-way fan-out
     multiplies keys, not events. The sketch itself is a fixed
-    {_CMS_DEPTH * _CMS_WIDTH}-counter table — broadcastable state that
+    2048-counter table — broadcastable state that
     an executor could maintain incrementally; here it round-trips
     through a groupBy to stay declarative. At 100 TB the event->key
     aggregation dominates and is unavoidable for the audit; a
@@ -327,7 +327,7 @@ _EQH_BUCKETS = 10
     tags=("agg", "histogram", "stats", "equi-height"),
 )
 def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-height histogram of events.value ({_EQH_BUCKETS} buckets of
+    """Equi-height histogram of events.value (10 buckets of
     equal row count with their [lo, hi] bounds) — the column statistic
     cost-based optimizers and skew detectors build. Bucket membership
     is exact integer arithmetic on the global rank, so both engines
@@ -337,7 +337,7 @@ def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition killer; the builder instead stripes by coarse
     value range and ranks within stripes against broadcast cumulative
     offsets (:func:`_rank_in_group` with one global group) — the exact
-    equivalent plan whose widest task sees ~1/{_EQH_BUCKETS} of the
+    equivalent plan whose widest task sees ~1/10 of the
     data. Same two-pass shape a production ANALYZE uses before falling
     back to sampled quantiles."""
     events = (
@@ -524,7 +524,7 @@ _ASOF_TOL_HOURS = 6
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness tolerance (pandas merge_asof
     semantics): each click takes the user's latest purchase at-or-
-    before it ONLY if that purchase is within {_ASOF_TOL_HOURS} hours —
+    before it ONLY if that purchase is within 6 hours —
     older state is expired to NULL rather than silently joined, the
     contract feature-store point-in-time lookups need.
 

@@ -213,13 +213,13 @@ def _pr_oracle() -> str:
     tags=("graph", "pagerank", "iterative", "markov"),
 )
 def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank ({_PR_ITERS} power iterations, damping {_PR_DAMP}) over
+    """PageRank (3 power iterations, damping 0.85) over
     the event-type transition graph — which states a user journey
     gravitates to, the weighted-graph centrality companion to the
     connected-components fixpoint above. Edge weights are the Markov
     transition probabilities of q_event_transitions; dangling mass is
     redistributed uniformly each step (the standard formulation). The
-    oracle unrolls the same {_PR_ITERS} iterations as SQL CTEs, so this
+    oracle unrolls the same 3 iterations as SQL CTEs, so this
     is an ITERATIVE algorithm with an exact hash-checked oracle.
 
     Scale shape: each iteration is one shuffle — ranks join edges on

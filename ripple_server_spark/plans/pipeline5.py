@@ -69,8 +69,8 @@ _H48 = "cast(conv(substring(md5({expr}), 1, 12), 16, 10) as bigint)"
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span (line-level) boilerplate removal: segment every
-    document into non-overlapping {SPAN_WORDS}-word spans, drop each
-    span that occurs in >= {SPAN_DOC_THRESHOLD} distinct documents
+    document into non-overlapping 8-word spans, drop each
+    span that occurs in >= 3 distinct documents
     corpus-wide (headers/footers/licenses in a real crawl), and
     reassemble the surviving text in order. Per-source report carries a
     bit_xor fingerprint of (doc_id, reassembled text) so the oracle

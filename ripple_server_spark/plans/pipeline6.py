@@ -65,7 +65,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     with A the smaller shingle set — the asymmetric score that catches a
     document EMBEDDED in a larger one (quote, syndication, wrapper
     boilerplate), which symmetric Jaccard dilutes toward 0. The
-    top-{_CONTAIN_TOPK} most-contained pairs are emitted as
+    top-25 most-contained pairs are emitted as
     (contained, container) with a deterministic id tie-break.
 
     Scale shape: identical candidate generation to q_dedup_ngram_jaccard
@@ -220,8 +220,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on the merge key, then a per-key
     WindowGroupLimit (rank 1 of event_id DESC — Spark prunes to the
-    top row map-side, no full per-key sort materialization), then a
-    {_CDC_BUCKETS}-way reaggregation. MERGE at 100 TB is exactly this
+    top row map-side, no full per-key sort materialization), then an
+    8-way reaggregation. MERGE at 100 TB is exactly this
     shape plus a join against the base snapshot, which q_fact_join /
     topics.compact already exercise."""
     events = load_table(spark, sf_dir, "events")
@@ -340,9 +340,9 @@ _COLL_TOPK = 30
     tags=("text", "collocations", "pmi", "pipeline"),
 )
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PMI-scored collocation extraction: the top-{_COLL_TOPK} word
+    """PMI-scored collocation extraction: the top-30 word
     bigrams by pointwise mutual information ln(c12·N / (c1·c2)) with
-    support >= {_COLL_MIN_COUNT} — phrase mining, the corpus-analysis
+    support >= 5 — phrase mining, the corpus-analysis
     companion to the bigram LM (multi-word expressions to protect from
     tokenizer splits, vocabulary induction, boilerplate phrase
     discovery).

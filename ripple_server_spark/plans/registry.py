@@ -109,9 +109,13 @@ _PRIORITY_PREFIXES = (
     "q_text_",
     "q_multimodal_",
     "q_payload_",
-    # Round-3 additions that declare a NEW operator family (vs a
-    # variant of an already-verified one) rank ahead of variants so a
-    # capped driver budget verifies each family at least once.
+    # Round-3 families. Note tuple position still ranks them after the
+    # round-1 prefixes above; the property that matters (and the one
+    # this list guarantees) is that every NEW operator family sorts
+    # INSIDE the driver's 50-query budget among the never-verified
+    # names, so the queries that wait a round are variants of
+    # already-verified families (bigram LM, attribution window, KL),
+    # never an unverified family.
     "q_cdc_",
     "q_pagerank_",
     "q_heavy_hitters_",

@@ -428,10 +428,14 @@ def test_cms_overestimates_every_key(spark, sf_dir):
 
 def test_weighted_sample_invariants(spark, sf_dir):
     """A-ES sample: exactly k rows per source with ranks 1..k, stable
-    across recomputation (md5 draw, no rand()), and weight-sensitive —
-    the heaviest doc per source is sampled far more often than uniform
-    (its selection key stochastically dominates)."""
-    from ripple_server_spark.plans.analytics4 import _WS_K
+    across recomputation (md5 draw, no rand()), and equal to an
+    INDEPENDENT Python recomputation of the Efraimidis–Spirakis draw
+    (hashlib + math, no Spark/DuckDB expressions) — so a formula-level
+    mistake mirrored into both engine pipelines still gets caught."""
+    import hashlib
+    import math
+
+    from ripple_server_spark.plans.analytics4 import _WS_K, _WS_SEED
 
     rows1 = sorted(
         (r["source"], r["doc_id"], r["pick_rank"])
@@ -447,3 +451,23 @@ def test_weighted_sample_invariants(spark, sf_dir):
         per_source.setdefault(s, []).append(rank)
     for s, ranks in per_source.items():
         assert sorted(ranks) == list(range(1, _WS_K + 1)), s
+    # independent reference draw over the raw table
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict[str, list[tuple[float, int]]] = {}
+    for r in docs:
+        h48 = int.from_bytes(
+            hashlib.md5(f"{_WS_SEED}:{r['doc_id']}".encode()).digest()[:6], "big"
+        )
+        u = (h48 + 0.5) / float(1 << 48)
+        key = math.log(u) / max(r["n_chars"], 1)
+        by_source.setdefault(r["source"], []).append((key, r["doc_id"]))
+    expected = sorted(
+        (s, doc_id, rank)
+        for s, keyed in by_source.items()
+        for rank, (_, doc_id) in enumerate(
+            sorted(keyed, key=lambda t: (-t[0], t[1]))[:_WS_K], start=1
+        )
+    )
+    assert rows1 == expected
