@@ -180,7 +180,13 @@ def _rank_in_group(df: DataFrame, group: str, value: str, tie: str) -> DataFrame
     range, count stripes (tiny aggregate), broadcast cumulative stripe
     offsets back, and rank only within (group, stripe). rank =
     stripe offset + local row_number — no task ever holds a whole
-    group. The q_seeded_shuffle two-pass trick applied per group."""
+    group. The q_seeded_shuffle two-pass trick applied per group.
+
+    _STRIPE is a constant sized to the fixture's value range ([0, 500)
+    -> ~10 stripes); correctness never depends on it (a degenerate
+    single stripe just degrades to the per-group window), and a
+    production ANALYZE would derive the stripe width from table
+    min/max stats instead of a constant."""
     striped = df.withColumn("_stripe", F.floor(F.col(value) / _STRIPE).cast("bigint"))
     counts = striped.groupBy(group, "_stripe").agg(F.count("*").alias("_n"))
     woff = (
