@@ -555,3 +555,51 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_event_id")).alias("asof_event_id"),
         F.when(fresh, F.unix_micros("asof_ts")).alias("asof_ts_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonality profile (hour-of-day decomposition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonality_profile",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, extract(hour FROM ts) AS hod, value FROM events
+    ),
+    typ AS (SELECT event_type, avg(value) AS mu FROM base GROUP BY event_type)
+    SELECT b.event_type, CAST(b.hod AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(b.value), 3) AS hod_mean,
+           round(avg(b.value) - t.mu, 3) AS seasonal_component
+    FROM base b JOIN typ t USING (event_type)
+    GROUP BY b.event_type, b.hod, t.mu
+    """,
+    tags=("timeseries", "seasonality", "agg"),
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality decomposition per event type: the mean
+    value in each of the 24 hour slots and its deviation from the
+    type's overall mean (the additive seasonal component) — the
+    profile an anomaly detector subtracts before thresholding, and the
+    capacity-planning view of the event stream's daily rhythm.
+
+    Scale shape: two partial aggregates (type x 24 slots, then type)
+    joined on the 5-row type table — broadcast, one event-table pass
+    shared by both aggregates under Spark's scan reuse; no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hod"), "value")
+    typ = base.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    return (
+        base.groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("m"))
+        .join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hour_of_day"),
+            "n",
+            F.round("m", 3).alias("hod_mean"),
+            F.round(F.col("m") - F.col("mu"), 3).alias("seasonal_component"),
+        )
+    )

@@ -528,3 +528,47 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
         )
     )
+
+
+@query(
+    "q_text_rare_token_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS docfreq FROM toks GROUP BY w)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (df.docfreq = 1) AS BIGINT) AS n_hapax,
+           round(count(*) FILTER (df.docfreq = 1)::DOUBLE / count(*), 4)
+               AS rare_ratio
+    FROM toks t JOIN df USING (w)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "quality", "oov", "pipeline"),
+)
+def q_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token (hapax) ratio per document: the fraction of a doc's
+    tokens whose corpus document-frequency is 1 — the cheap
+    gibberish/OCR-noise detector (random strings are corpus-unique;
+    natural text shares its vocabulary), complementing entropy and the
+    LM scores in the quality-filter bank.
+
+    Scale shape: the document-frequency table is vocabulary-sized (one
+    distinct-aggregate shuffle); scoring joins the token stream on its
+    natural key and reaggregates per doc — the same two-shuffle shape
+    as tf-idf."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    df_tbl = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("docfreq"))
+    return (
+        toks.join(df_tbl, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("docfreq") == 1, 1)).alias("n_hapax"),
+            F.round(
+                F.count(F.when(F.col("docfreq") == 1, 1)).cast("double") / F.count("*"), 4
+            ).alias("rare_ratio"),
+        )
+    )
