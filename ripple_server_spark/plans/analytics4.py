@@ -603,3 +603,146 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m") - F.col("mu"), 3).alias("seasonal_component"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Journey path analysis (top event-type trigram paths)
+# --------------------------------------------------------------------------
+
+_PATH_TOPK = 15
+
+
+@query(
+    "q_journey_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type AS t1, t2, t3, count(*) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+           round(n::DOUBLE / sum(n) OVER (), 6) AS share
+    FROM paths
+    QUALIFY row_number() OVER (ORDER BY n DESC, t1, t2, t3) <= {_PATH_TOPK}
+    """,
+    tags=("analytics", "paths", "journey", "window"),
+)
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across all user journeys (the
+    what-do-users-actually-do query behind funnel design): consecutive
+    3-step sequences per user, counted corpus-wide, with each path's
+    share of all trigrams. The path-mining companion to the Markov
+    transition matrix (q_event_transitions) and PageRank.
+
+    Scale shape: two lead() columns on the one per-user ordered window
+    every journey query shares (single user_id shuffle), then a
+    125-cell aggregate; the top-k is TakeOrderedAndProject over that
+    dimension-sized table, and the share denominator is a scalar
+    window over the same 125 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.groupBy("t1", "t2", "t3").agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return (
+        paths.withColumn("share", F.round(F.col("n") / F.sum("n").over(total), 6))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_PATH_TOPK)
+        .select("t1", "t2", "t3", F.col("n").cast("bigint").alias("n"), "share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (association lift over order baskets)
+# --------------------------------------------------------------------------
+
+_BASKET_TOPK = 20
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "q_market_basket_lift",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM basket),
+    item AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY l_partkey),
+    pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT p.part_a, p.part_b, CAST(p.c_ab AS BIGINT) AS n_together,
+           round(p.c_ab * n_orders.n / (ia.c * ib.c), 4) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders
+    WHERE p.c_ab >= {_BASKET_MIN_SUPPORT}
+    QUALIFY row_number() OVER (
+        ORDER BY p.c_ab * n_orders.n / (ia.c * ib.c) DESC, p.part_a, p.part_b
+    ) <= {_BASKET_TOPK}
+    """,
+    tags=("analytics", "basket", "association", "join"),
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs that co-occur in
+    the same order far more often than chance — lift =
+    P(a,b)/(P(a)·P(b)) with a support floor, top-k by lift. The
+    association-rule capability (recommendations, bundle detection)
+    over the TPC-H fact table.
+
+    Scale shape: the pair join is a self-join on the basket KEY
+    (l_orderkey), so fan-out is Σ lines_per_order² — bounded by the
+    ~7-line basket size, never corpus²; item/pair tables are
+    catalog-sized; the final cut is TakeOrderedAndProject. This is the
+    same bounded-key-fan-out discipline as the shingle inverted
+    index."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    lift = F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .orderBy(F.desc(lift), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("n_together"),
+            F.round(lift, 4).alias("lift"),
+        )
+    )
