@@ -746,3 +746,136 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 4).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index drift monitor
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_SPLIT = "2024-01-16"
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS half,
+               least(CAST(floor(value / 50.0) AS BIGINT), {_PSI_BINS} - 1) AS bin
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, half, bin, count(*) AS c
+        FROM binned GROUP BY event_type, half, bin
+    ),
+    tot AS (
+        SELECT event_type, half, sum(c)::DOUBLE AS n
+        FROM cells GROUP BY event_type, half
+    ),
+    props AS (
+        SELECT c.event_type, c.bin,
+               max(CASE WHEN c.half = 0 THEN c.c / t.n END) AS p0,
+               max(CASE WHEN c.half = 1 THEN c.c / t.n END) AS p1
+        FROM cells c JOIN tot t ON t.event_type = c.event_type AND t.half = c.half
+        GROUP BY c.event_type, c.bin
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum((coalesce(p1, 0.0001) - coalesce(p0, 0.0001))
+                     * ln(coalesce(p1, 0.0001) / coalesce(p0, 0.0001))), 4)
+               AS psi
+    FROM props GROUP BY event_type
+    """,
+    tags=("monitoring", "drift", "psi", "agg"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each event type's value
+    distribution between the first and second half of the window
+    (split at {_PSI_SPLIT}): PSI = Σ (p1-p0)·ln(p1/p0) over 10
+    equal-width value bins, the standard model-monitoring drift score
+    (rule of thumb: >0.1 investigate, >0.25 act). Empty bins take the
+    conventional 1e-4 floor so the score stays finite.
+
+    Scale shape: one conditional-aggregation pass builds the
+    (type x half x bin) cell table — dimension-sized from the first
+    shuffle on; everything after is arithmetic over ≤ type·20 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 0).otherwise(1).alias("half"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "half", "bin").agg(F.count("*").alias("c"))
+    tot = cells.groupBy("event_type", "half").agg(F.sum("c").cast("double").alias("n"))
+    props = (
+        cells.join(tot, on=["event_type", "half"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("c") / F.col("n"))).alias("p0"),
+            F.max(F.when(F.col("half") == 1, F.col("c") / F.col("n"))).alias("p1"),
+        )
+    )
+    p0 = F.coalesce(F.col("p0"), F.lit(0.0001))
+    p1 = F.coalesce(F.col("p1"), F.lit(0.0001))
+    return props.groupBy("event_type").agg(
+        F.count("*").alias("n_bins"),
+        F.round(F.sum((p1 - p0) * F.log(p1 / p0)), 4).alias("psi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-series correlation matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_type_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, avg(value) AS v
+        FROM events GROUP BY hour, event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(a.v, b.v), 3) AS r
+    FROM hourly a JOIN hourly b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+    tags=("timeseries", "correlation", "stats", "join"),
+)
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the event types' hourly mean
+    value series — the cross-series dependence matrix behind capacity
+    planning and leading-indicator hunting (does error volume track
+    purchase value?). Joins the hourly series on the hour key for each
+    unordered type pair.
+
+    Scale shape: the hourly aggregate is one event-table shuffle; the
+    correlation self-join runs on the ~720-row-per-type HOURLY series
+    (dimension-sized), never on raw events, and corr() is a single-pass
+    partial-aggregatable moment computation in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(F.avg("value").alias("v"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.corr(F.col("a.v"), F.col("b.v")), 3).alias("r"),
+        )
+    )
