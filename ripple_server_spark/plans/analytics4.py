@@ -879,3 +879,130 @@ def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr(F.col("a.v"), F.col("b.v")), 3).alias("r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Welch t-test (experiment analysis)
+# --------------------------------------------------------------------------
+
+_TT_SPLIT = "2024-01-16"
+
+
+@query(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{_TT_SPLIT}' THEN 0 ELSE 1 END AS grp,
+               value
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, grp, count(*) AS n, avg(value) AS mu,
+               var_samp(value) AS s2
+        FROM s GROUP BY event_type, grp
+    ),
+    w AS (
+        SELECT a.event_type,
+               a.n AS n0, b.n AS n1,
+               a.mu - b.mu AS delta,
+               a.s2 / a.n + b.s2 / b.n AS se2
+        FROM m a JOIN m b ON a.event_type = b.event_type
+        WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(delta, 3) AS mean_diff,
+           round(delta / sqrt(se2), 3) AS t_stat
+    FROM w
+    """,
+    tags=("stats", "ttest", "experiment", "agg"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per event type between the first
+    and second half of the window (split {_TT_SPLIT}) — the
+    experiment-analysis primitive (A/B readout, release regression
+    check): t = (mu0-mu1)/sqrt(s0²/n0 + s1²/n1), robust to unequal
+    variances and sample sizes.
+
+    Scale shape: one conditional-aggregation pass computes count/mean/
+    variance per (type, half) — var_samp is a partial-aggregatable
+    moment in both engines — then pure arithmetic on the 10-row moment
+    table. No second data pass, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_TT_SPLIT).cast("timestamp"), 0).otherwise(1).alias("grp"),
+        "value",
+    )
+    m = s.groupBy("event_type", "grp").agg(
+        F.count("*").alias("n"), F.avg("value").alias("mu"), F.var_samp("value").alias("s2")
+    )
+    a = m.filter(F.col("grp") == 0).select(
+        "event_type", F.col("n").alias("n0"), F.col("mu").alias("mu0"), F.col("s2").alias("s20")
+    )
+    b = m.filter(F.col("grp") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("mu").alias("mu1"), F.col("s2").alias("s21")
+    )
+    delta = F.col("mu0") - F.col("mu1")
+    se2 = F.col("s20") / F.col("n0") + F.col("s21") / F.col("n1")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n0"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.round(delta, 3).alias("mean_diff"),
+            F.round(delta / F.sqrt(se2), 3).alias("t_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM events WHERE value >= 1
+    ),
+    counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / tot.t, 4) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_expected,
+           round(n / tot.t - ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS deviation
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("stats", "audit", "benford", "agg"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the value column: observed
+    leading-digit frequencies against log10(1 + 1/d) — the classic
+    fabricated-data / instrumentation-bug detector for metrics
+    pipelines. (The fixture's uniform values deliberately FAIL Benford
+    — deviation quantifies how un-Benford a distribution is; organic
+    multiplicative metrics converge to it.)
+
+    Scale shape: leading digit is a codegen string projection; one
+    9-row aggregate; the total is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("value") >= 1).select(
+        F.substring(F.floor("value").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("t"), 4).alias("observed"),
+        F.round(expected, 4).alias("benford_expected"),
+        F.round(F.col("n") / F.col("t") - expected, 4).alias("deviation"),
+    )

@@ -267,3 +267,86 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("t").alias("event_type"), F.round("pr", 6).alias("pagerank"))
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY v
+    ),
+    trip AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_triplets,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM deg
+    )
+    SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           trip.n_vertices,
+           trip.n_triplets,
+           round(CASE WHEN trip.n_triplets > 0
+                      THEN 3.0 * tri.n_triangles / trip.n_triplets
+                      ELSE 0 END, 4) AS clustering_coeff
+    FROM tri CROSS JOIN trip
+    """,
+    tags=("graph", "triangles", "clustering", "dedup"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the MinHash
+    near-dup graph — how clique-like the duplicate neighborhoods are
+    (high coefficient = tight duplicate families that collapse cleanly;
+    low = chains, where transitive closure over-merges and a reviewer
+    should look). Completes the graph-analytics trio with connected
+    components and PageRank.
+
+    Scale shape: the canonical a<b<c triangle enumeration — two joins
+    on edge endpoints of the (much smaller than corpus) verified-pair
+    edge list; degrees and triplets are one aggregate over edge
+    endpoints. For web-scale graphs the standard refinement (orient
+    edges by degree before joining) drops in without changing the
+    contract."""
+    pairs = dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    trip = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_triplets"),
+        F.count("*").cast("bigint").alias("n_vertices"),
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(n_edges)
+        .crossJoin(trip)
+        .select(
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            "n_edges",
+            "n_vertices",
+            "n_triplets",
+            F.round(
+                F.when(
+                    F.col("n_triplets") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_triplets"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
