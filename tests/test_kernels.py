@@ -471,3 +471,43 @@ def test_weighted_sample_invariants(spark, sf_dir):
         )
     )
     assert rows1 == expected
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """Independent cross-check of q_pagerank_types: rebuild the
+    transition graph in pure pandas/numpy and run the same 3 damped
+    power iterations — a formula-level mistake mirrored into both the
+    Spark builder and the SQL oracle would still be caught here."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    edges: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted(ev["event_type"].unique())
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    out_tot = {}
+    for (a, _), c in edges.items():
+        out_tot[a] = out_tot.get(a, 0) + c
+    P = np.zeros((n, n))
+    for (a, b), c in edges.items():
+        P[idx[a], idx[b]] = c / out_tot[a]
+    d = 0.85
+    pr = np.full(n, 1.0 / n)
+    dangling = np.array([out_tot.get(t, 0) == 0 for t in nodes])
+    for _ in range(3):
+        pr = (1 - d) / n + d * (pr @ P + pr[dangling].sum() / n)
+    got = {
+        r["event_type"]: r["pagerank"]
+        for r in SPECS["q_pagerank_types"].builder(spark, sf_dir).collect()
+    }
+    for t in nodes:
+        assert abs(got[t] - round(float(pr[idx[t]]), 6)) < 1e-5, t

@@ -325,3 +325,29 @@ def test_pagerank_rank_table_joins_broadcast(spark):
     p = plan(build(spark, "q_pagerank_types"))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_basket_pair_join_keys_on_order(spark):
+    """Market-basket pair generation must join on the basket key
+    (equi-join on l_orderkey) — no cartesian/broadcast-nested-loop pair
+    blowup — and the lift cut is TakeOrderedAndProject."""
+    p = plan(build(spark, "q_market_basket_lift"))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_psi_and_ttest_are_single_pass_aggregates(spark):
+    """Drift/test statistics must come from conditional aggregation
+    passes — no Window over event rows."""
+    for name in ("q_psi_drift", "q_welch_ttest", "q_benford_audit"):
+        p = plan(build(spark, name))
+        assert "Window" not in p, name
+
+
+def test_correlation_self_join_is_on_hourly_series(spark):
+    """The correlation pair join must run on the aggregated hourly
+    series (HashAggregate below the join), never raw events — and no
+    cartesian."""
+    p = plan(build(spark, "q_type_correlation"))
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
