@@ -1006,3 +1006,176 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 4).alias("benford_expected"),
         F.round(F.col("n") / F.col("t") - expected, 4).alias("deviation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+               count(*) AS o
+        FROM events GROUP BY event_type, dow
+    ),
+    rt AS (SELECT event_type, sum(o)::DOUBLE AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, sum(o)::DOUBLE AS c FROM obs GROUP BY dow),
+    n AS (SELECT sum(o)::DOUBLE AS t FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           round(sum(pow(obs.o - rt.r * ct.c / n.t, 2)
+                     / (rt.r * ct.c / n.t)), 3) AS chi2
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    """,
+    tags=("stats", "chi2", "independence", "agg"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week — does traffic mix shift across the week? One
+    contingency-table aggregate, then Σ(O-E)²/E over the
+    |types|x7 cells with margins as broadcast-sized tables. The
+    categorical companion to the Welch t readout.
+
+    Scale shape: a single conditional-aggregation pass builds the
+    contingency table; margins and the total are sub-aggregates of the
+    ~35-row cell table. No second data pass."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dowk")
+    ).agg(F.count("*").alias("o"))
+    # align DuckDB dow (0=Sunday) with Spark dayofweek (1=Sunday)
+    obs = obs.withColumn("dow", (F.col("dowk") - 1).cast("bigint")).drop("dowk")
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("double").alias("c"))
+    n = obs.agg(F.sum("o").cast("double").alias("t"))
+    n_r = rt.count()
+    n_c = ct.count()
+    e = F.col("r") * F.col("c") / F.col("t")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.lit((n_r - 1) * (n_c - 1)).cast("bigint").alias("dof"),
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 3).alias("chi2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of per-user value
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT tot, row_number() OVER (ORDER BY tot, user_id) AS i,
+               count(*) OVER () AS n, sum(tot) OVER () AS s
+        FROM u
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+           round(any_value(s), 2) AS total_value,
+           round(2.0 * sum(i * tot) / (any_value(n) * any_value(s))
+                 - (any_value(n) + 1.0) / any_value(n), 4) AS gini
+    FROM r
+    """,
+    tags=("stats", "gini", "concentration", "window"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total value — how concentrated the
+    stream's value is in its heaviest users (whale detection, abuse
+    monitoring, the capacity-planning question 'does 1% of keys carry
+    half the load?'). G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n over users
+    sorted ascending.
+
+    Scale shape: the rank runs over the USER-LEVEL aggregate (one
+    shuffle of key-level rows, corpus-row count never enters the
+    window); for billion-key tables the striped two-pass rank
+    (_rank_in_group) drops in for the row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.sum("value").alias("tot"))
+    w = Window.orderBy("tot", "user_id")
+    r = u.select(
+        "tot",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = u.agg(
+        F.count("*").alias("n"), F.sum("tot").alias("s")
+    )
+    return (
+        r.crossJoin(F.broadcast(agg))
+        .agg(
+            F.first("n").cast("bigint").alias("n_users"),
+            F.round(F.first("s"), 2).alias("total_value"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("tot")) / (F.first("n") * F.first("s"))
+                - (F.first("n") + 1.0) / F.first("n"),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of hourly counts (ACF diagnostics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hourly_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        FROM events GROUP BY event_type, hour
+    ),
+    lagged AS (
+        SELECT event_type, c,
+               lag(c, 1) OVER w AS c1,
+               lag(c, 24) OVER w AS c24
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(c, c1), 3) AS acf_lag1,
+           round(corr(c, c24), 3) AS acf_lag24
+    FROM lagged GROUP BY event_type
+    """,
+    tags=("timeseries", "autocorrelation", "acf", "window"),
+)
+def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of each type's hourly event
+    counts — the ACF diagnostics behind forecasting and anomaly
+    baselines (is load sticky hour-over-hour? is there a daily
+    cycle?). Complements the seasonality profile with the
+    dependence-structure view.
+
+    Scale shape: the hourly aggregate is the only event-table pass;
+    lag() and corr() run on the dimension-sized per-type series
+    (partitioned window, partial-aggregatable moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 24).over(w).alias("c24"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.corr("c", "c1"), 3).alias("acf_lag1"),
+        F.round(F.corr("c", "c24"), 3).alias("acf_lag24"),
+    )
