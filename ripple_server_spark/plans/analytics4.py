@@ -1179,3 +1179,140 @@ def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("c", "c1"), 3).alias("acf_lag1"),
         F.round(F.corr("c", "c24"), 3).alias("acf_lag24"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burst / anomaly detection over hourly counts
+# --------------------------------------------------------------------------
+
+_BURST_Z = 2.5
+
+
+@query(
+    "q_burst_detection",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        FROM events GROUP BY event_type, hour
+    ),
+    stats AS (
+        SELECT event_type, avg(c) AS mu, stddev_samp(c) AS sd
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, CAST(h.c AS BIGINT) AS n_events,
+           round((h.c - s.mu) / s.sd, 3) AS z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE (h.c - s.mu) / s.sd >= {_BURST_Z}
+    """,
+    tags=("monitoring", "anomaly", "burst", "timeseries"),
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours where a type's event count exceeds its
+    own mean by >= {_BURST_Z} sample standard deviations — the paging
+    alert primitive over the topic stream, built purely from
+    aggregates (no model state).
+
+    Scale shape: hourly aggregate (one event pass), 5-row per-type
+    moment table broadcast back onto the dimension-sized hourly
+    series; the z filter is codegen. A streaming deployment computes
+    the same moments incrementally (HourlyRollup) and applies the
+    identical filter per micro-batch."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(z >= _BURST_Z)
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (nonparametric two-sample test)
+# --------------------------------------------------------------------------
+
+_MW_SPLIT = "2024-01-16"
+
+
+@query(
+    "q_mann_whitney_u",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{_MW_SPLIT}' THEN 0 ELSE 1 END AS grp
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, grp, value,
+               rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               count(*) OVER (PARTITION BY event_type, value) AS tc
+        FROM s
+    ),
+    avg_ranked AS (
+        SELECT event_type, grp, rk + (tc - 1) / 2.0 AS ar FROM ranked
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(CASE WHEN grp = 0 THEN ar END) AS r0,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+        FROM avg_ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(r0 - n0 * (n0 + 1) / 2, 1) AS u_stat,
+           round(((r0 - n0 * (n0 + 1) / 2) - n0 * n1 / 2)
+                 / sqrt(n0 * n1 * (n0 + n1 + 1) / 12.0), 3) AS z_approx
+    FROM agg
+    """,
+    tags=("stats", "nonparametric", "mann-whitney", "window"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the window halves per event type — the
+    nonparametric companion to the Welch t (valid under skew and
+    outliers, exactly where the mean-based test lies). Tied values take
+    exact AVERAGE ranks via rank() + (tie_count-1)/2, the textbook
+    definition, so both engines agree bit-for-bit before rounding; the
+    normal z approximation is reported without tie correction (ties
+    are rare at double precision).
+
+    Scale shape: one ranked pass per type (rank() and the per-value
+    tie count share the same partitioning) plus a conditional
+    aggregate. For billion-row groups the striped two-pass rank
+    substitutes for rank() exactly as in q_robust_stats."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit(_MW_SPLIT).cast("timestamp"), 0).otherwise(1).alias("grp"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type", "value")
+    ar = (F.rank().over(wr) + (F.count("*").over(wt) - 1) / 2.0).alias("ar")
+    ranked = s.select("event_type", "grp", ar)
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ar"))).alias("r0"),
+        F.count(F.when(F.col("grp") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("double").alias("n1"),
+    )
+    u = F.col("r0") - F.col("n0") * (F.col("n0") + 1) / 2
+    z = (u - F.col("n0") * F.col("n1") / 2) / F.sqrt(
+        F.col("n0") * F.col("n1") * (F.col("n0") + F.col("n1") + 1) / 12.0
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 3).alias("z_approx"),
+    )

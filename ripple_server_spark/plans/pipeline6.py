@@ -572,3 +572,63 @@ def q_text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 4)
+               AS vocab_jaccard
+    FROM inter i
+    JOIN sizes na ON na.source = i.src_a
+    JOIN sizes nb ON nb.source = i.src_b
+    """,
+    tags=("text", "corpus", "vocab", "jaccard"),
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the corpus-
+    comparison matrix (are two crawls lexically redundant? does a new
+    source add vocabulary?) that complements per-source KL divergence
+    with a set-overlap view.
+
+    Scale shape: the distinct (source, word) table is vocabulary-sized;
+    the pair intersection is the same inverted-index self-join as the
+    shingle dedup (join on the word, never source x source x vocab),
+    and sizes broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("vocab_jaccard"),
+        )
+    )
