@@ -1316,3 +1316,152 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round(z, 3).alias("z_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test
+# --------------------------------------------------------------------------
+
+_KS_SPLIT = "2024-01-16"
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 0 ELSE 1 END AS grp
+        FROM events
+    ),
+    n AS (
+        SELECT event_type,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+        FROM s GROUP BY event_type
+    ),
+    steps AS (
+        SELECT event_type, value,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        FROM s GROUP BY event_type, value
+    ),
+    ecdf AS (
+        SELECT event_type,
+               sum(c0) OVER w AS f0, sum(c1) OVER w AS f1
+        FROM steps
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT e.event_type,
+           CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           round(max(abs(e.f0 / n.n0 - e.f1 / n.n1)), 4) AS ks_d
+    FROM ecdf e JOIN n USING (event_type)
+    GROUP BY e.event_type, n.n0, n.n1
+    """,
+    tags=("stats", "ks", "nonparametric", "window"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per event type between the
+    window halves: the maximum gap between the halves' empirical CDFs
+    — the distribution-shape test that completes the testing trio
+    (Welch t for means, Mann-Whitney for location, KS for the whole
+    shape). ECDFs step at distinct VALUES with per-value group counts,
+    so D is exact (not binned like PSI).
+
+    Scale shape: the per-(type, value) step table collapses the data
+    once; the cumulative window runs over distinct values (bounded by
+    value cardinality, not rows) on the per-type partitioning; one
+    final max aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp"), 0).otherwise(1).alias("grp"),
+    )
+    n = s.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("double").alias("n1"),
+    )
+    steps = s.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("c1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = steps.select(
+        "event_type",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+    )
+    return (
+        ecdf.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n0", "n1")
+        .agg(F.round(F.max(F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))), 4).alias("ks_d"))
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n0"),
+            F.col("n1").cast("bigint").alias("n1"),
+            "ks_d",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve deciles (concentration profile)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lorenz_deciles",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, sum(value) AS tot FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT tot, row_number() OVER (ORDER BY tot, user_id) AS i,
+               count(*) OVER () AS n, sum(tot) OVER () AS s
+        FROM u
+    ),
+    cum AS (
+        SELECT ((i - 1) * 10) // n AS decile, n, s,
+               sum(tot) OVER (ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+        FROM r
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(max(running) / any_value(s), 4) AS cum_value_share
+    FROM cum GROUP BY decile
+    """,
+    tags=("stats", "lorenz", "concentration", "window"),
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at deciles: users sorted ascending by total value,
+    reporting each decile's CUMULATIVE share of all value — the curve
+    whose area complement is q_gini_concentration, and the operational
+    'bottom 50% of keys carry X% of load' readout skew planning needs.
+
+    Scale shape: ranks and the running sum run over the USER-LEVEL
+    aggregate (key-level rows). The running-state cumulative window is
+    single-partition over keys here for exactness; the striped
+    two-pass rank + per-stripe offsets (same trick as
+    q_equiheight_histogram) is the drop-in for billion-key tables."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.sum("value").alias("tot"))
+    wr = Window.orderBy("tot", "user_id")
+    agg = u.agg(F.count("*").alias("n"), F.sum("tot").alias("s"))
+    r = u.select("tot", F.row_number().over(wr).alias("i")).crossJoin(F.broadcast(agg))
+    wc = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = r.select(
+        F.expr("((i - 1) * 10) div n").alias("decile"),
+        "s",
+        F.sum("tot").over(wc).alias("running"),
+    )
+    return cum.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.max("running") / F.first("s"), 4).alias("cum_value_share"),
+    )
