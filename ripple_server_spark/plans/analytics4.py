@@ -1465,3 +1465,53 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.round(F.max("running") / F.first("s"), 4).alias("cum_value_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# SLA latency report (order -> ship within N days)
+# --------------------------------------------------------------------------
+
+_SLA_DAYS = 30
+
+
+@query(
+    "q_order_sla",
+    oracle=f"""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (days <= {_SLA_DAYS}) AS BIGINT) AS n_within,
+           round(count(*) FILTER (days <= {_SLA_DAYS})::DOUBLE / count(*), 4)
+               AS sla_rate,
+           CAST(max(days) AS BIGINT) AS worst_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "sla", "latency", "join"),
+)
+def q_order_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: the share of lineitems
+    shipped within {_SLA_DAYS} days of their order date, plus the
+    worst-case latency — the operations-reporting shape (latency
+    buckets against a target) every pipeline dashboard carries.
+
+    Scale shape: one fact-fact equi-join on the order key (the same
+    shuffle q_fact_join exercises — bucketed at-rest layout removes it
+    entirely, q_fact_join_bucketed) followed by a 5-row conditional
+    aggregate. date_diff is codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    within = F.count(F.when(F.col("days") <= _SLA_DAYS, 1))
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        within.alias("n_within"),
+        F.round(within.cast("double") / F.count("*"), 4).alias("sla_rate"),
+        F.max("days").cast("bigint").alias("worst_days"),
+    )

@@ -632,3 +632,67 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+@query(
+    "q_vocab_growth",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    grp AS (SELECT doc_id, ((rn - 1) * 10) // n AS g, n FROM d),
+    toks AS (
+        SELECT g.g, t.w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) t JOIN grp g USING (doc_id)
+    ),
+    first_seen AS (SELECT w, min(g) AS fg FROM toks GROUP BY w),
+    new_per_g AS (SELECT fg AS g, count(*) AS new_words FROM first_seen GROUP BY fg),
+    tok_per_g AS (SELECT g, count(*) AS n_tokens FROM toks GROUP BY g)
+    SELECT t.g AS decile,
+           CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_words, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM tok_per_g t LEFT JOIN new_per_g n ON n.g = t.g
+    WINDOW w AS (ORDER BY t.g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("text", "corpus", "heaps", "vocab"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary against cumulative token count over ten sequential
+    corpus slices (by doc_id order) — the saturation diagnostic for
+    corpus collection (flattening curve = a new crawl adds tokens but
+    no vocabulary; use q_source_vocab_overlap to find which source).
+
+    Scale shape: each word's FIRST-SEEN slice is one aggregate over
+    the token stream (min of a precomputed slice id — no per-
+    checkpoint rescans); the growth curve is a 10-row cumulative
+    window. Slice assignment is a broadcast join of the doc->slice
+    map, itself a ranked projection of doc ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    grp = docs.select(
+        "doc_id",
+        F.expr(f"((row_number() over (order by doc_id) - 1) * 10) div {n_docs}").alias("g"),
+    )
+    toks = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .join(F.broadcast(grp), "doc_id")
+        .select("g", "w")
+    )
+    first_seen = toks.groupBy("w").agg(F.min("g").alias("fg"))
+    new_per_g = first_seen.groupBy(F.col("fg").alias("g")).agg(
+        F.count("*").alias("new_words")
+    )
+    tok_per_g = toks.groupBy("g").agg(F.count("*").alias("n_tokens"))
+    wc = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tok_per_g.join(new_per_g, "g", "left")
+        .select(
+            F.col("g").alias("decile"),
+            F.sum("n_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(wc).cast("bigint").alias("cum_vocab"),
+        )
+    )
