@@ -1515,3 +1515,221 @@ def q_order_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(within.cast("double") / F.count("*"), 4).alias("sla_rate"),
         F.max("days").cast("bigint").alias("worst_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# OLS trend slope per series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_trend_slope",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS v
+        FROM events GROUP BY event_type, hour
+    ),
+    xy AS (
+        SELECT event_type,
+               date_diff('hour', TIMESTAMP '2024-01-01', hour)::DOUBLE AS x,
+               v AS y
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(covar_samp(x, y) / var_samp(x), 6) AS slope_per_hour,
+           round(avg(y) - covar_samp(x, y) / var_samp(x) * avg(x), 3)
+               AS intercept
+    FROM xy GROUP BY event_type
+    """,
+    tags=("stats", "regression", "trend", "timeseries"),
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend line of each type's hourly mean value over time —
+    slope = cov(x,y)/var(x) with x in hours since the window origin;
+    the is-this-metric-drifting readout that PSI quantifies
+    distributionally and this quantifies directionally.
+
+    Scale shape: covariance and variance are single-pass partial-
+    aggregatable moments over the dimension-sized hourly series; no
+    window, no second pass, no matrix solve (one regressor)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("y"))
+    origin = F.lit("2024-01-01").cast("timestamp")
+    xy = hourly.select(
+        "event_type",
+        (F.unix_timestamp("hour") - F.unix_timestamp(origin)).cast("double") / 3600.0,
+        "y",
+    ).toDF("event_type", "x", "y")
+    slope = F.covar_samp("x", "y") / F.var_samp("x")
+    return xy.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(F.avg("y") - slope * F.avg("x"), 3).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS v
+        FROM events GROUP BY event_type, hour
+    ),
+    m AS (SELECT event_type, avg(v) AS mu FROM hourly GROUP BY event_type),
+    c AS (
+        SELECT h.event_type, h.hour,
+               sum(h.v - m.mu) OVER (PARTITION BY h.event_type ORDER BY h.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM hourly h JOIN m USING (event_type)
+    )
+    SELECT event_type, hour AS changepoint_hour,
+           round(abs_cusum, 3) AS max_abs_cusum
+    FROM (
+        SELECT event_type, hour, abs(cusum) AS abs_cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, hour) AS rn
+        FROM c
+    ) WHERE rn = 1
+    """,
+    tags=("timeseries", "changepoint", "cusum", "window"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type: the hour where the
+    cumulative deviation from the series mean peaks in magnitude — the
+    classic single-change-point locator (a level shift at time T makes
+    |CUSUM| maximal at T). Complements burst detection (point
+    anomalies) with regime-shift detection.
+
+    Scale shape: mean + running-state cumulative window + rank-1 cut,
+    all over the dimension-sized hourly series; the rank-1 filter
+    compiles to WindowGroupLimit."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    m = hourly.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hourly.join(F.broadcast(m), "event_type").select(
+        "event_type", "hour", F.sum(F.col("v") - F.col("mu")).over(wc).alias("cusum")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("hour"))
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.round(F.abs(F.col("cusum")), 3).alias("max_abs_cusum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival over user lifetimes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_km_survival",
+    oracle="""
+    WITH life AS (
+        SELECT user_id,
+               date_diff('day', min(ts), max(ts)) AS dur,
+               CAST(max(CASE WHEN ts = mx THEN
+                    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END END)
+                    AS BIGINT) AS churned
+        FROM (
+            SELECT user_id, ts, event_type,
+                   max(ts) OVER (PARTITION BY user_id) AS mx
+            FROM events
+        ) GROUP BY user_id
+    ),
+    times AS (
+        SELECT dur, sum(churned) AS d, count(*) AS ended
+        FROM life GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               sum(ended) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM times
+    )
+    SELECT dur AS duration_days,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(ln(1.0 - d::DOUBLE / n_risk)) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+               AS survival
+    FROM risk WHERE d > 0
+    """,
+    tags=("stats", "survival", "kaplan-meier", "window"),
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days between a
+    user's first and last event); a lifetime counts as a churn event
+    when the user's final event is an 'error', otherwise it is
+    censored at observation end — S(t) = Π_{t_i<=t} (1 - d_i/n_i).
+    The product runs in log space (exp of a running sum of ln terms)
+    so it is a cumulative WINDOW, not an iterative loop.
+
+    Scale shape: lifetimes are one per-user aggregate; distinct event
+    times collapse the key-level table to its duration spectrum; the
+    at-risk counts and the survival product are two running-state
+    windows over that (tiny) spectrum."""
+    ev = load_table(spark, sf_dir, "events")
+    wmx = Window.partitionBy("user_id")
+    life = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.max("ts").over(wmx).alias("mx"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).alias("dur"),
+            F.max(
+                F.when(
+                    F.col("ts") == F.col("mx"),
+                    F.when(F.col("event_type") == "error", 1).otherwise(0),
+                )
+            ).cast("bigint").alias("churned"),
+        )
+    )
+    times = life.groupBy("dur").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("ended")
+    )
+    wrisk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "dur", "d", F.sum("ended").over(wrisk).alias("n_risk")
+    )
+    wsurv = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(wsurv)
+    )
+    return (
+        risk.withColumn("survival", F.round(surv, 4))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("d").cast("bigint").alias("n_churned"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            "survival",
+        )
+    )
