@@ -1733,3 +1733,165 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    u AS (
+        SELECT user_id,
+               date_diff('day', max(ts), mx.m) AS recency,
+               count(*) AS freq,
+               sum(value) AS monetary
+        FROM events CROSS JOIN mx GROUP BY user_id, mx.m
+    ),
+    q AS (
+        SELECT user_id, monetary,
+               ((row_number() OVER (ORDER BY recency, user_id) - 1) * 5)
+                   // count(*) OVER () AS r,
+               ((row_number() OVER (ORDER BY freq, user_id) - 1) * 5)
+                   // count(*) OVER () AS f,
+               ((row_number() OVER (ORDER BY monetary, user_id) - 1) * 5)
+                   // count(*) OVER () AS m
+        FROM u
+    )
+    SELECT r * 100 + f * 10 + m AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(monetary), 2) AS total_value
+    FROM q GROUP BY segment
+    """,
+    tags=("analytics", "rfm", "segmentation", "window"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored into quintiles of Recency
+    (days since last event), Frequency (event count), and Monetary
+    (total value), emitted as the classic 3-digit segment code with
+    user counts and value — the marketing/abuse-triage segmentation
+    primitive. Quintiles are exact integer rank arithmetic
+    (((rn-1)*5) div n with user_id tie-break), not ntile(), so both
+    engines agree.
+
+    Scale shape: one per-user aggregate (key-level rows from there
+    on); three rank windows over the user table — each a candidate for
+    the striped two-pass rank at billion-key scale — then a ≤125-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("m"), F.max("ts")).alias("recency"),
+            F.count("*").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    n = u.count()
+
+    def quint(col: str):
+        return F.expr(f"((row_number() over (order by {col}, user_id) - 1) * 5) div {n}")
+
+    q = u.select(
+        "user_id",
+        "monetary",
+        quint("recency").alias("r"),
+        quint("freq").alias("f"),
+        quint("monetary").alias("m"),
+    )
+    return q.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionized engagement stats
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "q_session_stats",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts)
+                            > {_SESSION_GAP_MIN} * 60
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               arg_min(event_type, event_id) AS entry_type,
+               count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS dur_s
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(count(*) FILTER (n_events = 1)::DOUBLE / count(*), 4)
+               AS bounce_rate,
+           round(avg(n_events), 3) AS avg_events,
+           round(avg(dur_s), 1) AS avg_duration_s
+    FROM per_session GROUP BY entry_type
+    """,
+    tags=("analytics", "session", "engagement", "window"),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized engagement report: sessions cut at
+    {_SESSION_GAP_MIN}-minute inactivity gaps (the same gaps-islands
+    construction as q_sessionize_users), rolled up by ENTRY event type
+    into the product-analytics staples — session count, bounce rate
+    (single-event sessions), mean events, mean duration.
+
+    Scale shape: the flag + cumulative-sum session id is two
+    running-state windows on the one per-user partitioning; per-
+    session and per-entry-type rollups are ordinary partial
+    aggregates. min_by picks the entry event without a sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > _SESSION_GAP_MIN * 60), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wc))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", "event_id").alias("entry_type"),
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_session.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(bounce.cast("double") / F.count("*"), 4).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 3).alias("avg_events"),
+        F.round(F.avg("dur_s"), 1).alias("avg_duration_s"),
+    )
