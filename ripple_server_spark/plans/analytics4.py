@@ -1895,3 +1895,142 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 3).alias("avg_events"),
         F.round(F.avg("dur_s"), 1).alias("avg_duration_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (value-weighted order statistic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               sum(value) OVER (PARTITION BY event_type ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(value) OVER (PARTITION BY event_type) AS tot
+        FROM events
+    )
+    SELECT event_type,
+           round(min(CASE WHEN cum >= tot / 2 THEN value END), 4)
+               AS weighted_median,
+           round(any_value(tot), 2) AS total_value
+    FROM r GROUP BY event_type
+    """,
+    tags=("agg", "stats", "weighted-median", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted median per event type: the value v such that
+    half the type's TOTAL value lies at or below v (the dollar-
+    weighted median price) — the robust middle that row-median misses
+    when a few large transactions carry most of the mass; pairs with
+    Gini/Lorenz on the concentration dashboard.
+
+    Scale shape: one cumulative window on the (type, value) ordering —
+    the same per-group running-state pass as the ECDF in q_ks_test —
+    and a conditional min aggregate. The striped two-pass rank is the
+    billion-row drop-in for the cumulative sum (per-stripe totals
+    broadcast as offsets)."""
+    ev = load_table(spark, sf_dir, "events")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.sum("value").over(wcum).alias("cum"),
+        F.sum("value").over(wtot).alias("tot"),
+    )
+    return r.groupBy("event_type").agg(
+        F.round(
+            F.min(F.when(F.col("cum") >= F.col("tot") / 2, F.col("value"))), 4
+        ).alias("weighted_median"),
+        F.round(F.first("tot"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion latency (click -> purchase time-to-convert)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, 0 AS is_ref, CAST(NULL AS TIMESTAMP) AS rts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, user_id, ts, 1, ts FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, is_ref,
+             last_value(rts IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, is_ref DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM u
+    ),
+    lat AS (
+      SELECT date_diff('second', last_click, ts) AS sec
+      FROM c WHERE is_ref = 0 AND last_click IS NOT NULL
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec) AS rn, count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_conversions,
+           round(avg(sec) / 3600.0, 3) AS mean_hours,
+           round(min(CASE WHEN rn = (n + 1) // 2 THEN sec END) / 3600.0, 3)
+               AS median_hours
+    FROM r
+    """,
+    tags=("analytics", "funnel", "latency", "asof", "window"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every purchase preceded by a click in the
+    same user's stream, the elapsed time since the MOST RECENT click —
+    mean and exact median hours. The latency readout that turns the
+    funnel (how many convert) into an SLA (how fast they convert);
+    built on the same union + running-window as-of construction as
+    q_asof_join.
+
+    Scale shape: one per-user ordered window over the filtered
+    click/purchase union, then median by exact rank over the
+    conversions table (event-level rows collapse to conversions
+    first). Tie order (is_ref DESC) makes a click at the same
+    timestamp as the purchase count as its antecedent, matching the
+    as-of convention."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("timestamp").alias("rts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_ref"), F.col("ts").alias("rts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_ref"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pur.unionByName(clk).select(
+        "is_ref", "ts", F.last("rts", ignorenulls=True).over(w).alias("last_click")
+    )
+    lat = c.filter((F.col("is_ref") == 0) & F.col("last_click").isNotNull()).select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_click")).alias("sec")
+    )
+    wr = Window.orderBy("sec")
+    wn = Window.partitionBy()
+    r = lat.select(
+        "sec", F.row_number().over(wr).alias("rn"), F.count("*").over(wn).alias("n")
+    )
+    return r.agg(
+        F.first("n").cast("bigint").alias("n_conversions"),
+        F.round(F.avg("sec") / 3600.0, 3).alias("mean_hours"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("sec"))) / 3600.0, 3
+        ).alias("median_hours"),
+    )
