@@ -34,18 +34,35 @@ from ripple_server_spark.plans.registry import query
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-distribution window functions (ntile/percent_rank/
-    cume_dist) over purchases. Deterministic via the event_id tie-break.
-    NOTE the empty partitionBy: a global ORDER BY window is a single-
-    partition operator by definition — acceptable only because the
-    filtered slice is small; the partitioned variants are covered by
-    q_global_rank (range-partitioned exact rank) for the 100 TB path."""
+    cume_dist) over purchases, computed WITHOUT a single-partition
+    global window: the striped two-pass exact rank (coarse value
+    stripes -> tiny stripe-count aggregate -> broadcast cumulative
+    offsets -> rank within stripe) gives each row its global position
+    rn, and since the (value, event_id) order is tie-free,
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile(4) is
+    the standard first-(n mod 4)-buckets-get-ceil(n/4) arithmetic on
+    rn — all derived from rn plus one broadcast 1-row count. The r03
+    version ran a bare Window.orderBy over every purchase row in one
+    task; no such window remains in this plan."""
+    from ripple_server_spark.plans.analytics4 import _rank_in_group
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
-    return ev.select(
+    ranked = _rank_in_group(ev.withColumn("_g", F.lit(0)), "_g", "value", "event_id")
+    n_agg = ev.agg(F.count("*").alias("_n"))
+    ntile4 = F.expr(
+        "CASE WHEN rn <= (_n % 4) * ((_n div 4) + 1)"
+        "     THEN 1 + (rn - 1) div ((_n div 4) + 1)"
+        "     ELSE (_n % 4) + 1 + (rn - 1 - (_n % 4) * ((_n div 4) + 1)) div (_n div 4)"
+        " END"
+    )
+    pr = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("_n") - 1)
+    )
+    return ranked.crossJoin(F.broadcast(n_agg)).select(
         "event_id",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        ntile4.cast("bigint").alias("quartile"),
+        F.round(pr, 6).alias("pr"),
+        F.round(F.col("rn").cast("double") / F.col("_n"), 6).alias("cd"),
     )
 
 

@@ -205,6 +205,52 @@ def _rank_in_group(df: DataFrame, group: str, value: str, tie: str) -> DataFrame
     )
 
 
+def _striped_running(
+    df: DataFrame,
+    order: str,
+    tie: str | None,
+    sums: tuple[str, ...] = (),
+    maxes: tuple[str, ...] = (),
+    desc: bool = False,
+) -> DataFrame:
+    """Running-state aggregates (cumulative sum / max) over a global
+    order WITHOUT a single-partition window — the cumulative-sum twin
+    of :func:`_rank_in_group`. Rows are striped by coarse `order`
+    range; per-stripe totals are a tiny aggregate whose cumulative
+    offsets broadcast back; the running state within a stripe is a
+    window PARTITIONED BY the stripe. Adds one `cum_<col>` column per
+    requested input. Exact for sums up to floating-point association
+    order (integer sums are bit-exact)."""
+    sign = F.desc if desc else F.asc
+    striped = df.withColumn("_stripe", F.floor(F.col(order) / _STRIPE).cast("bigint"))
+    agg_exprs = [F.sum(c).alias(f"_s_{c}") for c in sums] + [
+        F.max(c).alias(f"_m_{c}") for c in maxes
+    ]
+    counts = striped.groupBy("_stripe").agg(*agg_exprs)
+    woff = Window.orderBy(sign("_stripe")).rowsBetween(Window.unboundedPreceding, -1)
+    off_exprs = [
+        F.coalesce(F.sum(f"_s_{c}").over(woff), F.lit(0)).alias(f"_so_{c}") for c in sums
+    ] + [F.max(f"_m_{c}").over(woff).alias(f"_mo_{c}") for c in maxes]
+    offsets = counts.select("_stripe", *off_exprs)
+    order_cols = [sign(order)] + ([sign(tie)] if tie else [])
+    wloc = (
+        Window.partitionBy("_stripe")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = striped.join(F.broadcast(offsets), "_stripe")
+    for c in sums:
+        out = out.withColumn(f"cum_{c}", F.col(f"_so_{c}") + F.sum(c).over(wloc))
+    for c in maxes:
+        # greatest() skips NULL (first stripe has no offset), so this is
+        # max(prior-stripe max, running max within this stripe).
+        out = out.withColumn(
+            f"cum_{c}", F.greatest(F.col(f"_mo_{c}"), F.max(c).over(wloc))
+        )
+    drop = ["_stripe"] + [f"_so_{c}" for c in sums] + [f"_mo_{c}" for c in maxes]
+    return out.drop(*drop)
+
+
 @query(
     "q_robust_stats",
     oracle="""
@@ -1099,15 +1145,15 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted ascending.
 
     Scale shape: the rank runs over the USER-LEVEL aggregate (one
-    shuffle of key-level rows, corpus-row count never enters the
-    window); for billion-key tables the striped two-pass rank
-    (_rank_in_group) drops in for the row_number."""
+    shuffle of key-level rows, corpus-row count never enters any
+    window), and the rank itself is the striped two-pass
+    :func:`_rank_in_group` (single constant group) — no window in the
+    plan sees more than one value-stripe of keys, so a billion-key
+    table never funnels through one task."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.sum("value").alias("tot"))
-    w = Window.orderBy("tot", "user_id")
-    r = u.select(
-        "tot",
-        F.row_number().over(w).alias("i"),
+    r = _rank_in_group(u.withColumn("_g", F.lit(0)), "_g", "tot", "user_id").select(
+        "tot", F.col("rn").alias("i")
     )
     agg = u.agg(
         F.count("*").alias("n"), F.sum("tot").alias("s")
@@ -1446,20 +1492,22 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     'bottom 50% of keys carry X% of load' readout skew planning needs.
 
     Scale shape: ranks and the running sum run over the USER-LEVEL
-    aggregate (key-level rows). The running-state cumulative window is
-    single-partition over keys here for exactness; the striped
-    two-pass rank + per-stripe offsets (same trick as
-    q_equiheight_histogram) is the drop-in for billion-key tables."""
+    aggregate (key-level rows), and BOTH are striped two-pass
+    (:func:`_striped_running`): the rank is a cumulative count and the
+    running value a cumulative sum, each = broadcast stripe offset +
+    within-stripe window — no single-partition window over keys
+    anywhere in the plan, so a billion-key table never funnels
+    through one task."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.sum("value").alias("tot"))
-    wr = Window.orderBy("tot", "user_id")
     agg = u.agg(F.count("*").alias("n"), F.sum("tot").alias("s"))
-    r = u.select("tot", F.row_number().over(wr).alias("i")).crossJoin(F.broadcast(agg))
-    wc = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = r.select(
-        F.expr("((i - 1) * 10) div n").alias("decile"),
+    run = _striped_running(
+        u.withColumn("_one", F.lit(1)), "tot", "user_id", sums=("tot", "_one")
+    )
+    cum = run.crossJoin(F.broadcast(agg)).select(
+        F.expr("((cum__one - 1) * 10) div n").alias("decile"),
         "s",
-        F.sum("tot").over(wc).alias("running"),
+        F.col("cum_tot").alias("running"),
     )
     return cum.groupBy("decile").agg(
         F.count("*").alias("n_users"),
@@ -1669,10 +1717,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dur AS duration_days,
            CAST(d AS BIGINT) AS n_churned,
            CAST(n_risk AS BIGINT) AS n_at_risk,
-           round(exp(sum(ln(1.0 - d::DOUBLE / n_risk)) OVER (
-               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
-               AS survival
+           round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wcum = 1
+                      THEN 0.0
+                      ELSE exp(sum(ln(CASE WHEN d < n_risk
+                                           THEN 1.0 - d::DOUBLE / n_risk
+                                           ELSE 1.0 END)) OVER wcum)
+                 END, 4) AS survival
     FROM risk WHERE d > 0
+    WINDOW wcum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("stats", "survival", "kaplan-meier", "window"),
 )
@@ -1682,12 +1734,18 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the user's final event is an 'error', otherwise it is
     censored at observation end — S(t) = Π_{t_i<=t} (1 - d_i/n_i).
     The product runs in log space (exp of a running sum of ln terms)
-    so it is a cumulative WINDOW, not an iterative loop.
+    so it is a cumulative aggregate, not an iterative loop. The
+    terminal step where EVERYONE still at risk churns (d = n_risk,
+    factor 0, ln undefined) is special-cased to survival 0 in both
+    engines — otherwise DuckDB errors on ln(0) while Spark's NULL log
+    silently drops the term and reports a wrong positive survival.
 
     Scale shape: lifetimes are one per-user aggregate; distinct event
     times collapse the key-level table to its duration spectrum; the
-    at-risk counts and the survival product are two running-state
-    windows over that (tiny) spectrum."""
+    at-risk counts and the survival product are striped two-pass
+    running states (:func:`_striped_running`) — every window in the
+    plan is partitioned by the duration stripe, so even a pathological
+    billion-distinct-duration spectrum never funnels into one task."""
     ev = load_table(spark, sf_dir, "events")
     wmx = Window.partitionBy("user_id")
     life = (
@@ -1711,20 +1769,24 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     times = life.groupBy("dur").agg(
         F.sum("churned").alias("d"), F.count("*").alias("ended")
     )
-    wrisk = Window.orderBy(F.desc("dur")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    risk = _striped_running(times, "dur", None, sums=("ended",), desc=True).select(
+        "dur", "d", F.col("cum_ended").alias("n_risk")
     )
-    risk = times.select(
-        "dur", "d", F.sum("ended").over(wrisk).alias("n_risk")
-    )
-    wsurv = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    surv = F.exp(
-        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(wsurv)
-    )
+    # d = 0 steps contribute ln(1) = 0, so running the log-sum over the
+    # full spectrum and filtering d > 0 afterwards matches the oracle.
+    stepped = risk.withColumn(
+        "term",
+        F.log(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                1.0 - F.col("d").cast("double") / F.col("n_risk"),
+            ).otherwise(F.lit(1.0))
+        ),
+    ).withColumn("dead", F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+    run = _striped_running(stepped, "dur", None, sums=("term",), maxes=("dead",))
+    surv = F.when(F.col("cum_dead") == 1, F.lit(0.0)).otherwise(F.exp(F.col("cum_term")))
     return (
-        risk.withColumn("survival", F.round(surv, 4))
+        run.withColumn("survival", F.round(surv, 4))
         .filter(F.col("d") > 0)
         .select(
             F.col("dur").alias("duration_days"),

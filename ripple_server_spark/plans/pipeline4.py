@@ -107,6 +107,13 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 20000
+# Coarse doc_id bucket width for the boundary-stratum cumulative sum; a
+# production ANALYZE derives it from table min/max stats. Correctness
+# never depends on it (a degenerate single bucket only degrades locally).
+_BUDGET_STRIPE = 64
+
+
 @query(
     "q_token_budget_select",
     oracle="""
@@ -135,25 +142,69 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget selection: greedily keep the highest-priority
     documents (priority = n_chars, tie-broken by doc_id) until the
     global token budget is spent; report the per-source composition of
-    the selected set. The greedy rule is a running-sum window over the
-    priority order. At 100 TB the same selection is computed without a
-    global window: histogram token sums per priority value (a tiny
-    partial agg), prefix-sum the histogram on the driver to find the
-    boundary priority, then one filtered pass — the q_seeded_shuffle
-    two-pass trick applied to a range partition."""
+    the selected set.
+
+    Scale shape — NO global running-sum window (the r03 version ran
+    one single-partition cumulative window over every document). Same
+    result in two histogram passes, all windows over aggregates or
+    partitioned by stripe:
+
+    1. Token-sum histogram per priority value (tiny partial agg) +
+       cumulative offsets over the histogram rows -> every stratum
+       knows how many tokens precede it. Strata that fit entirely are
+       admitted by a broadcast semi-join; the single BOUNDARY stratum
+       gets its remaining budget.
+    2. Inside the boundary stratum only: the striped two-pass
+       cumulative sum over doc_id order (coarse doc_id buckets ->
+       per-bucket token sums -> broadcast cumulative bucket offsets ->
+       local running sum WITHIN a bucket), then filter to the
+       remaining budget.
+
+    Exactness: every row's global cum_tokens = stratum offset + its
+    within-stratum running sum, and n_tokens >= 1 (split('') has one
+    element) so excluded strata can never re-enter at the boundary."""
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "n_chars",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = toks.groupBy("n_chars").agg(F.sum("n_tokens").alias("stratum_tokens"))
+    wh = Window.orderBy(F.desc("n_chars")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.select(
+        "n_chars",
+        "stratum_tokens",
+        F.coalesce(F.sum("stratum_tokens").over(wh), F.lit(0)).alias("cum_before"),
+    )
+    budget = F.lit(_TOKEN_BUDGET)
+    full = offs.filter(F.col("cum_before") + F.col("stratum_tokens") <= budget).select(
+        "n_chars"
+    )
+    boundary = offs.filter(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("stratum_tokens") > budget)
+    ).select("n_chars", (budget - F.col("cum_before")).alias("remaining"))
+    sel_full = toks.join(F.broadcast(full), "n_chars").select("source", "n_tokens")
+    bdocs = toks.join(F.broadcast(boundary), "n_chars")
+    striped = bdocs.withColumn(
+        "_stripe", F.floor(F.col("doc_id") / _BUDGET_STRIPE).cast("bigint")
+    )
+    scount = striped.groupBy("_stripe").agg(F.sum("n_tokens").alias("_sn"))
+    ws = Window.orderBy("_stripe").rowsBetween(Window.unboundedPreceding, -1)
+    soffs = scount.select(
+        "_stripe", F.coalesce(F.sum("_sn").over(ws), F.lit(0)).alias("_soff")
+    )
+    wloc = Window.partitionBy("_stripe").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel_bnd = (
+        striped.join(F.broadcast(soffs), "_stripe")
+        .withColumn("_cum", F.col("_soff") + F.sum("n_tokens").over(wloc))
+        .filter(F.col("_cum") <= F.col("remaining"))
+        .select("source", "n_tokens")
     )
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= 20000)
+        sel_full.unionByName(sel_bnd)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_selected"),

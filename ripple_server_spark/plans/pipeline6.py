@@ -669,18 +669,38 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each word's FIRST-SEEN slice is one aggregate over
     the token stream (min of a precomputed slice id — no per-
     checkpoint rescans); the growth curve is a 10-row cumulative
-    window. Slice assignment is a broadcast join of the doc->slice
-    map, itself a ranked projection of doc ids."""
+    window. Slice assignment is the striped two-pass rank applied to
+    doc_id: bucket docs by coarse doc_id range, count buckets (a tiny
+    aggregate), broadcast cumulative bucket offsets back, and rank
+    only WITHIN a bucket — so no task ever sorts the whole corpus and
+    nothing corpus-sized is ever broadcast (the r03 version ranked
+    every doc through one global row_number and broadcast the full
+    doc->slice map; both are gone). The slice id rides the doc row
+    into the explode, so no doc->slice join exists at all."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    grp = docs.select(
-        "doc_id",
-        F.expr(f"((row_number() over (order by doc_id) - 1) * 10) div {n_docs}").alias("g"),
+    stats = docs.agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    n_docs, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    # ~64 coarse buckets over the observed doc_id range; a production
+    # ANALYZE derives this from table stats. Correctness never depends
+    # on the width (one degenerate bucket just degrades locally).
+    width = max(1, (hi - lo + 1) // 64)
+    striped = docs.withColumn(
+        "_stripe", F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("bigint")
     )
-    toks = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .join(F.broadcast(grp), "doc_id")
-        .select("g", "w")
+    counts = striped.groupBy("_stripe").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("_stripe").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_stripe", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy("_stripe").orderBy("doc_id")
+    ranked = striped.join(F.broadcast(offsets), "_stripe").withColumn(
+        "rn", F.col("_off") + F.row_number().over(wloc)
+    )
+    toks = ranked.select(
+        F.expr(f"((rn - 1) * 10) div {n_docs}").alias("g"),
+        F.explode(tokens(F.col("text"))).alias("w"),
     )
     first_seen = toks.groupBy("w").agg(F.min("g").alias("fg"))
     new_per_g = first_seen.groupBy(F.col("fg").alias("g")).agg(

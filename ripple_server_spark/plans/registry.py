@@ -77,13 +77,20 @@ def _driver_verified_names() -> set[str]:
     checks per round (round 1 stopped at 50 of 111).  Ordering the dict
     never-verified-first makes each round's budget cover new queries, so
     the whole registry converges to driver-verified across rounds.
+
+    A prior-round ``no_oracle`` row only counts as verified while the
+    spec STILL has no oracle: a query that has since gained a SQL
+    oracle (q_ann_ivf_topk grew a recall-audit oracle after its r02
+    rows-only check) re-sorts to the front so the driver exercises the
+    stronger contract.
     """
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    hash_seen: set[str] = set()
+    rows_only_seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -95,9 +102,14 @@ def _driver_verified_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                seen.add(name)
-    return seen
+            if row.get("hash_match"):
+                hash_seen.add(name)
+            elif row.get("err") == "no_oracle":
+                rows_only_seen.add(name)
+    still_rows_only = {
+        n for n in rows_only_seen if n in SPECS and SPECS[n].oracle is None
+    }
+    return hash_seen | still_rows_only
 
 
 _PRIORITY_PREFIXES = (

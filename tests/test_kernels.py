@@ -511,3 +511,85 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     }
     for t in nodes:
         assert abs(got[t] - round(float(pr[idx[t]]), 6)) < 1e-5, t
+
+
+def test_striped_running_matches_global_window(spark):
+    """_striped_running's stripe-offset cumulative sum/max must equal
+    the single-partition global window it replaces, in both
+    directions, on adversarial data (duplicated order keys resolved by
+    the tie column, values crossing stripe boundaries)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.plans.analytics4 import _striped_running
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randrange(0, 500)), rng.randrange(1, 9), rng.randrange(0, 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "tie bigint, v double, x bigint, f bigint")
+    for desc in (False, True):
+        got = {
+            r["tie"]: (r["cum_x"], r["cum_f"])
+            for r in _striped_running(
+                df, "v", "tie", sums=("x",), maxes=("f",), desc=desc
+            ).collect()
+        }
+        sign = F.desc if desc else F.asc
+        w = (
+            Window.orderBy(sign("v"), sign("tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["tie"]: (r["cx"], r["cf"])
+            for r in df.select(
+                "tie", F.sum("x").over(w).alias("cx"), F.max("f").over(w).alias("cf")
+            ).collect()
+        }
+        assert got == want, f"desc={desc}"
+
+
+def test_km_survival_terminal_step_is_zero(spark):
+    """When every user still at risk churns at the max duration
+    (d = n_risk), survival must be exactly 0 — not a NULL-dropped
+    positive (Spark ln(0)=NULL) or an engine error (DuckDB ln(0)
+    raises). Replays the q_km_survival step math on a spectrum whose
+    terminal step kills everyone at risk (ADVICE.md r03)."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.plans.analytics4 import _striped_running
+
+    # dur spectrum: 3 users end at day 1 (1 churn), 2 at day 5 (2 churn)
+    times = spark.createDataFrame(
+        [(1, 1, 3), (5, 2, 2)], "dur bigint, d bigint, ended bigint"
+    )
+    risk = _striped_running(times, "dur", None, sums=("ended",), desc=True).select(
+        "dur", "d", F.col("cum_ended").alias("n_risk")
+    )
+    stepped = risk.withColumn(
+        "term",
+        F.log(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                1.0 - F.col("d").cast("double") / F.col("n_risk"),
+            ).otherwise(F.lit(1.0))
+        ),
+    ).withColumn("dead", F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+    run = _striped_running(stepped, "dur", None, sums=("term",), maxes=("dead",))
+    surv = {
+        r["dur"]: r["s"]
+        for r in run.select(
+            "dur",
+            F.round(
+                F.when(F.col("cum_dead") == 1, F.lit(0.0)).otherwise(
+                    F.exp(F.col("cum_term"))
+                ),
+                4,
+            ).alias("s"),
+        ).collect()
+    }
+    assert surv[1] == round(1 - 1 / 5, 4)  # 5 at risk, 1 churns
+    assert surv[5] == 0.0  # terminal step: both remaining churn

@@ -351,3 +351,86 @@ def test_correlation_self_join_is_on_hourly_series(spark):
     p = plan(build(spark, "q_type_correlation"))
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def _nodes(p: str) -> list[dict]:
+    """Parse a formatted plan into (operator, input-line, args-line)
+    triples from the per-node detail section."""
+    import re
+
+    lines = p.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) (\w+)", ln.strip())
+        if not m:
+            continue
+        node = {"op": m.group(2), "input": "", "args": ""}
+        for j in range(i + 1, min(i + 5, len(lines))):
+            s = lines[j].strip()
+            if s.startswith("Input"):
+                node["input"] = s
+            elif s.startswith("Arguments"):
+                node["args"] = s
+        out.append(node)
+    return out
+
+
+# Row-level fixture columns that must never pass through an unstriped
+# window or a broadcast (corpus-sized payloads).
+_ROW_LEVEL = ("text#", "props#", "embedding#")
+
+
+def test_striped_analytics_never_single_partition_data(spark):
+    """The round-4 de-weakened queries: every window over row-level /
+    key-level data must be partitioned by the value stripe; windows
+    without a stripe may only run over tiny aggregate tables (stripe
+    counts, histograms, decile rows). Guards the striped two-pass
+    rewrites of the former global-window plans."""
+    for name in (
+        "q_vocab_growth",
+        "q_token_budget_select",
+        "q_window_distribution",
+        "q_gini_concentration",
+        "q_lorenz_deciles",
+        "q_km_survival",
+    ):
+        import re
+
+        p = plan(build(spark, name))
+        assert "windowspecdefinition(_stripe" in p or "_stripe#" in p, name
+        for node in _nodes(p):
+            if node["op"] != "Window":
+                continue
+            # A windowspec whose FIRST argument carries an ordering
+            # direction has an EMPTY partition spec (global window);
+            # partitioned windows list partition columns first.
+            first_args = re.findall(r"windowspecdefinition\(([^,]+),", node["args"])
+            unpartitioned = any(" ASC" in a or " DESC" in a for a in first_args)
+            if unpartitioned:
+                for col in _ROW_LEVEL + ("event_id#", "user_id#", "doc_id#", "ts#"):
+                    assert col not in node["input"], (
+                        f"{name}: global window over row-level data: {node}"
+                    )
+
+
+def test_striped_analytics_broadcasts_stay_small(spark):
+    """No corpus payload column may feed a BroadcastExchange in the
+    de-weakened plans; q_vocab_growth additionally must not broadcast
+    any doc-id-keyed map (the r03 corpus-sized doc->slice broadcast)."""
+    for name in (
+        "q_vocab_growth",
+        "q_token_budget_select",
+        "q_window_distribution",
+        "q_gini_concentration",
+        "q_lorenz_deciles",
+        "q_km_survival",
+    ):
+        p = plan(build(spark, name))
+        for node in _nodes(p):
+            if node["op"] == "BroadcastExchange":
+                for col in _ROW_LEVEL:
+                    assert col not in node["input"], f"{name}: broadcast of {col}"
+                if name == "q_vocab_growth":
+                    assert "doc_id#" not in node["input"], (
+                        f"{name}: doc-level broadcast: {node}"
+                    )
