@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scaling experiment: time a query set at 1x and Nx data volume.
+
+Builds an Nx-replicated copy of a fixture dir (documents / embeddings /
+events get N id-shifted copies so keys stay unique and the corpus truly
+grows; the TPC-H dims are copied as-is), then times each query best-of-2
+through the noop sink at both scales and prints a markdown table row
+per query plus the set total — the growth-behavior evidence SCALE.md's
+scaling-experiment table records.
+
+Usage:
+  python scripts/scale_exp.py [sf_dir] [factor] [query ...]
+  # defaults: /root/testdata/sf0.1, 8x, the round-3 families
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ripple_server_spark.plans.registry import SPECS  # noqa: E402
+from ripple_server_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = (
+    "q_ann_pq_topk",
+    "q_heavy_hitters_cms",
+    "q_span_dedup",
+    "q_bloom_decontaminate",
+)
+# (table, id columns to shift) — the replicated "fact" tables; ids shift
+# by k * (max_id + 1) per copy so every copy's keys are disjoint.
+REPLICATED = (
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+    ("events", ("event_id",)),
+)
+
+
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    rep_names = {t for t, _ in REPLICATED}
+    for fn in os.listdir(src):
+        if fn.endswith(".parquet") and fn[: -len(".parquet")] not in rep_names:
+            shutil.copy(os.path.join(src, fn), os.path.join(dst, fn))
+    for table, id_cols in REPLICATED:
+        df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+        shifts = {c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + F.lit(k * shifts[c])).alias(c)
+                    if c in id_cols
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for k in range(factor)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        SPECS[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    names = sys.argv[3:] or list(DEFAULT_QUERIES)
+    spark = get_spark(app_name="scale-exp")
+    tmp = tempfile.mkdtemp(prefix="scale_exp_")
+    try:
+        replicate(spark, sf_dir, tmp, factor)
+        print(f"| query | 1x | {factor}x | ratio |")
+        print("|---|---|---|---|")
+        tot1 = totn = 0.0
+        for name in names:
+            t1 = time_query(spark, name, sf_dir)
+            tn = time_query(spark, name, tmp)
+            tot1 += t1
+            totn += tn
+            print(f"| {name} | {t1:.2f} s | {tn:.2f} s | {tn / t1:.1f}x |")
+        print(f"| **total** | {tot1:.2f} s | {totn:.2f} s | **{totn / tot1:.1f}x** |")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

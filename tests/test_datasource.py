@@ -135,3 +135,68 @@ def test_datasource_serves_only_committed_files(spark, store):
         assert _read(spark, store).count() == n
     finally:
         os.remove(orphan)
+
+
+def test_stream_crash_mid_batch_replays_uncommitted(spark, sf_dir, tmp_path):
+    """Crash-mid-batch resume — the reference's consumer offset race
+    (consumer/server/core.go:61-62: cursor advanced before delivery is
+    durable, so a crash between the two loses rows). Spark's checkpoint
+    commits the offset AFTER the sink, so a sink that dies mid-batch
+    (its output lost) must be replayed on restart with exactly the same
+    [start, end) range via readBetweenOffsets: every surviving row is
+    delivered, and none twice."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "crash_topics"))
+    st.create_topic("c1", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(120), "c1")
+
+    delivered: list[tuple[int, int]] = []
+    state = {"batches": 0}
+
+    def sink_crash(df, _epoch):
+        rows = [(r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()]
+        state["batches"] += 1
+        if state["batches"] == 2:
+            # die AFTER reading but BEFORE "persisting": this batch's
+            # output is lost and its offset never committed
+            raise RuntimeError("injected crash mid-batch")
+        delivered.extend(rows)
+
+    def start(sink):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "c1")
+            .option("batch_size", 25)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_crash"))
+            .start()
+        )
+
+    q = start(sink_crash)
+    crash_exc = None
+    try:
+        q.awaitTermination(120)
+    except Exception as e:  # noqa: BLE001 — StreamingQueryException wrapper
+        crash_exc = e
+    assert crash_exc is not None and "crash" in str(crash_exc), (
+        f"query did not fail with the injected crash: {crash_exc!r}"
+    )
+    assert state["batches"] >= 2
+
+    def sink_ok(df, _epoch):
+        delivered.extend(
+            (r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()
+        )
+
+    q2 = start(sink_ok)
+    q2.processAllAvailable()
+    q2.stop()
+
+    live = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("c1").select("bucket", "seq").collect()
+    }
+    assert set(delivered) == live, "rows skipped across the crash"
+    assert len(delivered) == len(live), "rows double-delivered across the crash"
