@@ -26,5 +26,6 @@ from ripple_server_spark.plans import pipeline4 as _pipeline4  # noqa: E402,F401
 from ripple_server_spark.plans import pipeline5 as _pipeline5  # noqa: E402,F401
 from ripple_server_spark.plans import analytics4 as _analytics4  # noqa: E402,F401
 from ripple_server_spark.plans import pipeline6 as _pipeline6  # noqa: E402,F401
+from ripple_server_spark.plans import quality2 as _quality2  # noqa: E402,F401
 
 __all__ = ["SPECS", "QuerySpec", "all_queries", "all_oracles"]
