@@ -2061,11 +2061,13 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_asof_join.
 
     Scale shape: one per-user ordered window over the filtered
-    click/purchase union, then median by exact rank over the
-    conversions table (event-level rows collapse to conversions
-    first). Tie order (is_ref DESC) makes a click at the same
-    timestamp as the purchase count as its antecedent, matching the
-    as-of convention."""
+    click/purchase union, then median by the striped two-pass exact
+    rank (:func:`_rank_in_group`) over the conversions table — no
+    global-order window anywhere, so a billion-conversion table never
+    funnels through one task; the total count broadcasts as one row.
+    Tie order (is_ref DESC) makes a click at the same timestamp as
+    the purchase count as its antecedent, matching the as-of
+    convention."""
     ev = load_table(spark, sf_dir, "events")
     pur = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("timestamp").alias("rts")
@@ -2084,11 +2086,11 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = c.filter((F.col("is_ref") == 0) & F.col("last_click").isNotNull()).select(
         (F.unix_timestamp("ts") - F.unix_timestamp("last_click")).alias("sec")
     )
-    wr = Window.orderBy("sec")
-    wn = Window.partitionBy()
-    r = lat.select(
-        "sec", F.row_number().over(wr).alias("rn"), F.count("*").over(wn).alias("n")
-    )
+    # Tie column = the value itself: duplicate `sec` values may rank in
+    # any order without changing which value sits at the median rank.
+    ranked = _rank_in_group(lat.withColumn("_g", F.lit(0)), "_g", "sec", "sec")
+    n_agg = lat.agg(F.count("*").alias("n"))
+    r = ranked.crossJoin(F.broadcast(n_agg))
     return r.agg(
         F.first("n").cast("bigint").alias("n_conversions"),
         F.round(F.avg("sec") / 3600.0, 3).alias("mean_hours"),

@@ -260,9 +260,14 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    ranked = vocab.withColumn(
+    # Cut FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k + k-row merge), then rank within the surviving 1000 rows —
+    # the former rank-then-filter form sorted the whole vocab through
+    # one task's window.
+    top = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(1000)
+    ranked = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
-    ).filter(F.col("rank") <= 1000)
+    )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_vocab"),
         F.sum("c").cast("bigint").alias("n_tokens"),

@@ -393,6 +393,7 @@ def test_striped_analytics_never_single_partition_data(spark):
         "q_gini_concentration",
         "q_lorenz_deciles",
         "q_km_survival",
+        "q_time_to_convert",
     ):
         import re
 
@@ -424,6 +425,7 @@ def test_striped_analytics_broadcasts_stay_small(spark):
         "q_gini_concentration",
         "q_lorenz_deciles",
         "q_km_survival",
+        "q_time_to_convert",
     ):
         p = plan(build(spark, name))
         for node in _nodes(p):
@@ -434,3 +436,11 @@ def test_striped_analytics_broadcasts_stay_small(spark):
                     assert "doc_id#" not in node["input"], (
                         f"{name}: doc-level broadcast: {node}"
                     )
+
+
+def test_zipf_rank_cut_is_take_ordered(spark):
+    """The Zipf top-1000 cut must be TakeOrderedAndProject over the
+    vocab aggregate; the rank window may only run on the 1000-row
+    survivor set (its input is the limit output, not raw vocab)."""
+    p = plan(build(spark, "q_zipf_slope"))
+    assert "TakeOrderedAndProject" in p
