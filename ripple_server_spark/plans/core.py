@@ -289,13 +289,39 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct_users",
-    oracle=None,  # estimator-specific; driver does rows-only, pytest bounds error
+    # Estimator values are sketch-specific, so the driver-checkable
+    # contract is the ERROR-BOUND ASSERTION (same pattern as
+    # q_ann_ivf_topk's recall audit): Spark computes the HLL++ estimate
+    # AND the exact distinct side-by-side and emits the exact count
+    # plus an est_ok bit requiring <= 3% relative error (3 sigma at
+    # rsd 0.01). The oracle states the expected outcome in SQL; any
+    # estimator degradation flips a value and fails the hash.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per type — the 100 TB cardinality
-    path (fixed-size sketches, single shuffle)."""
-    return aggregates.approx_distinct_users(_events(spark, sf_dir))
+    """HyperLogLog++ distinct users per type with an in-plan accuracy
+    audit — the 100 TB cardinality path (fixed-size sketches, single
+    shuffle). The audit's exact countDistinct doubles the work here to
+    PROVE the estimator; production runs estimate-only."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.expr("approx_count_distinct(user_id, 0.01)").alias("est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.03 * F.col("n_exact")
+        ).alias("est_ok"),
+    )
 
 
 @query(

@@ -97,16 +97,43 @@ def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_percentile_value",
-    oracle=None,  # sketch-specific results; rows-only + pytest bound
+    # Sketch values are estimator-specific, so the driver-checkable
+    # contract is the ERROR-BOUND ASSERTION (q_ann_ivf_topk pattern):
+    # approx and exact percentiles computed side-by-side; the output
+    # carries the exact values plus a sketch_ok bit requiring the
+    # approx to land within max(8.0 absolute, 3% relative) — sized to
+    # the sparse-tail gap at the smallest fixture (nearest-rank vs
+    # interpolated can differ by the local value gap).
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "percentile", "approx"),
 )
 def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path: approx_percentile sketches merge
-    map-side (no global sort). Accuracy vs exact is pytest-bounded."""
+    """The 100 TB percentile path with an in-plan accuracy audit:
+    approx_percentile sketches merge map-side (no global sort); the
+    audit's exact percentile doubles the work here to PROVE the
+    sketch; production runs sketch-only."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
-        F.round(F.expr("approx_percentile(value, 0.95, 10000)"), 4).alias("p95"),
+    g = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("a95"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+    )
+    tol = lambda e: F.greatest(F.lit(8.0), 0.03 * e)  # noqa: E731
+    return g.select(
+        "event_type",
+        F.round("e50", 4).alias("p50_exact"),
+        F.round("e95", 4).alias("p95_exact"),
+        (
+            (F.abs(F.col("a50") - F.col("e50")) <= tol(F.col("e50")))
+            & (F.abs(F.col("a95") - F.col("e95")) <= tol(F.col("e95")))
+        ).alias("sketch_ok"),
     )
 
 

@@ -55,19 +55,20 @@ def test_lsh_planes_are_balanced_and_deterministic():
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The query now carries its own in-plan audit (est_ok at 3%
+    relative error); this test independently recomputes the exact
+    side so the audit's exact column is itself cross-checked."""
     ev = load_table(spark, sf_dir, "events")
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in SPECS["q_approx_distinct_users"].builder(spark, sf_dir).collect()
-    }
+    rows = SPECS["q_approx_distinct_users"].builder(spark, sf_dir).collect()
+    assert rows and all(r["est_ok"] for r in rows)
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+    for r in rows:
+        assert exact[r["event_type"]] == r["n_exact"], r
 
 
 def test_minhash_finds_planted_duplicates(spark, sf_dir):
