@@ -318,9 +318,9 @@ def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFram
         l2_norm(F.col("embedding")).alias("qn"),
     )
     if use_pandas:
-        from ripple_server_spark.operators.similarity import cosine_topk_scan
+        from ripple_server_spark.operators.similarity import cosine_topk_scan_arrow
 
-        return cosine_topk_scan(emb, q, k=5)
+        return cosine_topk_scan_arrow(emb, q, k=5)
     else:
         # Norms are computed once per row *below* the join (a Join blocks
         # projection inlining), so each pair evaluates a single dot fold
@@ -471,14 +471,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     much harder at the same recall. Deterministic: strided training
     sample + fixed Lloyd init, so reruns are stable. The same bound is
     pytest-checked per-query in tests/test_kernels.py."""
-    from ripple_server_spark.operators.similarity import cosine_topk_scan, ivf_topk
+    from ripple_server_spark.operators.similarity import cosine_topk_scan_arrow, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     ivf = ivf_topk(emb, queries, k=3, nlist=32, nprobe=12)
-    exact = cosine_topk_scan(emb, queries, k=3).select(
+    exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
         "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
     )
     per_q = ivf.groupBy("q_id").agg(F.count("*").alias("n_ret"))

@@ -274,14 +274,14 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 — the isotropic worst case). Same audit contract as
     q_ann_ivf_topk; per-query bound pytest-checked in
     tests/test_kernels.py."""
-    from ripple_server_spark.operators.similarity import cosine_topk_scan, pq_topk
+    from ripple_server_spark.operators.similarity import cosine_topk_scan_arrow, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     pq = pq_topk(emb, queries, k=3)
-    exact = cosine_topk_scan(emb, queries, k=3).select(
+    exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
         "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
     )
     per_q = pq.groupBy("q_id").agg(F.count("*").alias("n_ret"))
