@@ -287,3 +287,58 @@ def test_bloom_flags_match_python_simulation(spark, texts):
     assert got == want
     for bloomed, exact in got.values():
         assert exact <= bloomed  # Bloom filters have no false negatives
+
+
+dist_values = st.lists(
+    st.tuples(st.integers(0, 10_000), st.floats(0, 499, allow_nan=False)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=dist_values)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_distribution_window_arithmetic_matches_builtins(spark, rows):
+    """q_window_distribution derives ntile/percent_rank/cume_dist from
+    the striped exact rank arithmetically; this pins the arithmetic to
+    Spark's own window builtins on randomized sizes (ntile bucket
+    boundaries are the subtle part: first n%k buckets get ceil(n/k))."""
+    from pyspark.sql import Window
+
+    from ripple_server_spark.plans.analytics4 import _rank_in_group
+
+    df = spark.createDataFrame(rows, "event_id bigint, value double")
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    want = {
+        r["event_id"]: (r["q"], round(r["pr"], 6), round(r["cd"], 6))
+        for r in df.select(
+            "event_id",
+            F.ntile(4).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked = _rank_in_group(df.withColumn("_g", F.lit(0)), "_g", "value", "event_id")
+    n_agg = df.agg(F.count("*").alias("_n"))
+    ntile4 = F.expr(
+        "CASE WHEN rn <= (_n % 4) * ((_n div 4) + 1)"
+        "     THEN 1 + (rn - 1) div ((_n div 4) + 1)"
+        "     ELSE (_n % 4) + 1 + (rn - 1 - (_n % 4) * ((_n div 4) + 1)) div (_n div 4)"
+        " END"
+    )
+    pr = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("_n") - 1)
+    )
+    got = {
+        r["event_id"]: (r["q"], round(r["pr"], 6), round(r["cd"], 6))
+        for r in ranked.crossJoin(F.broadcast(n_agg))
+        .select(
+            "event_id",
+            ntile4.cast("int").alias("q"),
+            pr.alias("pr"),
+            (F.col("rn").cast("double") / F.col("_n")).alias("cd"),
+        )
+        .collect()
+    }
+    assert got == want
