@@ -676,7 +676,13 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-sized is ever broadcast (the r03 version ranked
     every doc through one global row_number and broadcast the full
     doc->slice map; both are gone). The slice id rides the doc row
-    into the explode, so no doc->slice join exists at all."""
+    into the explode, so no doc->slice join exists at all.
+
+    ONE corpus pass: the token stream reduces once to a (word, slice)
+    count table — vocab x 10 rows, cheap to persist — and both the
+    first-seen-slice aggregate and the per-slice token totals derive
+    from it. (The previous form fed the explode into two separate
+    aggregations, scanning and tokenizing the corpus twice.)"""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.agg(
         F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -702,11 +708,12 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((rn - 1) * 10) div {n_docs}").alias("g"),
         F.explode(tokens(F.col("text"))).alias("w"),
     )
-    first_seen = toks.groupBy("w").agg(F.min("g").alias("fg"))
+    wg = toks.groupBy("w", "g").agg(F.count("*").alias("c")).persist()
+    first_seen = wg.groupBy("w").agg(F.min("g").alias("fg"))
     new_per_g = first_seen.groupBy(F.col("fg").alias("g")).agg(
         F.count("*").alias("new_words")
     )
-    tok_per_g = toks.groupBy("g").agg(F.count("*").alias("n_tokens"))
+    tok_per_g = wg.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_tokens"))
     wc = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         tok_per_g.join(new_per_g, "g", "left")
