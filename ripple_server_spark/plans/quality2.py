@@ -69,9 +69,12 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same candidates-only discipline as q_decontaminate (never a
     broadcast of a corpus-sized side; the join shuffles on fp, which
     is uniform by construction, so no skew)."""
+    # persisted at the fan-out: d feeds the train distinct, the eval
+    # semi-join AND the per-source totals (same discipline as the dedup
+    # pipeline's shingle persist).
     d = load_table(spark, sf_dir, "documents").select(
         "source", (_split_bucket() < 8).alias("is_train"), _fp().alias("fp")
-    )
+    ).persist()
     tr = d.filter(F.col("is_train")).select("fp").distinct()
     leaked = (
         d.filter(~F.col("is_train"))
@@ -401,7 +404,7 @@ def q_dup_rate_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slice"),
         "doc_id",
         _fp().alias("fp"),
-    )
+    ).persist()
     firsts = d.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
     j = d.join(firsts, "fp")
     dup = F.count_if(F.col("doc_id") != F.col("first_id"))
@@ -578,7 +581,7 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(shingles_pandas(F.col("text"), 3)).alias("g"),
-    ).withColumn("is_train", _split_bucket() < 8)
+    ).withColumn("is_train", _split_bucket() < 8).persist()
     tr = grams.filter(F.col("is_train")).select("g").distinct()
     ev = grams.filter(~F.col("is_train")).select("source", "g").distinct()
     cov = (
@@ -632,6 +635,7 @@ def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = (
         docs.select("source", F.explode(shingles_pandas(F.col("text"), 3)).alias("g"))
         .distinct()
+        .persist()
     )
     sizes = sg.groupBy("source").agg(F.count("*").alias("n"))
     a = sg.select(F.col("source").alias("src_a"), "g")
