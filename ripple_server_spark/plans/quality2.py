@@ -654,3 +654,98 @@ def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_shared"),
         F.round(F.col("c").cast("double") / F.col("n"), 4).alias("containment"),
     )
+
+
+@query(
+    "q_holt_trend",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY event_type, hour
+    ),
+    s AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        FROM hourly
+    ),
+    rec AS (
+        SELECT s1.event_type, CAST(1 AS BIGINT) AS rn,
+               s1.y AS l, s2.y - s1.y AS b
+        FROM s s1 JOIN s s2 ON s2.event_type = s1.event_type AND s2.rn = 2
+        WHERE s1.rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn + 1,
+               0.5 * s.y + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        FROM rec r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT r.event_type, r.rn, r.l, r.b
+        FROM rec r
+        JOIN (SELECT event_type, max(rn) AS m FROM rec GROUP BY event_type) q
+          ON q.event_type = r.event_type AND r.rn = q.m
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           round(l, 3) AS level, round(b, 3) AS trend,
+           round(l + b, 3) AS forecast_next
+    FROM last
+    """,
+    tags=("timeseries", "forecast", "recurrence", "udf"),
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (alpha=0.5, beta=0.3)
+    over each type's hourly count series: final level, trend, and the
+    one-step-ahead forecast — the minimal load-forecast every capacity
+    dashboard runs, and the registry's demonstration of a SEQUENTIAL
+    RECURRENCE operator: the update l_t = a*y_t + (1-a)*(l+b) cannot
+    be expressed as a window (each state depends on the previous
+    OUTPUT, not input), so Spark runs it as a grouped applyInPandas
+    kernel while the oracle computes the identical fixpoint with a
+    recursive CTE — one of the few iterative algorithms with an exact
+    SQL oracle.
+
+    Scale shape: the corpus collapses to per-(type, hour) counts first
+    (one partial-agg pass); the recurrence then runs per type over a
+    DIMENSION-sized series (bounded by the time range, never by event
+    count), one group per task. Both engines evaluate the same IEEE
+    double operations in the same order, so results agree to full
+    precision; rounded at 3 dp at the edge. Types with fewer than two
+    hours have no defined trend and are excluded in both engines."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("double").alias("y"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour")
+        y = pdf["y"].to_numpy(dtype="float64")
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_hours", "level", "trend", "forecast_next"]
+            )
+        level = y[0]
+        trend = y[1] - y[0]
+        for t in range(1, len(y)):
+            new_level = 0.5 * y[t] + 0.5 * (level + trend)
+            trend = 0.3 * (new_level - level) + 0.7 * trend
+            level = new_level
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_hours": len(y),
+                    "level": round(level, 3),
+                    "trend": round(trend, 3),
+                    "forecast_next": round(level + trend, 3),
+                }
+            ]
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_hours bigint, level double, trend double, "
+        "forecast_next double",
+    )
