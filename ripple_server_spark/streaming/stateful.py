@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "delivered long, max_seq long, gaps long"
@@ -278,6 +279,94 @@ def leader_watch(membership: DataFrame) -> DataFrame:
             leader_watch_fn,
             outputStructType=LEADER_OUTPUT_SCHEMA,
             stateStructType=LEADER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-bucket flow control — the per-subscriber buffer-cap analog
+# --------------------------------------------------------------------------
+
+RATE_STATE_SCHEMA = "tokens double, last_sec long"
+RATE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, allowed boolean, tokens_left double"
+)
+
+
+def rate_limit_fn(capacity: float, refill_per_sec: float):
+    """State-transition function for the per-key token bucket (exposed
+    at module level so refill/deny/recover transitions are unit-
+    testable without a streaming engine run).
+
+    The reference enforces flow control with a 1000-message buffered
+    channel per subscriber (asynctcp/comm/comm.go:32 — sends past the
+    cap block the event loop) and a 100-task processor queue
+    (processor/processor.go:51 — excess submissions are dropped). This
+    operator is the declarative form of the same policy: each key holds
+    `tokens <= capacity`, refilled at `refill_per_sec` by EVENT TIME,
+    and a row is `allowed` iff a whole token is available — so bursts
+    beyond the budget are marked for deferral/drop downstream instead
+    of blocking a transport thread. Event-time refill makes replays
+    deterministic (same input stream -> same allow/deny sequence,
+    regardless of wall clock or batch boundaries)."""
+
+    def limit(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last_sec = state.get
+        else:
+            tokens, last_sec = float(capacity), None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            secs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            allowed = []
+            left = []
+            for s in secs:
+                if last_sec is not None and s > last_sec:
+                    tokens = min(capacity, tokens + (s - last_sec) * refill_per_sec)
+                last_sec = s if last_sec is None else max(last_sec, s)
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    allowed.append(True)
+                else:
+                    allowed.append(False)
+                left.append(tokens)
+            out = pdf[["event_id", "user_id", "ts"]].copy()
+            out["allowed"] = allowed
+            out["tokens_left"] = left
+            yield out
+        state.update((float(tokens), int(last_sec if last_sec is not None else 0)))
+
+    return limit
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    capacity: float = 1000.0,
+    refill_per_sec: float = 100.0,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key token-bucket flow control on ``applyInPandasWithState``:
+    marks each event allowed/deferred against a replenishing budget.
+    State is two numbers per key (bounded regardless of rate); the
+    allow/deny decision is deterministic in event time. Downstream
+    either filters `allowed` (drop policy, the reference's processor
+    queue) or routes deferrals to a retry topic (backpressure policy,
+    the reference's blocking subscriber channel)."""
+    return (
+        events.select("event_id", F.col(key_col).alias("user_id"), "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            rate_limit_fn(capacity, refill_per_sec),
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -307,3 +307,117 @@ def test_leader_watch_reelects_after_leader_removal(spark, tmp_path):
         assert first["leader"] == 10 * (g + 1)  # lowest registration seq
         assert second["leader"] == 10 * (g + 1) + 1  # next-lowest takes over
         assert second["n_members"] == 2
+
+
+def test_rate_limit_fn_transitions():
+    """Unit-level token-bucket transitions (no engine): drain the
+    budget, get denied, recover by event-time refill, cap at
+    capacity."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ripple_server_spark.streaming.stateful import rate_limit_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run(rows, state):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [1] * len(rows),
+                "ts": [base + dt.timedelta(seconds=r[1]) for r in rows],
+            }
+        )
+        fn = rate_limit_fn(capacity=3, refill_per_sec=1)
+        out = pd.concat(list(fn((1,), iter([pdf]), state)))
+        return list(out["allowed"]), state
+
+    # burst of 5 at t=0: first 3 allowed (capacity), rest denied
+    allowed, st = run([(i, 0) for i in range(5)], FakeState())
+    assert allowed == [True, True, True, False, False]
+    # 2 seconds later: 2 tokens refilled -> 2 allowed then denied
+    allowed, st = run([(10, 2), (11, 2), (12, 2)], st)
+    assert allowed == [True, True, False]
+    # long idle: refill caps at capacity (3), not idle*rate
+    allowed, _ = run([(i + 20, 1000) for i in range(4)], st)
+    assert allowed == [True, True, True, False]
+
+
+def test_rate_limit_stream_marks_bursts(spark, tmp_path):
+    """End-to-end: a keyed burst beyond the bucket is marked deferred;
+    a slow key stays fully allowed. State carries across micro-batches
+    (each produce is its own file -> own batch)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ripple_server_spark.streaming import api
+    from ripple_server_spark.streaming.stateful import rate_limit_stream
+
+    st = TopicStore(spark, str(tmp_path / "rl_topics"))
+    st.create_topic("rl", n_buckets=2)
+    base = dt.datetime(2024, 1, 1)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(seconds=s), u, "click", 1.0, "{}") for i, s, u in rows],
+            schema,
+        )
+
+    # user 1: 6 events in one second (bucket=3 -> 3 deferred);
+    # user 2: 3 events spread over minutes (all allowed)
+    st.produce(mk([(i, 0, 1) for i in range(6)]), "rl", key_col="user_id")
+    # second batch, 10 s later: user 1 refilled 3 tokens at 1/s (cap 3)
+    st.produce(
+        mk([(10, 10, 1), (11, 10, 1), (12, 10, 1), (13, 10, 1)]
+           + [(20, 0, 2), (21, 60, 2), (22, 120, 2)]),
+        "rl",
+        key_col="user_id",
+    )
+
+    src = api.stream_topic(st, "rl", max_files_per_trigger=1)
+    q = (
+        rate_limit_stream(src, capacity=3, refill_per_sec=1)
+        .writeStream.format("memory")
+        .queryName("m_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["event_id"]: r["allowed"]
+        for r in spark.sql("SELECT event_id, allowed FROM m_rate").collect()
+    }
+    burst1 = [rows[i] for i in range(6)]
+    assert burst1.count(True) == 3 and burst1.count(False) == 3
+    # batch 2, user 1: 3 refilled tokens -> 3 allowed, 1 deferred
+    burst2 = [rows[i] for i in (10, 11, 12, 13)]
+    assert burst2.count(True) == 3 and burst2.count(False) == 1
+    # user 2 never exceeds the budget
+    assert rows[20] and rows[21] and rows[22]
