@@ -749,3 +749,83 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_hours bigint, level double, trend double, "
         "forecast_next double",
     )
+
+
+_RL_CAP = 2.0
+# 1 token per hour. CASTs matter: bare numeric literals are DECIMAL in
+# DuckDB, which would run the whole recurrence in decimal arithmetic and
+# diverge from the kernel's IEEE doubles.
+_RL_RATE_SQL = "(CAST(1.0 AS DOUBLE) / 3600.0)"
+
+
+@query(
+    "q_rate_limit_replay",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, rn, s, TRUE AS allowed,
+               CAST({_RL_CAP} AS DOUBLE) - 1.0 AS tok
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.s,
+               least(CAST({_RL_CAP} AS DOUBLE), r.tok + (e.s - r.s) * {_RL_RATE_SQL}) >= 1.0,
+               CASE WHEN least(CAST({_RL_CAP} AS DOUBLE), r.tok + (e.s - r.s) * {_RL_RATE_SQL}) >= 1.0
+                    THEN least(CAST({_RL_CAP} AS DOUBLE), r.tok + (e.s - r.s) * {_RL_RATE_SQL}) - 1.0
+                    ELSE least(CAST({_RL_CAP} AS DOUBLE), r.tok + (e.s - r.s) * {_RL_RATE_SQL})
+               END
+        FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (allowed) AS BIGINT) AS n_allowed,
+           CAST(count(*) FILTER (NOT allowed) AS BIGINT) AS n_deferred
+    FROM rec GROUP BY user_id
+    """,
+    tags=("streaming-adjacent", "flow-control", "recurrence", "udf"),
+)
+def q_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of the streaming token-bucket flow-control
+    policy (streaming/stateful.rate_limit_stream: capacity 2, refill 1
+    token/hour) over the historical log: per user, how many events the
+    policy would have admitted vs deferred — the capacity-planning
+    question ('what would this rate limit have done last month?')
+    answered from the at-rest log with bit-identical math to the live
+    operator (shared bucket_replay kernel). The oracle runs the same
+    recurrence as a recursive CTE, so the nonlinear state update —
+    which no window function expresses — is still exactly
+    hash-checked.
+
+    Scale shape: grouped applyInPandas over per-user slices (the
+    shuffle keys on user_id once); each group's replay is a linear
+    scan of its own rows. Event-time refill means batch boundaries
+    and wall clock cannot change a decision."""
+    import pandas as pd
+
+    from ripple_server_spark.streaming.stateful import bucket_replay
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        secs = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000).to_numpy()
+        allowed, _, _, _ = bucket_replay(secs, _RL_CAP, 1.0 / 3600.0)
+        n_ok = int(sum(allowed))
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(secs),
+                    "n_allowed": n_ok,
+                    "n_deferred": len(secs) - n_ok,
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        replay, "user_id bigint, n_events bigint, n_allowed bigint, n_deferred bigint"
+    )

@@ -295,6 +295,36 @@ RATE_OUTPUT_SCHEMA = (
 )
 
 
+def bucket_replay(
+    secs,
+    capacity: float,
+    refill_per_sec: float,
+    tokens: float | None = None,
+    last_sec: int | None = None,
+):
+    """Pure token-bucket replay over ascending epoch-seconds: returns
+    (allowed flags, tokens-left-per-row, final tokens, final last_sec).
+    Shared by the streaming operator below and the batch replay query
+    (q_rate_limit_replay) so both surfaces make bit-identical
+    decisions — and so the batch form's recursive-CTE oracle verifies
+    the exact math the streaming path runs."""
+    if tokens is None:
+        tokens = float(capacity)
+    allowed: list[bool] = []
+    left: list[float] = []
+    for s in secs:
+        if last_sec is not None and s > last_sec:
+            tokens = min(capacity, tokens + (s - last_sec) * refill_per_sec)
+        last_sec = s if last_sec is None else max(last_sec, s)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            allowed.append(True)
+        else:
+            allowed.append(False)
+        left.append(tokens)
+    return allowed, left, tokens, last_sec
+
+
 def rate_limit_fn(capacity: float, refill_per_sec: float):
     """State-transition function for the per-key token bucket (exposed
     at module level so refill/deny/recover transitions are unit-
@@ -325,19 +355,10 @@ def rate_limit_fn(capacity: float, refill_per_sec: float):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            secs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
-            allowed = []
-            left = []
-            for s in secs:
-                if last_sec is not None and s > last_sec:
-                    tokens = min(capacity, tokens + (s - last_sec) * refill_per_sec)
-                last_sec = s if last_sec is None else max(last_sec, s)
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    allowed.append(True)
-                else:
-                    allowed.append(False)
-                left.append(tokens)
+            secs = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000).to_numpy()
+            allowed, left, tokens, last_sec = bucket_replay(
+                secs, capacity, refill_per_sec, tokens, last_sec
+            )
             out = pdf[["event_id", "user_id", "ts"]].copy()
             out["allowed"] = allowed
             out["tokens_left"] = left
