@@ -444,3 +444,35 @@ def test_zipf_rank_cut_is_take_ordered(spark):
     survivor set (its input is the limit output, not raw vocab)."""
     p = plan(build(spark, "q_zipf_slope"))
     assert "TakeOrderedAndProject" in p
+
+
+def test_governance_joins_stay_keyed(spark):
+    """Split leakage / ngram coverage must test membership with a
+    LEFT SEMI hash join on the fingerprint/gram key; the containment
+    matrix must come from the inverted-index equi-join — never a
+    cartesian."""
+    for name in ("q_split_leakage", "q_ngram_coverage"):
+        p = plan(build(spark, name))
+        assert "LeftSemi" in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan(build(spark, "q_source_containment"))
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_bot_score_topk_is_take_ordered(spark):
+    p = plan(build(spark, "q_bot_score"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_recurrence_kernels_group_on_aggregates(spark):
+    """Holt smoothing runs its pandas recurrence over the per-(type,
+    hour) AGGREGATE (HashAggregate below the FlatMapGroupsInPandas),
+    never raw events; the rate-limit replay groups raw rows by key in
+    one exchange."""
+    p = plan(build(spark, "q_holt_trend"))
+    assert "FlatMapGroupsInPandas" in p
+    assert "HashAggregate" in p
+    p2 = plan(build(spark, "q_rate_limit_replay"), "simple")
+    assert "FlatMapGroupsInPandas" in p2
+    assert p2.count("Exchange hashpartitioning") == 1
