@@ -69,11 +69,16 @@ class BucketPartition(InputPartition):
         self.limit = limit
 
 
-def _bucket_files(root: str, topic: str) -> list[tuple[int, list[str]]]:
-    """Per-bucket COMMITTED file lists from the topic's latest manifest
-    (snapshot-consistent: crashed-produce orphans and mid-compaction
-    files are invisible, matching TopicStore.read_topic). Falls back to
-    directory listing for manifest-less legacy layouts."""
+def _bucket_files(
+    root: str, topic: str, version: int | None = None
+) -> list[tuple[int, list[str]]]:
+    """Per-bucket COMMITTED file lists from the topic's manifest —
+    latest by default, or a pinned ``version`` (VERSION AS OF: the
+    same time-travel contract as TopicStore.read_topic, so a reader
+    can replay exactly the snapshot a past consumer saw, across later
+    compactions/retention). Snapshot-consistent either way:
+    crashed-produce orphans and mid-compaction files are invisible.
+    Falls back to directory listing for manifest-less legacy layouts."""
     data_dir = os.path.join(root, "topics", topic, "data")
     log_dir = os.path.join(root, "topics", topic, "_log")
     by_bucket: dict[int, list[str]] = {}
@@ -82,6 +87,13 @@ def _bucket_files(root: str, topic: str) -> list[tuple[int, list[str]]]:
         if os.path.isdir(log_dir)
         else []
     )
+    if version is not None:
+        name = f"{version:020d}.json"
+        if name not in manifests:
+            raise ValueError(
+                f"topic {topic!r} has no committed manifest version {version}"
+            )
+        manifests = [name]
     if manifests:
         with open(os.path.join(log_dir, manifests[-1])) as f:
             m = json.load(f)
@@ -139,11 +151,13 @@ class RippleTopicReader(DataSourceReader):
         self.topic = options["topic"]
         self.offset = int(options.get("offset", 0))
         self.limit = int(options["limit"]) if "limit" in options else None
+        # VERSION AS OF: pin the read to a committed manifest version
+        self.version = int(options["version"]) if "version" in options else None
 
     def partitions(self):
         return [
             BucketPartition(files, b, self.offset, self.limit)
-            for b, files in _bucket_files(self.root, self.topic)
+            for b, files in _bucket_files(self.root, self.topic, self.version)
         ]
 
     def read(self, partition: BucketPartition) -> Iterator[tuple]:

@@ -200,3 +200,46 @@ def test_stream_crash_mid_batch_replays_uncommitted(spark, sf_dir, tmp_path):
     }
     assert set(delivered) == live, "rows skipped across the crash"
     assert len(delivered) == len(live), "rows double-delivered across the crash"
+
+
+def test_batch_read_version_as_of(spark, sf_dir, tmp_path):
+    """VERSION AS OF through the custom source: a reader pinned to the
+    pre-compaction manifest sees exactly the rows of that snapshot
+    (row- and fingerprint-identical to TopicStore.read_topic at the
+    same version) even after compaction + vacuum rewrote the files;
+    an unknown version is an explicit error."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "tt_topics"))
+    st.create_topic("tt", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(60), "tt")
+    v1 = st.latest_manifest("tt")[0]
+    st.produce(ev.filter((F.col("event_id") >= 60) & (F.col("event_id") < 100)), "tt")
+    st.compact("tt")
+    # NOTE: no vacuum — pinned snapshots retain their files until the
+    # vacuum grace window elapses, same contract as read_topic.
+
+    def key_set(df):
+        return {(r["bucket"], r["seq"], r["event_id"]) for r in
+                df.select("bucket", "seq", "event_id").collect()}
+
+    pinned = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root).option("topic", "tt").option("version", v1)
+        .load()
+    )
+    assert key_set(pinned) == key_set(st.read_topic("tt", version=v1))
+    assert pinned.count() == 60
+    latest = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root).option("topic", "tt")
+        .load()
+    )
+    assert latest.count() == 100
+    with pytest.raises(Exception, match="manifest version"):
+        (
+            spark.read.format("ripple_topic")
+            .option("root", st.root).option("topic", "tt").option("version", 99999)
+            .load()
+            .count()
+        )
