@@ -166,14 +166,35 @@ class RippleTopicReader(DataSourceReader):
 
 class RippleTopicStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch source: offset = {bucket: next_seq}. Each batch
-    serves at most ``batch_size`` rows per bucket (AskQuery.Count)."""
+    serves at most ``batch_size`` rows per bucket (AskQuery.Count).
+
+    ``start_at`` (default ``earliest``) controls the FIRST checkpoint
+    only — the Kafka ``auto.offset.reset`` analog: ``earliest`` replays
+    the whole retained log, ``latest`` snapshots the per-bucket high
+    watermarks at query start and tails only rows produced after it.
+    Restarts always resume from the checkpoint, never re-evaluate this.
+    """
 
     def __init__(self, options: dict):
         self.root = options["root"]
         self.topic = options["topic"]
         self.batch_size = int(options.get("batch_size", 10_000))
+        self.start_at = options.get("start_at", "earliest")
+        if self.start_at not in ("earliest", "latest"):
+            raise ValueError(f"start_at must be earliest|latest, got {self.start_at!r}")
 
     def initialOffset(self) -> dict:
+        if self.start_at == "latest":
+            import pyarrow.dataset as ds
+
+            cursors = {}
+            for b, files in _bucket_files(self.root, self.topic):
+                tbl = ds.dataset(files, format="parquet").to_table(columns=["seq"])
+                if tbl.num_rows:
+                    import pyarrow.compute as pc
+
+                    cursors[str(b)] = pc.max(tbl.column("seq")).as_py() + 1
+            return {"cursors": json.dumps(cursors)}
         return {"cursors": json.dumps({})}
 
     def _read_range(self, start: dict, max_rows: int | None):

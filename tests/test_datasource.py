@@ -243,3 +243,49 @@ def test_batch_read_version_as_of(spark, sf_dir, tmp_path):
             .load()
             .count()
         )
+
+
+def test_stream_start_at_latest_tails_only_new_rows(spark, sf_dir, tmp_path):
+    """start_at=latest snapshots the high watermarks at query start:
+    the backlog is skipped, rows produced after the first batch are
+    delivered, and a restart resumes from the checkpoint (not a fresh
+    'latest' snapshot)."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "tail_topics"))
+    st.create_topic("tl", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(80), "tl")  # backlog that must be skipped
+
+    seen: list[int] = []
+
+    def sink(df, _epoch):
+        seen.extend(r["event_id"] for r in df.select("event_id").collect())
+
+    def start():
+        # foreachBatch (not the memory sink): supports checkpoint
+        # recovery, which the restart leg below depends on
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "tl")
+            .option("start_at", "latest")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_tail"))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    assert seen == []  # backlog skipped
+    st.produce(ev.filter((F.col("event_id") >= 80) & (F.col("event_id") < 110)), "tl")
+    q.processAllAvailable()
+    q.stop()
+    assert set(seen) == set(range(80, 110))
+    # produce while stopped; restart resumes from checkpoint, not a new
+    # latest snapshot — the offline rows must arrive
+    st.produce(ev.filter((F.col("event_id") >= 110) & (F.col("event_id") < 120)), "tl")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert set(seen) == set(range(80, 120))
