@@ -829,3 +829,54 @@ def q_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         replay, "user_id bigint, n_events bigint, n_allowed bigint, n_deferred bigint"
     )
+
+
+@query(
+    "q_multimodal_resize",
+    # Kernel output is media-transform-specific, so the driver-checked
+    # contract is the CROSS-IMPLEMENTATION AUDIT (q_ann_ivf_topk
+    # pattern): the Python mapInPandas resize kernel's checksum is
+    # recomputed independently with JVM md5/unhex expressions on the
+    # same rows, and chain_ok flips if they ever disagree — a kernel
+    # bug, an Arrow binary-mangling regression, or a schema drift all
+    # fail the value hash. DuckDB's md5 is VARCHAR-only, hence the
+    # outcome-stated oracle.
+    oracle="""
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS n_out_bytes,
+           TRUE AS chain_ok
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "udf", "stub-codec"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary media transform (thumbnail/resize shape) through
+    the registry: every document's payload is resized to 32x32 by the
+    mapInPandas kernel (deterministic digest-chain stub here; real PNG
+    re-encode whenever Pillow is present — multimodal.py), and the
+    kernel's output checksum is verified in-plan against an
+    independent JVM implementation of the same digest chain
+    (md5 -> unhex -> md5 -> unhex -> md5; one chain block because
+    32*32/64 = 16 bytes = exactly one md5 digest).
+
+    Scale shape: the resize is a map-side Arrow pass whose OUTPUT size
+    is bounded by the target dims, not the input (the thumbnailing
+    property); the audit join is a doc_id equi-join of two map-side
+    projections of the same scan."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_documents(docs, target_w=32, target_h=32)
+    suffix = F.encode(F.lit(":32x32"), "utf-8")
+    seed = F.unhex(F.md5(F.concat(F.encode(F.col("text"), "utf-8"), suffix)))
+    expected = F.md5(F.unhex(F.md5(seed)))
+    jvm = docs.select("doc_id", expected.alias("expected_checksum"))
+    return resized.join(jvm, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("n_out_bytes"),
+        (F.col("checksum") == F.col("expected_checksum")).alias("chain_ok"),
+    )
