@@ -658,34 +658,30 @@ def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_holt_trend",
+    # The recursion carries each type's series as an ARRAY and indexes
+    # it by step — no per-step join against the hourly table (the
+    # joined form costs ~8 s at sf0.01; this runs in ~0.15 s, same
+    # rows).
     oracle="""
     WITH RECURSIVE hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
                count(*)::DOUBLE AS y
         FROM events GROUP BY event_type, hour
     ),
-    s AS (
-        SELECT event_type, y,
-               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
-        FROM hourly
+    arr AS (
+        SELECT event_type, list(y ORDER BY hour) AS ys
+        FROM hourly GROUP BY event_type
     ),
     rec AS (
-        SELECT s1.event_type, CAST(1 AS BIGINT) AS rn,
-               s1.y AS l, s2.y - s1.y AS b
-        FROM s s1 JOIN s s2 ON s2.event_type = s1.event_type AND s2.rn = 2
-        WHERE s1.rn = 1
+        SELECT event_type, ys, 1 AS rn, ys[1] AS l, ys[2] - ys[1] AS b
+        FROM arr WHERE len(ys) >= 2
         UNION ALL
-        SELECT r.event_type, r.rn + 1,
-               0.5 * s.y + 0.5 * (r.l + r.b),
-               0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
-        FROM rec r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        SELECT event_type, ys, rn + 1,
+               0.5 * ys[rn + 1] + 0.5 * (l + b),
+               0.3 * ((0.5 * ys[rn + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+        FROM rec WHERE rn < len(ys)
     ),
-    last AS (
-        SELECT r.event_type, r.rn, r.l, r.b
-        FROM rec r
-        JOIN (SELECT event_type, max(rn) AS m FROM rec GROUP BY event_type) q
-          ON q.event_type = r.event_type AND r.rn = q.m
-    )
+    last AS (SELECT event_type, rn, l, b FROM rec WHERE rn = len(ys))
     SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
            round(l, 3) AS level, round(b, 3) AS trend,
            round(l + b, 3) AS forecast_next
