@@ -163,10 +163,17 @@ def q_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas operator (applyInPandas): per-user z-score
     normalization — the canonical "custom per-group kernel" surface.
     One shuffle on user_id; each group is a single Arrow batch in
-    Python. Oracle = the equivalent window-function SQL."""
+    Python. Oracle = the equivalent window-function SQL.
+
+    The explicit numbered repartition sizes the shuffle by GROUP
+    count, not bytes: this stage's cost is per-group Python overhead,
+    invisible to AQE's byte-based coalescing, which would otherwise
+    fold the small shuffle into one task and run every group through
+    a single pandas worker serially (measured ~2.5x slower)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select("user_id", "event_id", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
         .groupBy("user_id")
         .applyInPandas(_zscore, schema=ZSCORE_SCHEMA)
     )
