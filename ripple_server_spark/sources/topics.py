@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -304,6 +305,12 @@ class TopicStore:
             "bucket"
         ).parquet(staging)
         got = obs.get
+        if int(got["n"]) == 0:
+            # Empty batch: nothing to append — do NOT burn a manifest
+            # version (high-frequency producers would churn the log
+            # with no-op commits and break "version == data change").
+            shutil.rmtree(staging, ignore_errors=True)
+            return 0
         new_files = self._move_staged(topic, staging)
         maxima = {
             b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)

@@ -244,3 +244,45 @@ def test_schema_evolution_flag_and_compact_reset(spark, tmp_path):
     df = store.read_topic("evo2")
     assert "tag" in df.columns and df.count() == 200
     assert df.filter(F.col("tag") == "v2").count() == 100
+
+
+def test_edge_cases_empty_produce_past_hwm_noop_truncate(spark, sf_dir, tmp_path):
+    """Operational edge cases a broker must not trip on: producing an
+    EMPTY batch neither errors nor burns a manifest version or seq;
+    consuming from an offset past the high watermark returns an empty
+    batch with the offset unchanged; truncating below the current
+    floor is a no-op that deletes nothing."""
+    st = TopicStore(spark, str(tmp_path / "edge_topics"))
+    st.create_topic("e1", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(40), "e1")
+    v_before = st.latest_manifest("e1")[0]
+    n_before = st.read_topic("e1").count()
+
+    # empty produce: no rows, no version burn, seq continuity intact
+    st.produce(ev.limit(0), "e1")
+    assert st.read_topic("e1").count() == n_before
+    assert st.latest_manifest("e1")[0] == v_before
+    st.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 60)), "e1")
+    per = (
+        st.read_topic("e1")
+        .groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1  # still gap-free
+
+    # consume with a committed offset past the HWM: empty batch, the
+    # offset does not move (no clamp-down, no error)
+    st.register_consumer("cE", "e1")
+    depth = st.read_topic("e1").filter(F.col("bucket") == 0).count()
+    st.commit("cE", "e1", bucket=0, offset=depth + 100)
+    batch, next_off = st.consume("cE", "e1", bucket=0, count=5)
+    assert batch.count() == 0
+    assert next_off == depth + 100
+
+    # truncate below the floor: removes nothing, log intact
+    n = st.read_topic("e1").count()
+    assert st.truncate("e1", before_seq=0) == 0
+    assert st.read_topic("e1").count() == n
