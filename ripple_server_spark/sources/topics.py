@@ -462,9 +462,20 @@ class TopicStore:
             with open(self._manifest_path(topic, version)) as f:
                 m = json.load(f)
         if not m["files"]:
-            # schema-less empty topic: surface the same error a
-            # directory read of an empty log would
-            return self.spark.read.parquet(data)
+            # An empty topic is a legitimate broker state (a consumer
+            # may subscribe before any producer publishes; retention
+            # may age out every file): serve an empty frame, not an
+            # inference error. Schema = the manifest-recorded message
+            # schema when a produce (or a truncate of everything) has
+            # established one, else the minimal structural columns the
+            # log itself guarantees.
+            recorded = m.get("schema")
+            if recorded:
+                ddl = ", ".join(s.replace(":", " ", 1) for s in recorded)
+                ddl += ", bucket int"
+            else:
+                ddl = "seq bigint, bucket int"
+            return self.spark.createDataFrame([], ddl)
         paths = [os.path.join(data, rel) for rel in m["files"]]
         # mergeSchema only when the manifest recorded an actual schema
         # evolution: without it the read silently adopts one file's

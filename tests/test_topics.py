@@ -286,3 +286,17 @@ def test_edge_cases_empty_produce_past_hwm_noop_truncate(spark, sf_dir, tmp_path
     n = st.read_topic("e1").count()
     assert st.truncate("e1", before_seq=0) == 0
     assert st.read_topic("e1").count() == n
+
+
+def test_empty_topic_is_servable(spark, tmp_path):
+    """A consumer may subscribe before any producer publishes: reading
+    and consuming a created-but-never-produced topic must serve an
+    empty frame (structural schema), not a schema-inference error."""
+    st = TopicStore(spark, str(tmp_path / "empty_topics"))
+    st.create_topic("nil", n_buckets=2)
+    st.register_consumer("c0", "nil")
+    df = st.read_topic("nil")
+    assert df.count() == 0
+    assert {"seq", "bucket"} <= set(df.columns)
+    batch, off = st.consume("c0", "nil", bucket=0, count=10)
+    assert batch.count() == 0 and off == 0
