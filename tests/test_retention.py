@@ -68,3 +68,34 @@ def test_compact_then_truncate_is_exact(spark, store):
     # truncating ABOVE every bucket's max drops every file
     hi = max(store._bucket_maxima("t").values()) + 1
     assert store.truncate("t", before_seq=hi) == 4
+
+
+def test_total_truncation_then_reproduce_continues_seq(spark, sf_dir, tmp_path):
+    """Aging out the ENTIRE log must leave a servable empty topic with
+    the recorded message schema, and a later produce must continue the
+    per-bucket seq chain above the retained floor (never reset to 0 —
+    committed consumer offsets stay meaningful)."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "total_trunc"))
+    st.create_topic("m", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(50), "m")
+    floors_target = max(st._bucket_maxima("m").values()) + 1
+    assert st.truncate("m", before_seq=floors_target) >= 1
+    st.vacuum("m")
+    df = st.read_topic("m")
+    assert df.count() == 0
+    assert "event_id" in df.columns  # recorded message schema, not bare
+    st.produce(ev.filter((F.col("event_id") >= 50) & (F.col("event_id") < 70)), "m")
+    per = (
+        st.read_topic("m")
+        .groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    floors = st._bucket_floors("m")
+    for r in per:
+        assert r["mn"] >= floors[r["bucket"]]  # above the floor, no reset
+        assert r["mx"] - r["mn"] + 1 == r["n"]  # contiguous above it
