@@ -5,9 +5,11 @@
 - ``queries()``: every declared operator from SURVEY.md §2 (core
   relational + pub/sub semantics + dedup/similarity/text/multimodal
   extensions), one ``(spark, sf_dir) -> DataFrame`` callable each.
-- ``oracle_sql()``: the DuckDB-equivalent SQL per query (queries whose
-  semantics are estimator-specific — e.g. HyperLogLog approx counts —
-  are rows-only and intentionally absent here).
+- ``oracle_sql()``: the DuckDB-equivalent SQL per query — EVERY
+  registered query has one. Estimator-specific queries (HLL distinct,
+  t-digest percentiles, IVF recall, the resize kernel) carry an
+  in-plan accuracy/agreement audit whose expected outcome the oracle
+  states, so even sketch outputs are value-hash-checked.
 
 Implementation lives in the ``ripple_server_spark`` package.
 """
