@@ -395,10 +395,11 @@ def q_dup_rate_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
     d = docs.crossJoin(F.broadcast(b)).select(
+        # integer `div`, matching the oracle's `//` exactly — a double
+        # division could misround at the bucket boundary for extreme
+        # id ranges
         F.least(
-            ((F.col("doc_id") - F.col("lo")) * 10)
-            / (F.col("hi") - F.col("lo") + 1),
-            F.lit(9),
+            F.expr("((doc_id - lo) * 10) div (hi - lo + 1)"), F.lit(9)
         )
         .cast("bigint")
         .alias("slice"),
