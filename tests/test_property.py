@@ -342,3 +342,58 @@ def test_distribution_window_arithmetic_matches_builtins(spark, rows):
         .collect()
     }
     assert got == want
+
+
+budget_docs = st.lists(
+    st.tuples(
+        st.integers(0, 500),       # doc_id (unique_by below)
+        st.integers(0, 4),         # source id (small -> collisions)
+        st.integers(100, 110),     # n_chars (tiny range -> heavy ties)
+        st.integers(1, 2500),      # n_tokens (40 docs can far exceed
+        #   the 20k budget, so the boundary stratum and exact-fit cases bind)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=budget_docs)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_token_budget_two_pass_matches_naive_greedy(spark, rows, tmp_path_factory):
+    """q_token_budget_select's histogram+boundary-stratum two-pass must
+    equal the naive greedy running sum on adversarial inputs: heavy
+    priority ties, budget boundaries landing inside a stratum, and
+    budgets exactly consumed. Docs are written as a synthetic
+    documents.parquet so the real registered builder runs unmodified."""
+    from ripple_server_spark.plans.registry import SPECS
+
+    sf_dir = str(tmp_path_factory.mktemp("budget_prop"))
+    spark.createDataFrame(
+        [
+            (
+                doc_id,
+                "w " * (n_tokens - 1) + "w",  # exactly n_tokens tokens
+                "en",
+                f"src{src}",
+                n_chars,
+            )
+            for doc_id, src, n_chars, n_tokens in rows
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["source"]: (r["n_selected"], r["tokens_selected"])
+        for r in SPECS["q_token_budget_select"].builder(spark, sf_dir).collect()
+    }
+    # naive greedy: (n_chars desc, doc_id asc), keep while cum <= 20000
+    want: dict[str, list[int]] = {}
+    cum = 0
+    for doc_id, src, n_chars, n_tokens in sorted(rows, key=lambda t: (-t[2], t[0])):
+        cum += n_tokens
+        if cum <= 20000:
+            want.setdefault(f"src{src}", [0, 0])
+            want[f"src{src}"][0] += 1
+            want[f"src{src}"][1] += n_tokens
+    assert got == {k: tuple(v) for k, v in want.items()}
