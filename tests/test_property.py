@@ -397,3 +397,54 @@ def test_token_budget_two_pass_matches_naive_greedy(spark, rows, tmp_path_factor
             want[f"src{src}"][0] += 1
             want[f"src{src}"][1] += n_tokens
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+vocab_docs = st.lists(
+    st.tuples(
+        st.integers(0, 10_000_000),  # doc_id: sparse, clustered, huge gaps
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),  # tokens
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=vocab_docs)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_vocab_growth_striped_rank_handles_sparse_ids(spark, rows, tmp_path_factory):
+    """q_vocab_growth's arithmetic-striped doc_id rank must equal the
+    naive rank-by-sort on SPARSE, clustered id spaces (the fixtures are
+    dense 0..n-1, which would mask a rank bug that assumes density)."""
+    from ripple_server_spark.plans.registry import SPECS
+
+    sf_dir = str(tmp_path_factory.mktemp("vocab_prop"))
+    spark.createDataFrame(
+        [(doc_id, " ".join(toks), "en", "src0", len(toks)) for doc_id, toks in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["decile"]: (r["cum_tokens"], r["cum_vocab"])
+        for r in SPECS["q_vocab_growth"].builder(spark, sf_dir).collect()
+    }
+    # naive: rank docs by doc_id, slice into tenths, first-seen vocab
+    n = len(rows)
+    ordered = sorted(rows, key=lambda t: t[0])
+    seen: set[str] = set()
+    per_g_tokens: dict[int, int] = {}
+    per_g_new: dict[int, int] = {}
+    for i, (_doc, toks) in enumerate(ordered):
+        g = (i * 10) // n
+        per_g_tokens[g] = per_g_tokens.get(g, 0) + len(toks)
+        for w in toks:
+            if w not in seen:
+                seen.add(w)
+                per_g_new[g] = per_g_new.get(g, 0) + 1
+    want = {}
+    ct = cv = 0
+    for g in sorted(per_g_tokens):
+        ct += per_g_tokens[g]
+        cv += per_g_new.get(g, 0)
+        want[g] = (ct, cv)
+    assert got == want
