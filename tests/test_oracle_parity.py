@@ -83,3 +83,93 @@ def test_km_survival_terminal_step_parity_on_crafted_data(spark, tmp_path):
     }
     assert surv[5] == 0.0  # terminal step: everyone at risk churned
     assert 0.0 < surv[2] < 1.0
+
+
+def _crafted_con(sf_dir: str, tables: tuple[str, ...]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def test_split_leakage_parity_when_a_source_has_no_eval_docs(spark, tmp_path):
+    """The n_leaked left-join coalesce and the eval-side filter must
+    agree between engines when a source's docs land entirely in the
+    train split (no eval rows at all) and when an eval doc leaks."""
+    from ripple_server_spark.plans.registry import SPECS
+    from tests.oracle_check import compare_query
+
+    # choose doc_ids by their actual split bucket so the scenario is
+    # guaranteed, not probabilistic
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 10
+
+    train_ids = [i for i in range(200) if bucket(i) < 8]
+    eval_ids = [i for i in range(200) if bucket(i) >= 8]
+    rows = []
+    # srcA: train-only docs
+    for i in train_ids[:5]:
+        rows.append((i, f"unique text {i}", "en", "srcA", 20))
+    # srcB: one eval doc duplicating a train doc (leak), one clean
+    rows.append((train_ids[5], "dup text", "en", "srcB", 10))
+    rows.append((eval_ids[0], "dup text", "en", "srcB", 10))
+    rows.append((eval_ids[1], "clean text", "en", "srcB", 12))
+    sf_dir = str(tmp_path / "leak_edge")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = _crafted_con(sf_dir, ("documents",))
+    spec = SPECS["q_split_leakage"]
+    diff = compare_query(spark, con, "q_split_leakage", spec.builder, spec.oracle, sf_dir)
+    assert diff is None, diff
+    got = {r["source"]: r for r in spec.builder(spark, sf_dir).collect()}
+    assert got["srcA"]["n_eval"] == 0 and got["srcA"]["n_leaked"] == 0
+    assert got["srcB"]["n_leaked"] == 1
+
+
+def test_recurrence_queries_parity_on_degenerate_series(spark, tmp_path):
+    """Single-event users (base-case-only token bucket) and a type with
+    exactly two hours of data (minimal Holt trend) must agree between
+    the pandas kernels and the recursive-CTE oracles."""
+    import datetime as dt
+
+    from ripple_server_spark.plans.registry import SPECS
+    from tests.oracle_check import compare_query
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # user 1: one event ever (recursion base case only)
+        (0, base, 1, "solo", 1.0, "{}"),
+        # user 2: burst of 4 in one second (bucket denies past capacity)
+        *[(10 + i, base, 2, "burst", 1.0, "{}") for i in range(4)],
+        # 'burst' type also spans exactly two hours for minimal Holt
+        (20, base + dt.timedelta(hours=1), 2, "burst", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "degen_series")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    con = _crafted_con(sf_dir, ("events",))
+    for name in ("q_rate_limit_replay", "q_holt_trend"):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, (name, diff)
+    rl = {
+        r["user_id"]: (r["n_allowed"], r["n_deferred"])
+        for r in SPECS["q_rate_limit_replay"].builder(spark, sf_dir).collect()
+    }
+    assert rl[1] == (1, 0)          # base case: first event always admitted
+    # burst of 4 at t0: 2 admitted (capacity), 2 deferred; the event an
+    # hour later earns exactly one refilled token and is admitted
+    assert rl[2] == (3, 2)
