@@ -476,3 +476,17 @@ def test_recurrence_kernels_group_on_aggregates(spark):
     p2 = plan(build(spark, "q_rate_limit_replay"), "simple")
     assert "FlatMapGroupsInPandas" in p2
     assert p2.count("Exchange hashpartitioning") == 1
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Sweeping invariant over EVERY registered query: no plan may
+    contain a CartesianProduct — intentional small-side cross joins
+    plan as BroadcastNestedLoopJoin over aggregate/1-row inputs, so a
+    CartesianProduct can only mean an unkeyed pair blowup slipped in.
+    Also doubles as a builds-clean smoke for all 192 builders."""
+    bad = []
+    for name, spec in sorted(SPECS.items()):
+        p = plan(spec.builder(spark, SF_SMOKE), "simple")
+        if "CartesianProduct" in p:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
