@@ -485,8 +485,15 @@ def test_registry_wide_no_cartesian_product(spark):
     CartesianProduct can only mean an unkeyed pair blowup slipped in.
     Also doubles as a builds-clean smoke for all 192 builders."""
     bad = []
+    rowwise = []
     for name, spec in sorted(SPECS.items()):
         p = plan(spec.builder(spark, SF_SMOKE), "simple")
         if "CartesianProduct" in p:
             bad.append(name)
+        if "BatchEvalPython" in p:
+            rowwise.append(name)
     assert not bad, f"cartesian products in: {bad}"
+    # Row-at-a-time Python is banned everywhere except the one query
+    # whose PURPOSE is the Python-UDTF surface (table functions have no
+    # Arrow form); everything else must be Arrow-vectorized or JVM.
+    assert rowwise == ["q_udtf_tokenize"], f"row-wise python in: {rowwise}"
