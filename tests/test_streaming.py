@@ -273,3 +273,75 @@ def test_streaming_gate_observes_and_flags(spark, tmp_path):
     viols = gate.violations()
     assert all(m != "short_docs" for _, m, _, _ in viols)
     assert any(m == "n_rows" and v >= 10 for _, m, v, _ in viols)
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, sf_dir, tmp_path):
+    """The watermark contract end-to-end: a row arriving AFTER the
+    watermark has passed its window's end must be dropped from the
+    windowed aggregate (append mode), while an in-watermark late row
+    still counts. Micro-batch boundaries come from one produce per
+    file (max_files_per_trigger=1), so watermark motion between
+    batches is deterministic."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ripple_server_spark.sources.topics import TopicStore
+    from ripple_server_spark.streaming import api
+
+    st = TopicStore(spark, str(tmp_path / "late_topics"))
+    st.create_topic("lt", n_buckets=1)
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m), 1, "click", 1.0, "{}") for i, m in rows],
+            schema,
+        )
+
+    # drain-per-produce with ONE checkpoint: the watermark persists in
+    # the checkpoint commit log, so batch boundaries (and watermark
+    # motion between them) are deterministic regardless of file-listing
+    # order inside a single run.
+    def drain():
+        q = (
+            api.windowed_counts(
+                api.stream_topic(st, "lt"), window="5 minutes", watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out_late"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two rows in window [0,5) and one at t=60min -> watermark
+    # advances to 50min, far past [0,5)'s end; [0,5) emits and evicts
+    st.produce(mk([(0, 1), (1, 2), (2, 60)]), "lt", key_col="user_id")
+    drain()
+    # run 2: a too-late row for [0,5) (must be dropped) and one at
+    # t=61min (on time, counts toward [60,65))
+    st.produce(mk([(3, 3), (4, 61)]), "lt", key_col="user_id")
+    drain()
+    # run 3: push the watermark past [60,65) so its window emits
+    st.produce(mk([(5, 120)]), "lt", key_col="user_id")
+    drain()
+
+    rows = {
+        r["ws"].minute + r["ws"].hour * 60: r["n"]
+        for r in spark.read.parquet(str(tmp_path / "out_late")).collect()
+    }
+    assert rows[0] == 2, rows  # the too-late event_id=3 was dropped
+    assert rows[60] == 2, rows  # both on-time rows of [60,65) counted
