@@ -14,8 +14,11 @@ Scale posture (100 TB corpus, ~billions of near-dup edges):
   exchange reuse keeps rounds cheap. Rounds needed = graph diameter;
   near-dup graphs are short chains/cliques (diameter ~2-4), so this
   beats the O(log n) large-star/small-star alternation (Kiveris et al.,
-  "Connected Components in MapReduce and Beyond") which pays 4 shuffles
-  per round; switch to that if adversarial long-chain graphs appear.
+  "Connected Components in MapReduce and Beyond") which pays more
+  shuffles per round; for adversarial long-chain graphs switch to
+  :func:`connected_components_star` below (IMPLEMENTED: O(log n)
+  rounds regardless of diameter, equivalence- and chain-tested in
+  tests/test_property.py).
 - ``localCheckpoint`` every round: truncates the lineage chain so round
   k's plan doesn't re-derive rounds 1..k-1 (unbounded lineage is the
   classic iterative-Spark OOM/stack-overflow trap).
@@ -109,3 +112,92 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds regardless of graph
+    DIAMETER — the fallback :func:`connected_components`'s docstring
+    promises for adversarial long-chain graphs, where min-label
+    propagation needs diameter rounds.
+
+    Round shape: each star operation is one symmetrize/orient pass +
+    one partial-aggregated groupBy (min over neighborhoods) + one
+    join — the same two-shuffle budget per op as a label-propagation
+    round, but the number of rounds is logarithmic, not linear, in the
+    worst case. Convergence = the edge set reaches a fixpoint (stars),
+    detected by an exact count of changed edges; ``localCheckpoint``
+    truncates lineage per round. Returns (id, comp) with comp = the
+    minimum vertex id of the component, identical to
+    :func:`connected_components`.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}) over the given (directed) neighbor set
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = _min_nbr(sym)
+        # connect every STRICTLY LARGER neighbor to the neighborhood min
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # orient each edge to (larger -> smaller)
+        sym = cur.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m = _min_nbr(sym)
+        # connect every smaller-or-equal neighbor AND u itself to the min
+        out = sym.join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(
+            sym.join(m, "u").select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    for _ in range(max_iter):
+        stepped = small_star(large_star(e)).localCheckpoint()
+        # fixpoint: identical edge sets (exact anti-join count)
+        changed = (
+            stepped.join(e, on=["a", "b"], how="left_anti").count()
+            + e.join(stepped, on=["a", "b"], how="left_anti").count()
+        )
+        e = stepped
+        if changed == 0:
+            break
+    # stars: every remaining edge points (member -> root); roots map to
+    # themselves so isolated-after-contraction vertices keep a label
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    roots = nodes.join(
+        labels.select("id"), "id", "left_anti"
+    ).withColumn("comp", F.col("id"))
+    return labels.unionByName(roots)

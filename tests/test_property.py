@@ -448,3 +448,60 @@ def test_vocab_growth_striped_rank_handles_sparse_ids(spark, rows, tmp_path_fact
         cv += per_g_new.get(g, 0)
         want[g] = (ct, cv)
     assert got == want
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_star_cc_matches_union_find(spark, edges):
+    """Large-star/small-star CC must label every vertex with the
+    component minimum, exactly like a driver union-find, on random
+    multigraphs with self-loops and duplicate edges."""
+    from ripple_server_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(df, max_iter=30).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        v: find(v)
+        for v in {x for e in edges for x in e}
+        if any(a != b for a, b in edges if v in (a, b))
+    }
+    # star CC returns only vertices with at least one real (non-loop)
+    # edge, matching connected_components' contract
+    assert got == want
+
+
+def test_star_cc_handles_long_chains_in_log_rounds(spark):
+    """A 512-node path is the adversarial diameter case: min-label
+    propagation needs ~512 rounds; the star alternation must finish
+    within 15 (O(log n)) and still produce exact minima."""
+    from ripple_server_spark.operators.graph import connected_components_star
+
+    n = 512
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components_star(df, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(n)}
