@@ -173,3 +173,44 @@ def test_recurrence_queries_parity_on_degenerate_series(spark, tmp_path):
     # burst of 4 at t0: 2 admitted (capacity), 2 deferred; the event an
     # hour later earns exactly one refilled token and is admitted
     assert rl[2] == (3, 2)
+
+
+def test_striped_rewrites_parity_on_degenerate_inputs(spark, tmp_path):
+    """The round-4 striped rewrites on the smallest legal inputs: a
+    single purchase row (percent_rank's n=1 division guard), one
+    click->purchase conversion (1-row median), and a two-user stream
+    (single-stripe rank, 1-row survival spectrum). Each runs builder
+    AND oracle through the driver-mirror comparator."""
+    import datetime as dt
+
+    from ripple_server_spark.plans.registry import SPECS
+    from tests.oracle_check import compare_query
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        # user 1: click then purchase (one conversion); ends censored
+        (0, base, 1, "click", 5.0, "{}"),
+        (1, base + dt.timedelta(minutes=30), 1, "purchase", 42.0, "{}"),
+        # user 2: single error event (churn at duration 0)
+        (2, base + dt.timedelta(days=1), 2, "error", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "degen_striped")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    con = _crafted_con(sf_dir, ("events",))
+    for name in (
+        "q_window_distribution",   # exactly one purchase: n=1 guard
+        "q_gini_concentration",
+        "q_lorenz_deciles",
+        "q_km_survival",
+        "q_time_to_convert",       # exactly one conversion row
+    ):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, (name, diff)
+    wd = SPECS["q_window_distribution"].builder(spark, sf_dir).collect()
+    assert len(wd) == 1 and wd[0]["pr"] == 0.0 and wd[0]["cd"] == 1.0
