@@ -659,3 +659,63 @@ class TopicStore:
         with os.fdopen(fd, "w") as f:
             json.dump(obj, f)
         os.replace(tmp, path)
+
+    # -- introspection -------------------------------------------------------
+    def history(self, topic: str) -> list[dict]:
+        """DESCRIBE-HISTORY-style audit of the manifest log: one row per
+        committed version with its wall-clock time (the commit file's
+        mtime — the O_EXCL create IS the commit instant) and the
+        operation KIND, derived by diffing consecutive snapshots rather
+        than stored — so history works for every log ever written and
+        the commit protocol stays untouched:
+
+        - files added only                  -> produce
+        - files added AND removed           -> compact (atomic swap)
+        - files removed / floors raised     -> truncate (retention)
+        - no file change                    -> metadata (e.g. an
+          applied-batch or schema-flag-only commit)
+
+        ``vacuum`` never commits a manifest, but it PRUNES old versions
+        (bounded log), so history covers the RETAINED tail; after a
+        prune the earliest surviving version reports
+        ``retained-snapshot`` (its predecessor diff is gone)."""
+        log = self._log_dir(topic)
+        out: list[dict] = []
+        prev_files: set[str] = set()
+        prev_floors: dict[int, int] = {}
+        for name in sorted(n for n in os.listdir(log) if n.endswith(".json")):
+            path = os.path.join(log, name)
+            with open(path) as f:
+                m = json.load(f)
+            files = set(m["files"])
+            floors = {int(k): v for k, v in m.get("floors", {}).items()}
+            added, removed = files - prev_files, prev_files - files
+            if m["version"] == 1:
+                op = "create"
+            elif not out:
+                # vacuum prunes old manifest versions (bounded log), so
+                # the earliest RETAINED version is a full snapshot whose
+                # predecessor is gone — not a classifiable delta
+                op = "retained-snapshot"
+            elif added and removed:
+                op = "compact"
+            elif added:
+                op = "produce"
+            elif removed or any(
+                floors.get(b, 0) > prev_floors.get(b, 0) for b in floors
+            ):
+                op = "truncate"
+            else:
+                op = "metadata"
+            out.append(
+                {
+                    "version": m["version"],
+                    "ts": os.path.getmtime(path),
+                    "operation": op,
+                    "n_files": len(files),
+                    "files_added": len(added),
+                    "files_removed": len(removed),
+                }
+            )
+            prev_files, prev_floors = files, floors
+        return out

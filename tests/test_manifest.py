@@ -211,3 +211,42 @@ def test_replayed_batch_id_race_cannot_double_append(spark, sf_dir, tmp_path):
 
     df = s1.read_topic("idem")
     assert df.count() == 100  # appended exactly once across all replays
+
+
+def test_history_classifies_operations(spark, sf_dir, tmp_path):
+    """history() must reconstruct the operation kind of every committed
+    version by diffing consecutive manifests: create, produce, compact
+    (add+remove swap), truncate (removal/floor raise) — with versions
+    contiguous and timestamps non-decreasing. Vacuum commits nothing
+    and must not appear."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "hist"))
+    st.create_topic("h", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(50), "h")
+    st.produce(ev.filter((F.col("event_id") >= 50) & (F.col("event_id") < 80)), "h")
+    st.compact("h")
+    # age out the compacted segment: a newer produce keeps the topic
+    # non-empty, then the cutoff passes every compacted file's max seq
+    compacted_max = max(st._bucket_maxima("h").values())
+    st.produce(ev.filter((F.col("event_id") >= 80) & (F.col("event_id") < 120)), "h")
+    assert st.truncate("h", before_seq=compacted_max + 1) >= 1
+
+    hist = st.history("h")
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+    assert [h["operation"] for h in hist] == [
+        "create", "produce", "produce", "compact", "produce", "truncate"
+    ]
+    ts = [h["ts"] for h in hist]
+    assert ts == sorted(ts)
+    assert hist[-1]["files_removed"] >= 1
+
+    # vacuum prunes old manifest versions: history shrinks to the
+    # retained tail, whose head is a full snapshot, not a delta
+    st.vacuum("h")
+    pruned = st.history("h")
+    assert len(pruned) < len(hist)
+    assert pruned[0]["operation"] == "retained-snapshot"
+    assert pruned[-1]["version"] == hist[-1]["version"]
