@@ -8,6 +8,17 @@ through the noop sink at both scales and prints a markdown table row
 per query plus the set total — the growth-behavior evidence SCALE.md's
 scaling-experiment table records.
 
+Document TEXT is perturbed per copy (every token gets a copy-k tag) so
+the Nx corpus is N sets of DISTINCT documents with the same intra-copy
+near-dup structure, not N literal clones of every document. Without
+this, replication is adversarial specifically to shingle-based LSH:
+every band bucket holds N times the docs and pair generation grows
+N^2-fold (a 64x replication produced a 4096x pair blowup in practice,
+which measures the cloning artifact, not corpus growth — giant
+literal-duplicate clusters are exact-dedup's job, per
+operators/dedup.py:lsh_candidates). Real corpus growth adds NEW
+documents; the perturbation models exactly that.
+
 Usage:
   python scripts/scale_exp.py [sf_dir] [factor] [query ...]
   # defaults: /root/testdata/sf0.1, 8x, the round-3 families
@@ -52,15 +63,33 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
     for table, id_cols in REPLICATED:
         df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
         shifts = {c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+
+        def _copy_col(c: str, k: int):
+            if c in id_cols:
+                return (F.col(c) + F.lit(k * shifts[c])).alias(c)
+            if table == "documents" and c == "text" and k > 0:
+                # Tag every token with the copy index: all shingles
+                # differ across copies (docs are new, not clones) while
+                # each copy keeps the original intra-copy near-dup
+                # structure bit-for-bit.
+                tag = f"c{k}"
+                return F.concat(
+                    F.lit(tag),
+                    F.regexp_replace(F.col(c), r"(\s+)", f"$1{tag}"),
+                ).alias(c)
+            if table == "documents" and c == "n_chars" and k > 0:
+                # keep the length column consistent with the new text
+                tag = f"c{k}"
+                return F.length(
+                    F.concat(
+                        F.lit(tag),
+                        F.regexp_replace(F.col("text"), r"(\s+)", f"$1{tag}"),
+                    )
+                ).cast("long").alias(c)
+            return F.col(c)
+
         copies = [
-            df.select(
-                *[
-                    (F.col(c) + F.lit(k * shifts[c])).alias(c)
-                    if c in id_cols
-                    else F.col(c)
-                    for c in df.columns
-                ]
-            )
+            df.select(*[_copy_col(c, k) for c in df.columns])
             for k in range(factor)
         ]
         out = copies[0]
