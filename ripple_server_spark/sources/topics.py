@@ -651,6 +651,116 @@ class TopicStore:
             {str(k): v for k, v in offsets.items()},
         )
 
+    def read_increment(
+        self, topic: str, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Incremental read: exactly the rows APPENDED after manifest
+        ``since_version``, up to ``version`` (default latest) — the
+        Delta change-data-feed / Iceberg incremental-scan analog,
+        restricted to inserts because this log is append+retention only
+        (no updates or per-row deletes exist to feed back).
+
+        Exact by the produce invariant (seq contiguous per bucket): the
+        increment is precisely ``seq > maxima[since_version][bucket]``
+        per bucket, read against a pinned snapshot. No file-set diffing
+        is needed — compaction rewrites content-identically and
+        truncation only removes below the retention floor, so neither
+        perturbs the seq range. The one unservable case is a row both
+        appended AND truncated between the two versions (its data has
+        legitimately aged out — the same gap Delta CDF has after
+        VACUUM). Requires ``since_version``'s manifest to be retained
+        (raises ``FileNotFoundError`` after vacuum pruned it).
+
+        The filter is a per-bucket OR of (bucket = b AND seq > hwm_b):
+        bucket is a partition column and seq bounds hit row-group
+        stats, so an incremental consumer pays for the tail, not the
+        log.
+        """
+        with open(self._manifest_path(topic, since_version)) as f:
+            base = json.load(f)
+        base_max = {int(b): x for b, x in base.get("maxima", {}).items()}
+        df = self.read_topic(topic, version=version)
+        if not base_max:
+            return df  # nothing existed at the base version
+        n_buckets = base.get("n_buckets", len(base_max))
+        pred = None
+        for b in range(n_buckets):
+            cond = (F.col("bucket") == b) & (
+                F.col("seq") > F.lit(base_max.get(b, -1))
+            )
+            pred = cond if pred is None else (pred | cond)
+        return df.filter(pred)
+
+    def restore(self, topic: str, version: int) -> dict:
+        """Delta-style RESTORE: roll the topic back to ``version`` by
+        committing a NEW manifest whose state (files, maxima, floors,
+        schema, applied batches) equals the target snapshot — rollback
+        as a forward commit, so the log stays append-only, concurrent
+        readers pinned to any version are unaffected, and
+        :meth:`history` keeps the full audit trail (the commit
+        classifies as ``restore``).
+
+        Fails with ``FileNotFoundError`` if the target manifest or any
+        of its data files has been vacuumed — the same failure mode as
+        Delta RESTORE past the VACUUM horizon (reference semantics
+        note: the reference queue has no rollback at all — its log is
+        memory-only, `internal/broker/queue/queue.go:6-8` — so this is
+        extension surface of the durable log store, like compact and
+        truncate). Like produce's staged
+        files, the existence check races a concurrent zero-grace
+        vacuum; the maintenance loop's positive grace window covers it.
+
+        After a restore, seqs rolled back become live again: the next
+        produce continues from the RESTORED maxima (rewinding the
+        high-water mark is the point of a rollback), and consumer
+        offsets past the restored tail clamp at end-of-log on the next
+        consume.
+        """
+        import uuid
+
+        with open(self._manifest_path(topic, version)) as f:
+            target = json.load(f)
+        data = self.data_dir(topic)
+        missing = [
+            rel
+            for rel in target["files"]
+            if not os.path.exists(os.path.join(data, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore topic {topic!r} to version {version}: "
+                f"{len(missing)} data file(s) vacuumed, e.g. {missing[0]!r}"
+            )
+        latest_v, _ = self.latest_manifest(topic)
+
+        def apply(m: dict) -> dict:
+            for key in (
+                "files",
+                "maxima",
+                "floors",
+                "applied_batches",
+                "schema",
+                "schema_evolved",
+            ):
+                if key in target:
+                    m[key] = target[key]
+                else:
+                    m.pop(key, None)
+            # token makes each restore commit distinct from the one
+            # before it — history() classifies by the key CHANGING, and
+            # produce/compact commits after a restore inherit the key
+            # unchanged (so they classify as themselves, not restores);
+            # without the token, back-to-back restores to the same
+            # version would be indistinguishable
+            m["restored_from"] = {"version": version, "token": uuid.uuid4().hex}
+            return m
+
+        committed = self._commit(topic, latest_v, apply)
+        # the rollback invalidates both warm caches
+        self._maxima.pop(topic, None)
+        self._floors.pop(topic, None)
+        return committed
+
     # -- util --------------------------------------------------------------
     @staticmethod
     def _write_json(path: str, obj: dict) -> None:
@@ -672,6 +782,9 @@ class TopicStore:
         - files added only                  -> produce
         - files added AND removed           -> compact (atomic swap)
         - files removed / floors raised     -> truncate (retention)
+        - restored_from marker changed      -> restore (rollback commit;
+          checked first — a restore usually also looks like a
+          truncate/compact delta)
         - no file change                    -> metadata (e.g. an
           applied-batch or schema-flag-only commit)
 
@@ -683,12 +796,14 @@ class TopicStore:
         out: list[dict] = []
         prev_files: set[str] = set()
         prev_floors: dict[int, int] = {}
+        prev_restore = None
         for name in sorted(n for n in os.listdir(log) if n.endswith(".json")):
             path = os.path.join(log, name)
             with open(path) as f:
                 m = json.load(f)
             files = set(m["files"])
             floors = {int(k): v for k, v in m.get("floors", {}).items()}
+            restore_mark = m.get("restored_from")
             added, removed = files - prev_files, prev_files - files
             if m["version"] == 1:
                 op = "create"
@@ -697,6 +812,8 @@ class TopicStore:
                 # the earliest RETAINED version is a full snapshot whose
                 # predecessor is gone — not a classifiable delta
                 op = "retained-snapshot"
+            elif restore_mark != prev_restore:
+                op = "restore"
             elif added and removed:
                 op = "compact"
             elif added:
@@ -707,15 +824,17 @@ class TopicStore:
                 op = "truncate"
             else:
                 op = "metadata"
-            out.append(
-                {
-                    "version": m["version"],
-                    "ts": os.path.getmtime(path),
-                    "operation": op,
-                    "n_files": len(files),
-                    "files_added": len(added),
-                    "files_removed": len(removed),
-                }
-            )
+            row = {
+                "version": m["version"],
+                "ts": os.path.getmtime(path),
+                "operation": op,
+                "n_files": len(files),
+                "files_added": len(added),
+                "files_removed": len(removed),
+            }
+            if op == "restore" and isinstance(restore_mark, dict):
+                row["restored_to"] = restore_mark.get("version")
+            out.append(row)
             prev_files, prev_floors = files, floors
+            prev_restore = restore_mark
         return out

@@ -300,3 +300,102 @@ def test_empty_topic_is_servable(spark, tmp_path):
     assert {"seq", "bucket"} <= set(df.columns)
     batch, off = st.consume("c0", "nil", bucket=0, count=10)
     assert batch.count() == 0 and off == 0
+
+
+def test_read_increment_is_exactly_the_appended_rows(spark, sf_dir, tmp_path):
+    """Incremental read between two manifest versions = exactly the
+    rows the later produces appended: seq-range based, so compaction
+    in between must not perturb it."""
+    st = TopicStore(spark, str(tmp_path / "incr"))
+    st.create_topic("i", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(60), "i")
+    v_after_a, _ = st.latest_manifest("i")
+    st.produce(ev.filter((F.col("event_id") >= 60) & (F.col("event_id") < 100)), "i")
+    st.compact("i")  # rewrites files; must not affect the seq-based diff
+    st.produce(ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 130)), "i")
+
+    inc = st.read_increment("i", since_version=v_after_a)
+    got = sorted(r["event_id"] for r in inc.select("event_id").collect())
+    assert got == list(range(60, 130))
+
+    # pinned upper bound: increment up to a mid version excludes later appends
+    hist = st.history("i")
+    v_mid = [h["version"] for h in hist if h["operation"] == "compact"][0]
+    inc_mid = st.read_increment("i", since_version=v_after_a, version=v_mid)
+    got_mid = sorted(r["event_id"] for r in inc_mid.select("event_id").collect())
+    assert got_mid == list(range(60, 100))
+
+    # since the very first (empty) manifest: everything
+    assert st.read_increment("i", since_version=1).count() == 130
+
+
+def test_restore_rolls_back_and_reuses_seqs(spark, sf_dir, tmp_path):
+    """RESTORE commits the target version's state forward: reads see
+    the old snapshot, history classifies the commit as ``restore``,
+    and the next produce continues from the restored maxima (no seq
+    gap from the rolled-back batches)."""
+    st = TopicStore(spark, str(tmp_path / "rest"))
+    st.create_topic("r", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(40), "r")
+    v_target, _ = st.latest_manifest("r")
+    maxima_target = dict(st._bucket_maxima("r"))
+    st.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 90)), "r")
+    assert st.read_topic("r").count() == 90
+
+    st.restore("r", v_target)
+    assert st.read_topic("r").count() == 40
+    assert st._bucket_maxima("r") == maxima_target
+    hist = st.history("r")
+    assert hist[-1]["operation"] == "restore"
+    assert hist[-1]["restored_to"] == v_target
+    # forward commit: every prior version is still readable
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+
+    # seqs burned by the rolled-back batch are live again: contiguity holds
+    st.produce(ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 230)), "r")
+    per_bucket = (
+        st.read_topic("r")
+        .groupBy("bucket")
+        .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for row in per_bucket:
+        assert row["mx"] == row["n"] - 1
+
+    # a later produce after the restore classifies as produce, not restore
+    assert st.history("r")[-1]["operation"] == "produce"
+
+
+def test_restore_past_vacuum_horizon_fails(spark, sf_dir, tmp_path):
+    """Restore must refuse when the target version's data files were
+    vacuumed (Delta RESTORE-past-VACUUM failure mode) — never commit a
+    manifest pointing at deleted files."""
+    import json
+    import os
+
+    st = TopicStore(spark, str(tmp_path / "rv"))
+    st.create_topic("v", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(30), "v")
+    v_target, _ = st.latest_manifest("v")
+    st.compact("v")  # rewrites: v_target's files are now unreferenced
+
+    # branch 1: target manifest retained but its data files deleted
+    # (simulates a vacuum that ran between the two versions)
+    with open(st._manifest_path("v", v_target)) as f:
+        target_files = set(json.load(f)["files"])
+    live = set(st._live_files("v"))
+    for rel in target_files - live:
+        os.remove(os.path.join(st.data_dir("v"), rel))
+    with pytest.raises(FileNotFoundError):
+        st.restore("v", v_target)
+
+    # branch 2: the target MANIFEST itself pruned by vacuum
+    st.vacuum("v", grace_s=0.0)
+    assert not os.path.exists(st._manifest_path("v", v_target))
+    with pytest.raises(FileNotFoundError):
+        st.restore("v", v_target)
+    # the failed restores committed nothing
+    assert st.history("v")[-1]["operation"] != "restore"
