@@ -44,18 +44,6 @@ def multi_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def approx_distinct_users(events: DataFrame) -> DataFrame:
-    """HLL++ distinct users per type — the 100 TB path for cardinality.
-
-    rsd=1% → ~auto 2^14 registers; sketch size is independent of input
-    size. No SQL oracle (estimator-specific); driver does a rows check
-    and pytest bounds the error vs exact counts.
-    """
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
-    )
-
-
 def rollup_type_day(events: DataFrame) -> DataFrame:
     """ROLLUP (event_type, day): hierarchical totals in one pass."""
     day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")

@@ -137,18 +137,17 @@ def connected_components_star(
     minimum vertex id of the component, identical to
     :func:`connected_components`.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node set BEFORE dropping self-loops: a vertex whose only edge is
+    # (v, v) is a singleton component and must still be labeled, exactly
+    # as connected_components()'s union-find tier labels it
     nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
+    e = raw.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
     def _min_nbr(sym: DataFrame) -> DataFrame:
         # m(u) = min(N(u) ∪ {u}) over the given (directed) neighbor set

@@ -688,6 +688,10 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).first()
     n_docs, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if n_docs == 0:
+        # empty corpus: min/max are NULL — degrade to the same empty
+        # curve the oracle produces instead of a driver TypeError
+        n_docs, lo, hi = 1, 0, 0
     # ~64 coarse buckets over the observed doc_id range; a production
     # ANALYZE derives this from table stats. Correctness never depends
     # on the width (one degenerate bucket just degrades locally).

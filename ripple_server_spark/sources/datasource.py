@@ -185,6 +185,24 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.start_at == "latest":
+            # The manifest already records the exact per-bucket seq
+            # high-water marks — the same metadata TopicStore's cold
+            # path uses precisely to avoid log scans. Reading it is
+            # O(1) in topic size; scanning the seq column of every
+            # retained file (the thing "latest" exists to skip) would
+            # make startup O(backlog) in driver I/O.
+            log_dir = os.path.join(self.root, "topics", self.topic, "_log")
+            manifests = (
+                sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+                if os.path.isdir(log_dir)
+                else []
+            )
+            if manifests:
+                with open(os.path.join(log_dir, manifests[-1])) as f:
+                    maxima = json.load(f).get("maxima", {})
+                cursors = {str(b): mx + 1 for b, mx in maxima.items()}
+                return {"cursors": json.dumps(cursors)}
+            # manifest-less legacy layout: fall back to a parquet scan
             import pyarrow.dataset as ds
 
             cursors = {}

@@ -361,17 +361,16 @@ class TopicStore:
             for b in touched:
                 mx[str(b)] = state["maxima"][b]
             m["maxima"] = mx
-            # an empty batch stages no files — its DataFrame schema must
-            # not evolve the manifest (nothing on disk carries it)
+            # the empty-batch early return above guarantees staged files
+            # exist here, so the batch schema always lands on disk
             prev = m.get("schema")
-            if state["files"]:
-                if prev is None:
-                    m["schema"] = fields
-                elif set(prev) != set(fields):
-                    m["schema"] = list(prev) + [
-                        f for f in fields if f not in prev
-                    ]
-                    m["schema_evolved"] = True
+            if prev is None:
+                m["schema"] = fields
+            elif set(prev) != set(fields):
+                m["schema"] = list(prev) + [
+                    f for f in fields if f not in prev
+                ]
+                m["schema_evolved"] = True
             if batch_id is not None:
                 m["applied_batches"] = (
                     list(m.get("applied_batches", [])) + [batch_id]
@@ -671,6 +670,18 @@ class TopicStore:
         VACUUM). Requires ``since_version``'s manifest to be retained
         (raises ``FileNotFoundError`` after vacuum pruned it).
 
+        A :meth:`restore` between the two versions makes "appended
+        since" ill-defined at the seq level (the rollback rewinds the
+        high-water marks, so later produces legitimately REUSE seqs the
+        base version had already seen — a seq filter would silently
+        drop them). Detected and refused with ``ValueError``: the
+        restore marker token only ever changes on a restore commit and
+        is inherited untouched by every other commit, so comparing the
+        base and target markers catches an intervening rollback even
+        after vacuum pruned the manifests between them; an incremental
+        consumer must re-read the snapshot after a rollback (the same
+        continuity break Delta CDF declares on RESTORE).
+
         The filter is a per-bucket OR of (bucket = b AND seq > hwm_b):
         bucket is a partition column and seq bounds hit row-group
         stats, so an incremental consumer pays for the tail, not the
@@ -678,6 +689,18 @@ class TopicStore:
         """
         with open(self._manifest_path(topic, since_version)) as f:
             base = json.load(f)
+        if version is None:
+            version, target = self.latest_manifest(topic)
+        else:
+            with open(self._manifest_path(topic, version)) as f:
+                target = json.load(f)
+        if base.get("restored_from") != target.get("restored_from"):
+            raise ValueError(
+                f"topic {topic!r} was restored between versions "
+                f"{since_version} and {version}: seq high-water marks "
+                "were rewound, so the increment is undefined — re-read "
+                "the snapshot instead"
+            )
         base_max = {int(b): x for b, x in base.get("maxima", {}).items()}
         df = self.read_topic(topic, version=version)
         if not base_max:

@@ -483,13 +483,10 @@ def test_star_cc_matches_union_find(spark, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    want = {
-        v: find(v)
-        for v in {x for e in edges for x in e}
-        if any(a != b for a, b in edges if v in (a, b))
-    }
-    # star CC returns only vertices with at least one real (non-loop)
-    # edge, matching connected_components' contract
+    # EVERY vertex that appears in any edge is labeled — including
+    # vertices whose only edge is a self-loop (singleton components),
+    # exactly matching connected_components()'s union-find contract
+    want = {v: find(v) for v in {x for e in edges for x in e}}
     assert got == want
 
 

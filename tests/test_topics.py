@@ -399,3 +399,24 @@ def test_restore_past_vacuum_horizon_fails(spark, sf_dir, tmp_path):
         st.restore("v", v_target)
     # the failed restores committed nothing
     assert st.history("v")[-1]["operation"] != "restore"
+
+
+def test_read_increment_refuses_across_a_restore(spark, sf_dir, tmp_path):
+    """A restore rewinds the seq high-water marks, so later produces
+    legitimately reuse seqs the base version had seen — a seq-based
+    increment would silently drop them. read_increment must detect the
+    intervening rollback and refuse (CDF continuity break), including
+    when only the endpoints' manifests survive."""
+    st = TopicStore(spark, str(tmp_path / "incres"))
+    st.create_topic("x", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(40), "x")
+    v_base, _ = st.latest_manifest("x")
+    st.restore("x", 1)  # rewind to empty
+    st.produce(ev.limit(30), "x")  # reuses seqs 0..N
+    with pytest.raises(ValueError, match="restored"):
+        st.read_increment("x", since_version=v_base)
+    # increments entirely on one side of the rollback still work
+    v_after, _ = st.latest_manifest("x")
+    st.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 55)), "x")
+    assert st.read_increment("x", since_version=v_after).count() == 15
