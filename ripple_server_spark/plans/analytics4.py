@@ -799,7 +799,12 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PSI_BINS = 10
-_PSI_SPLIT = "2024-01-16"
+# Shared midpoint of the fixture window for the distribution-shift
+# testing quartet (PSI / Welch t / Mann-Whitney / KS): all four are
+# documented as comparing the SAME first-vs-second-half split, so the
+# date lives in one constant.
+_HALF_SPLIT = "2024-01-16"
+_PSI_SPLIT = _HALF_SPLIT
 
 
 @query(
@@ -931,7 +936,7 @@ def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two-sample Welch t-test (experiment analysis)
 # --------------------------------------------------------------------------
 
-_TT_SPLIT = "2024-01-16"
+_TT_SPLIT = _HALF_SPLIT
 
 
 @query(
@@ -1098,16 +1103,20 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("r"))
     ct = obs.groupBy("dow").agg(F.sum("o").cast("double").alias("c"))
     n = obs.agg(F.sum("o").cast("double").alias("t"))
-    n_r = rt.count()
-    n_c = ct.count()
     e = F.col("r") * F.col("c") / F.col("t")
+    # dof comes from distinct-margin counts of the SAME joined cell
+    # table — fully lazy, no eager .count() actions at plan-build time
+    # (the previous form launched two whole extra jobs per invocation)
     return (
         obs.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(n))
         .agg(
             F.count("*").alias("n_cells"),
-            F.lit((n_r - 1) * (n_c - 1)).cast("bigint").alias("dof"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("dow") - 1)
+            ).cast("bigint").alias("dof"),
             F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 3).alias("chi2"),
         )
     )
@@ -1287,7 +1296,7 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mann-Whitney U (nonparametric two-sample test)
 # --------------------------------------------------------------------------
 
-_MW_SPLIT = "2024-01-16"
+_MW_SPLIT = _HALF_SPLIT
 
 
 @query(
@@ -1368,7 +1377,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kolmogorov-Smirnov two-sample test
 # --------------------------------------------------------------------------
 
-_KS_SPLIT = "2024-01-16"
+_KS_SPLIT = _HALF_SPLIT
 
 
 @query(
@@ -1643,7 +1652,7 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_type, hour, abs(cusum) AS abs_cusum,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY abs(cusum) DESC, hour) AS rn
+                                  ORDER BY round(abs(cusum), 6) DESC, hour) AS rn
         FROM c
     ) WHERE rn = 1
     """,
@@ -1658,7 +1667,13 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: mean + running-state cumulative window + rank-1 cut,
     all over the dimension-sized hourly series; the rank-1 filter
-    compiles to WindowGroupLimit."""
+    compiles to WindowGroupLimit.
+
+    Determinism: the argmax ranks by abs(cusum) ROUNDED to 6 dp (hour
+    as tie-break) in both engines — running float sums may differ by an
+    ulp across accumulation strategies (DuckDB's windowed segment tree
+    vs Spark's sequential frame), and an unrounded comparison would let
+    two near-tied hours swap rank between engines."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
@@ -1672,7 +1687,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = hourly.join(F.broadcast(m), "event_type").select(
         "event_type", "hour", F.sum(F.col("v") - F.col("mu")).over(wc).alias("cusum")
     )
-    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("hour"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs(F.col("cusum")), 6)), F.asc("hour")
+    )
     return (
         c.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
@@ -1840,9 +1857,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree.
 
     Scale shape: one per-user aggregate (key-level rows from there
-    on); three rank windows over the user table — each a candidate for
-    the striped two-pass rank at billion-key scale — then a ≤125-row
-    aggregate."""
+    on); the three ranks are each the striped two-pass
+    :func:`_rank_in_group` (no window sees more than one value-stripe
+    of keys, so a billion-user table never funnels through one task),
+    the user count rides in as a broadcast 1-row aggregate (no eager
+    .count() job at plan-build time), then a ≤125-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("m"))
     u = (
@@ -1853,18 +1872,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("freq"),
             F.sum("value").alias("monetary"),
         )
-    )
-    n = u.count()
+    ).withColumn("_g", F.lit(0))
 
-    def quint(col: str):
-        return F.expr(f"((row_number() over (order by {col}, user_id) - 1) * 5) div {n}")
-
-    q = u.select(
-        "user_id",
+    q = u
+    for col, rank_name in (("recency", "rn_r"), ("freq", "rn_f"), ("monetary", "rn_m")):
+        q = _rank_in_group(q, "_g", col, "user_id").withColumnRenamed("rn", rank_name)
+    nagg = u.agg(F.count("*").alias("_n"))
+    q = q.crossJoin(F.broadcast(nagg)).select(
         "monetary",
-        quint("recency").alias("r"),
-        quint("freq").alias("f"),
-        quint("monetary").alias("m"),
+        F.expr("((rn_r - 1) * 5) div _n").alias("r"),
+        F.expr("((rn_f - 1) * 5) div _n").alias("f"),
+        F.expr("((rn_m - 1) * 5) div _n").alias("m"),
     )
     return q.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
@@ -2068,23 +2086,21 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie order (is_ref DESC) makes a click at the same timestamp as
     the purchase count as its antecedent, matching the as-of
     convention."""
+    from ripple_server_spark.operators.joins import asof_join
+
     ev = load_table(spark, sf_dir, "events")
     pur = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("timestamp").alias("rts")
+        "event_id", "user_id", "ts"
     )
     clk = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_ref"), F.col("ts").alias("rts")
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.desc("is_ref"), F.asc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = pur.unionByName(clk).select(
-        "is_ref", "ts", F.last("rts", ignorenulls=True).over(w).alias("last_click")
-    )
-    lat = c.filter((F.col("is_ref") == 0) & F.col("last_click").isNotNull()).select(
-        (F.unix_timestamp("ts") - F.unix_timestamp("last_click")).alias("sec")
+    # the union + running-window as-of construction lives in ONE place
+    # (operators/joins.asof_join); equal-ts clicks all share the same
+    # asof_ts, so its max-ref-id tie-break yields identical latencies
+    aj = asof_join(pur, clk, key="user_id", time_col="ts", ref_id_col="event_id")
+    lat = aj.filter(F.col("asof_ts").isNotNull()).select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("sec")
     )
     # Tie column = the value itself: duplicate `sec` values may rank in
     # any order without changing which value sits at the median rank.
