@@ -148,7 +148,9 @@ def shingles_pandas(text: Column, k: int = SHINGLE_K) -> Column:
         def _kernel(s: pd.Series) -> pd.Series:
             out = []
             for t in s:
-                w = t.split(" ")
+                # NULL text -> no shingles, matching the expr path
+                # (split(NULL) is NULL and explode drops the row)
+                w = t.split(" ") if t is not None else []
                 if len(w) < k:
                     out.append([])
                 else:
@@ -177,7 +179,7 @@ def spans_pandas(text: Column, width: int) -> Column:
         def _kernel(s: pd.Series) -> pd.Series:
             out = []
             for t in s:
-                w = t.split(" ")
+                w = t.split(" ") if t is not None else []
                 out.append(
                     [" ".join(w[i : i + width]) for i in range(0, len(w), width)]
                 )

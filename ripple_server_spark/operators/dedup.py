@@ -82,6 +82,14 @@ def minhash_band_hashes(
             for s in range(perms)
         ]
     )
+    if perms % bands:
+        raise ValueError(
+            f"perms ({perms}) must divide evenly into bands ({bands}): "
+            "trailing permutations would be computed and shuffled but "
+            "silently ignored by the banding, and the effective "
+            "detection threshold (1/b)^(1/r) would differ from what "
+            "the caller's perms implied"
+        )
     rows = perms // bands
     band_structs = F.array(
         *[
@@ -164,7 +172,10 @@ def _jaccard_finish(
 
 
 def verify_jaccard(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via two semi-structured joins on
     the shingle table (never materializes full shingle sets per row).
@@ -183,7 +194,13 @@ def verify_jaccard(
     )
     # Persist: the pruned table feeds three consumers (sizes + both
     # intersection sides); without it the semi-join runs three times.
+    # A caller that materializes the result eagerly (the streaming
+    # incremental join) passes ``persist_registry`` to receive the
+    # handle and unpersist it afterwards — one-shot batch callers let
+    # the ContextCleaner reclaim it with the plan.
     sh = sh.join(cand_docs, "doc_id", "left_semi").persist()
+    if persist_registry is not None:
+        persist_registry.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
@@ -228,7 +245,8 @@ def minhash_sigs_pandas(text, k: int = 3, perms: int = MINHASH_PERMS):
             seeds = np.arange(perms, dtype=np.int64)
             out = []
             for t in s:
-                w = t.split(" ")
+                # NULL text -> null signature, like a shingle-less doc
+                w = t.split(" ") if t is not None else []
                 if len(w) < k:
                     out.append(None)
                     continue
@@ -258,6 +276,14 @@ def minhash_band_hashes_from_docs(
     Arrow kernel (zero shuffle), band hashes as a JVM projection over
     the signature array — md5 of the band's mins joined in seed order,
     identical to :func:`minhash_band_hashes`."""
+    if perms % bands:
+        raise ValueError(
+            f"perms ({perms}) must divide evenly into bands ({bands}): "
+            "trailing permutations would be computed and shuffled but "
+            "silently ignored by the banding, and the effective "
+            "detection threshold (1/b)^(1/r) would differ from what "
+            "the caller's perms implied"
+        )
     rows = perms // bands
     # Parallelism recovery: a corpus packed into few row groups (the
     # local fixtures are ONE) would run the kernel on that few tasks.
@@ -548,6 +574,9 @@ class IncrementalSetSimJoin:
         self.sh: DataFrame | None = None
         self.pref: DataFrame | None = None
         self.df: DataFrame | None = None
+        # replay guard + storage bookkeeping (see observe())
+        self._last_batch_id = None
+        self._last_pairs: DataFrame | None = None
 
     def _prefix_of(self, sh_c: DataFrame) -> DataFrame:
         w_rank = Window.partitionBy("doc_id").orderBy(
@@ -562,10 +591,29 @@ class IncrementalSetSimJoin:
             .select("doc_id", "shingle")
         )
 
-    def observe(self, chunk: DataFrame) -> DataFrame:
+    def observe(self, chunk: DataFrame, batch_id=None) -> DataFrame:
         """Ingest one chunk; return the NEW qualifying pairs (those with
         at least one member in the chunk). Union of epoch outputs over
-        any chunking == the batch join's full pair set."""
+        any chunking == the batch join's full pair set.
+
+        Pass foreachBatch's ``batch_id`` to make ingestion IDEMPOTENT
+        under at-least-once replay: a re-delivered epoch (sink failure,
+        restart of the same run) returns the stored pair set WITHOUT
+        touching state — otherwise the replayed docs would double every
+        per-doc size and intersection count and corrupt every
+        subsequent epoch's Jaccard values.
+
+        State is bounded: each epoch's checkpoints supersede the
+        previous epoch's, whose cached blocks are freed explicitly
+        (localCheckpoint storage is otherwise never reclaimed —
+        operators/checkpoints.py), so a long-running gate caches one
+        corpus snapshot, not one per epoch."""
+        from ripple_server_spark.operators.checkpoints import (
+            free_local_checkpoint,
+        )
+
+        if batch_id is not None and batch_id == self._last_batch_id:
+            return self._last_pairs
         sh_c = shingle_sets(chunk).localCheckpoint()
         pref_c = self._prefix_of(sh_c).localCheckpoint()
         df_c = sh_c.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -589,8 +637,14 @@ class IncrementalSetSimJoin:
         # Every candidate touches the chunk by construction (probe side
         # is chunk prefixes), so no old-x-old pair can appear and no
         # pair repeats across epochs (a pair's epoch = later member's).
-        pairs = verify_jaccard(cand, sh_all, self.threshold)
+        handles: list = []
+        pairs = verify_jaccard(
+            cand, sh_all, self.threshold, persist_registry=handles
+        ).localCheckpoint()  # eager: the epoch's output is materialized
+        for h in handles:
+            h.unpersist()
 
+        old = (self.sh, self.pref, self.df, self._last_pairs)
         self.sh = sh_all.localCheckpoint()
         self.pref = pref_all.localCheckpoint()
         merged = df_c if self.df is None else (
@@ -599,6 +653,12 @@ class IncrementalSetSimJoin:
             .agg(F.sum("df").alias("df"))
         )
         self.df = merged.localCheckpoint()
+        # the new checkpoints (and the returned pairs) carry all data
+        # forward — free the superseded epoch's blocks
+        for stale in (*old, sh_c, pref_c):
+            free_local_checkpoint(stale)
+        self._last_batch_id = batch_id
+        self._last_pairs = pairs
         return pairs
 
 

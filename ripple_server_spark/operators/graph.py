@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ripple_server_spark.config import CC_MAX_LOCAL_EDGE_BYTES
+from ripple_server_spark.operators.checkpoints import free_local_checkpoint
 
 # Driver-side cost model for the local tier: an edge row is two int64
 # ids; 16 payload bytes plus collection overhead.
@@ -67,31 +68,44 @@ def connected_components(
     # count(), once for the collect()/loop that follows.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     n_edges = e.count()
-    if n_edges * _EDGE_BYTES <= max_local_edge_bytes:
-        parent: dict[int, int] = {}
+    # vertex dtype follows the input (content-hash/string ids work in
+    # BOTH tiers, not just the distributed one); the byte estimate uses
+    # a wider per-edge cost for non-fixed-width ids
+    id_type = dict(e.dtypes)["a"]
+    edge_bytes = _EDGE_BYTES if id_type in ("bigint", "int", "smallint", "tinyint") else 4 * _EDGE_BYTES
+    if n_edges * edge_bytes <= max_local_edge_bytes:
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             parent.setdefault(x, x)
             while parent[x] != x:
                 parent[x] = parent[parent[x]]
                 x = parent[x]
             return x
 
-        for row in e.collect():
+        rows = e.collect()
+        e.unpersist()
+        for row in rows:
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         labels = [(v, find(v)) for v in parent]
-        return edges.sparkSession.createDataFrame(labels, "id bigint, comp bigint")
+        return edges.sparkSession.createDataFrame(
+            labels, f"id {id_type}, comp {id_type}"
+        )
     # Symmetrize once; distinct also dedups multi-edges so every round's
     # join fans out minimally.
+    raw_e = e
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint()
+    raw_e.unpersist()  # the checkpoint carries the data now
 
     labels = (
         e.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+    prev_ckpt = labels  # the checkpointed frame backing `labels`
 
+    changed = 0
     for _ in range(max_iter):
         # Every neighbor of `a` hears a's current component...
         msgs = e.join(labels, e.a == labels.id).select(
@@ -108,9 +122,24 @@ def connected_components(
             )
         ).localCheckpoint()
         changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        # round k's checkpoint holds everything round k+1 needs — free
+        # the superseded one so a 25-round run caches 1 state, not 25
+        free_local_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
         labels = stepped.select("id", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # Silently returning a partial fixpoint would split one real
+        # component into several and downstream keep-one-per-cluster
+        # dedup would keep multiple "canonical" copies. Fail loudly:
+        # the caller raises max_iter or switches to the O(log n)
+        # star alternation, which is diameter-independent.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph's diameter "
+            "exceeds max_iter; raise it or use connected_components_star"
+        )
     return labels
 
 
@@ -183,6 +212,7 @@ def connected_components_star(
         )
         return out.filter(F.col("a") != F.col("b")).distinct()
 
+    changed = 0
     for _ in range(max_iter):
         stepped = small_star(large_star(e)).localCheckpoint()
         # fixpoint: identical edge sets (exact anti-join count)
@@ -190,9 +220,16 @@ def connected_components_star(
             stepped.join(e, on=["a", "b"], how="left_anti").count()
             + e.join(stepped, on=["a", "b"], how="left_anti").count()
         )
+        free_local_checkpoint(e)  # superseded round state
         e = stepped
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components_star did not reach its edge fixpoint in "
+            f"{max_iter} rounds ({changed} edge diffs) — raise max_iter "
+            "(O(log n) rounds suffice for any diameter)"
+        )
     # stars: every remaining edge points (member -> root); roots map to
     # themselves so isolated-after-contraction vertices keep a label
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("comp"))

@@ -67,17 +67,26 @@ def salted_join(
 
     The classic manual fix when AQE skew-split can't help (e.g. a
     single key whose rows exceed one executor even after splitting):
-    left gets a random-ish salt (deterministic here: pmod of a row
-    attribute), right is exploded ×n_salts, and the join key becomes
-    (key, salt) — each hot-key shard lands on a different reducer.
-    Cost: right side shuffles n_salts copies, so use for
+    left gets a salt, right is exploded ×n_salts, and the join key
+    becomes (key, salt) — each hot-key shard lands on a different
+    reducer. Cost: right side shuffles n_salts copies, so use for
     moderate-sized right sides only (broadcast beats this when right
     fits in memory; AQE beats it for mild skew).
+
+    The salt is a DETERMINISTIC function of the row's own values
+    (xxhash64 over all columns), never monotonically_increasing_id or
+    rand: a nondeterministic expression feeding a shuffle means a task
+    retry can re-salt a row differently from the copy a finished
+    reducer already consumed — silently duplicating or dropping rows
+    (the SPARK-23207 repartition failure class). Row-content hashing
+    keeps retries stable; identical duplicate rows sharing a salt is
+    fine (the goal is spreading a hot KEY, whose rows differ in their
+    non-key attributes).
 
     Result equals ``left.join(right, on)`` exactly (pytest-checked).
     """
     salted_left = left.withColumn(
-        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     )
     salted_right = right.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1)))
@@ -110,14 +119,17 @@ def asof_join(
     Returns the probe rows plus ``asof_<ref_id_col>`` and ``asof_ts``.
     """
     probe_cols = probe.columns
+    # carry the ref id in its OWN dtype: a hard cast to long would turn
+    # string/uuid ids into all-NULLs and silently never latch
+    ref_id_type = dict(ref.dtypes)[ref_id_col]
     p = probe.withColumn("is_ref", F.lit(0)).withColumn(
-        "_ref_id", F.lit(None).cast("long")
+        "_ref_id", F.lit(None).cast(ref_id_type)
     )
     r = ref.select(
         F.col(key),
         F.col(time_col),
         F.lit(1).alias("is_ref"),
-        F.col(ref_id_col).cast("long").alias("_ref_id"),
+        F.col(ref_id_col).cast(ref_id_type).alias("_ref_id"),
     )
     for c in probe_cols:
         if c not in (key, time_col):

@@ -80,14 +80,65 @@ def cosine_topk_scan(
     cand = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "q_id long, neighbor_id long, sim double"
     )
+    return _global_topk(cand, k)
+
+
+
+def _global_topk(
+    cand: DataFrame, k: int, score: str = "sim", emit_score: bool = True
+) -> DataFrame:
+    """Per-query global cut — THE tie/rounding contract, in one place:
+    rank by the 6-dp-rounded score descending with neighbor_id as the
+    tie-break (every kernel pre-prunes with a margin against exactly
+    this rounded-tie reordering), keep ``k``, emit the score rounded to
+    4 dp. Compiles to WindowGroupLimit (plan-asserted); a change to the
+    precision or tie order lands in every kernel at once instead of
+    drifting across five copies."""
     w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
+        F.desc(F.round(F.col(score), 6)), F.asc("neighbor_id")
     )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    ranked = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    if emit_score:
+        return ranked.select("q_id", "neighbor_id", F.round(score, 4).alias("sim"))
+    return ranked.select("q_id", "neighbor_id")
+
+
+def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
+    """Deterministic driver-side training sample as an L2-normalized
+    (rows, dim) float64 matrix — shared by IVF and PQ training.
+
+    Primary sample: every n/sample_cap-th vec_id (no RNG; the filter
+    pushes down to the scan). Two guards make it safe for corpora whose
+    ids are NOT dense 0..n-1 (upstream dedup/sharding leaves patterned
+    ids), both deterministic:
+
+    - a TakeOrdered cap at 2x sample_cap bounds the collect when the
+      ids happen to all be stride multiples (it never bites on dense
+      ids, where the stride yields < 2x sample_cap rows by
+      construction, so fixture behavior is bit-identical);
+    - if the stride filter matches nothing (ids all in one off-zero
+      residue class), fall back to the first sample_cap vectors by
+      vec_id rather than crashing np.stack on an empty list.
+    """
+    n = emb.count()
+    stride = max(1, n // sample_cap)
+    rows = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(2 * sample_cap)
+        .collect()
     )
+    if not rows:
+        rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(sample_cap)
+            .collect()
+        )
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+    return x
 
 
 def train_centroids(
@@ -95,24 +146,15 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic spherical k-means for the IVF coarse quantizer.
 
-    Training never touches the full corpus: a strided sample (every
-    n/sample_cap-th vec_id — deterministic, no RNG) is collected to the
-    driver and Lloyd-iterated in numpy. At 100 TB the sample is still
-    ≤ sample_cap rows; the corpus itself is read zero times here (the
-    sample filter pushes down to the scan).
+    Training never touches the full corpus: a strided sample
+    (:func:`_train_sample` — deterministic, no RNG, capped collect) is
+    Lloyd-iterated in numpy. At 100 TB the sample is still
+    ≤ 2x sample_cap rows; the corpus itself is read zero times here.
 
     Returns an L2-normalized (nlist, dim) float64 matrix; assignment by
     dot product == assignment by cosine.
     """
-    n = emb.count()
-    stride = max(1, n // sample_cap)
-    rows = (
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-        .select("embedding")
-        .collect()
-    )
-    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+    x = _train_sample(emb, sample_cap)
     # deterministic init: evenly spaced sample rows
     cent = x[np.linspace(0, len(x) - 1, nlist).astype(int)].copy()
     for _ in range(iters):
@@ -192,14 +234,7 @@ def ivf_topk(
     cand = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "q_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    return _global_topk(cand, k)
 
 
 def cosine_topk_scan_arrow(
@@ -247,14 +282,7 @@ def cosine_topk_scan_arrow(
     cand = emb.select("vec_id", "embedding").mapInArrow(
         kernel, "q_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    return _global_topk(cand, k)
 
 
 def train_pq_codebooks(
@@ -268,19 +296,12 @@ def train_pq_codebooks(
     quantization: split the (L2-normalized) vector into ``m``
     contiguous subvectors and learn ``ksub`` centroids per subspace.
 
-    Same training discipline as :func:`train_centroids`: a strided
-    driver-side sample (no RNG, deterministic init from evenly spaced
-    rows), zero full-corpus reads. Returns (m, ksub, dim//m) float64.
+    Same training discipline as :func:`train_centroids`: the shared
+    :func:`_train_sample` (no RNG, capped deterministic collect,
+    deterministic init from evenly spaced rows), zero full-corpus
+    reads. Returns (m, ksub, dim//m) float64.
     """
-    n = emb.count()
-    stride = max(1, n // sample_cap)
-    rows = (
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-        .select("embedding")
-        .collect()
-    )
-    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+    x = _train_sample(emb, sample_cap)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(
@@ -374,14 +395,7 @@ def pq_topk(
         kernel, "q_id long, neighbor_id long, adc double"
     )
     # per-query global ADC cut, then exact re-rank of the survivors
-    w_adc = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col("adc"), 6)), F.asc("neighbor_id")
-    )
-    short = (
-        cand.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= rerank)
-        .select("q_id", "neighbor_id")
-    )
+    short = _global_topk(cand, rerank, score="adc", emit_score=False)
     from ripple_server_spark.functions.vectors import cosine
 
     qdf = queries.select("q_id", "qe")
@@ -390,11 +404,4 @@ def pq_topk(
         .join(F.broadcast(qdf), on="q_id")
         .select("q_id", "neighbor_id", cosine(F.col("embedding"), F.col("qe")).alias("sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    return _global_topk(exact, k)

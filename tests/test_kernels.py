@@ -594,3 +594,81 @@ def test_km_survival_terminal_step_is_zero(spark):
     }
     assert surv[1] == round(1 - 1 / 5, 4)  # 5 at risk, 1 churns
     assert surv[5] == 0.0  # terminal step: both remaining churn
+
+
+def test_text_kernels_tolerate_null_text(spark):
+    """The Arrow kernels must treat NULL text like the expr path does
+    (split(NULL) is NULL -> explode drops the row / null signature),
+    not crash the task with AttributeError on None."""
+    from ripple_server_spark.operators.dedup import (
+        minhash_band_hashes_from_docs,
+        shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d f")],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_sets(docs)
+    assert sh.filter(F.col("doc_id") == 2).count() == 0
+    assert sh.filter(F.col("doc_id") == 1).count() == 3  # 5 words -> 3 shingles
+    bands = minhash_band_hashes_from_docs(docs)
+    assert bands.filter(F.col("doc_id") == 2).count() == 0
+    assert bands.filter(F.col("doc_id") == 1).count() > 0
+
+
+def test_incremental_setsim_replay_is_idempotent(spark):
+    """foreachBatch replays the last epoch after a sink failure: the
+    same batch_id must return the stored pairs WITHOUT re-ingesting
+    (otherwise per-doc sizes double and every later Jaccard is wrong)."""
+    from ripple_server_spark.operators.dedup import IncrementalSetSimJoin
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    inc = IncrementalSetSimJoin(threshold=0.5)
+    inc.observe(mk([(1, "a b c d e f g"), (2, "a b c d e f h")]), batch_id=0)
+    state_count = inc.sh.count()
+    out1 = {tuple(r) for r in inc.observe(
+        mk([(3, "a b c d e f g x")]), batch_id=1
+    ).select("doc_a", "doc_b").collect()}
+    assert out1  # doc 3 is near-dup of 1 and/or 2
+    n_after = inc.sh.count()
+    # replay of epoch 1: same pairs back, state untouched
+    out_replay = {tuple(r) for r in inc.observe(
+        mk([(3, "a b c d e f g x")]), batch_id=1
+    ).select("doc_a", "doc_b").collect()}
+    assert out_replay == out1
+    assert inc.sh.count() == n_after
+    assert n_after > state_count
+
+
+def test_connected_components_string_ids_local_tier(spark):
+    """Content-hash (string) vertex ids must work in BOTH tiers — the
+    local union-find previously hard-coded a bigint result schema."""
+    from ripple_server_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [("h_b", "h_a"), ("h_c", "h_b"), ("h_e", "h_d")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert got == {
+        "h_a": "h_a", "h_b": "h_a", "h_c": "h_a", "h_d": "h_d", "h_e": "h_d"
+    }
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A diameter above max_iter must fail loudly, never return a
+    silently-split component (downstream keep-one-per-cluster would
+    keep multiple 'canonical' copies of one duplicate cluster)."""
+    import pytest as _pytest
+
+    from ripple_server_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(8)]
+    e = spark.createDataFrame(chain, "src bigint, dst bigint")
+    # force the distributed tier and starve the iteration budget
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=2, max_local_edge_bytes=0)
+    # with budget, the same input converges to one component
+    ok = connected_components(e, max_iter=20, max_local_edge_bytes=0)
+    assert {r["comp"] for r in ok.collect()} == {0}
