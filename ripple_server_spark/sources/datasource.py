@@ -219,7 +219,18 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         cursors = json.loads(start.get("cursors", "{}"))
         rows: list[tuple] = []
         new_cursors = dict(cursors)
-        for b, files in _bucket_files(self.root, self.topic):
+        # Resolve the manifest version FIRST and read that pinned
+        # snapshot; the version rides in the end offset so crash
+        # recovery can replay the exact file set this batch saw (see
+        # readBetweenOffsets).
+        log_dir = os.path.join(self.root, "topics", self.topic, "_log")
+        manifests = (
+            sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+            if os.path.isdir(log_dir)
+            else []
+        )
+        version = int(manifests[-1][:-5]) if manifests else None
+        for b, files in _bucket_files(self.root, self.topic, version):
             off = int(cursors.get(str(b), 0))
             part = BucketPartition(files, b, off, max_rows)
             got = list(_read_bucket(part))
@@ -231,17 +242,32 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             # forever.
             if got:
                 new_cursors[str(b)] = max(r[_SEQ_IDX] for r in got) + 1
-        return rows, {"cursors": json.dumps(new_cursors)}
+        end = {"cursors": json.dumps(new_cursors)}
+        if version is not None:
+            end["version"] = str(version)
+        return rows, end
 
     def read(self, start: dict):
         rows, end = self._read_range(start, self.batch_size)
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # deterministic replay for recovery: serve exactly [start, end)
+        # Deterministic replay for recovery: serve exactly [start, end)
+        # from the SAME manifest version the original batch read — a
+        # truncate committed between the batch and the crash must not
+        # shrink the replayed batch (the sink would see a different
+        # batch N than the offset log recorded). Falls back to the
+        # latest manifest only when the pinned version was vacuumed
+        # away (the Delta-retention-horizon caveat: keep vacuum grace
+        # above checkpoint-recovery lag).
         s = json.loads(start.get("cursors", "{}"))
         e = json.loads(end.get("cursors", "{}"))
-        for b, files in _bucket_files(self.root, self.topic):
+        version = int(end["version"]) if "version" in end else None
+        try:
+            buckets = _bucket_files(self.root, self.topic, version)
+        except ValueError:
+            buckets = _bucket_files(self.root, self.topic)
+        for b, files in buckets:
             off = int(s.get(str(b), 0))
             upto = int(e.get(str(b), 0))
             if upto > off:

@@ -56,11 +56,16 @@ class HourlyRollup:
     def _state_path(self) -> str:
         return os.path.join(self.dest, "_rollup_state.json")
 
-    def _load_hwm(self) -> dict[int, int]:
+    def _load_state(self) -> tuple[dict[int, int], object]:
+        """(hwm map, restore marker at last refresh). Accepts the
+        legacy flat {bucket: hwm} layout."""
         if not os.path.exists(self._state_path()):
-            return {}
+            return {}, None
         with open(self._state_path()) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+            raw = json.load(f)
+        if "hwm" in raw:
+            return {int(k): v for k, v in raw["hwm"].items()}, raw.get("restore")
+        return {int(k): v for k, v in raw.items()}, None
 
     def refresh(self) -> dict:
         """Fold all log rows newer than the high-water mark into the
@@ -71,18 +76,30 @@ class HourlyRollup:
         # produce landed AFTER our snapshot — silently never folded.
         v, manifest = self.store.latest_manifest(self.topic)
         log = self.store.read_topic(self.topic, version=v)
-        hwm = self._load_hwm()
+        hwm, seen_restore = self._load_state()
         maxima = {
             int(b): x for b, x in manifest.get("maxima", {}).items()
         }
+        # A restore between refreshes rewinds the seq high-water marks,
+        # so "seq > hwm" no longer means "new" (reused seqs would be
+        # silently never folded — the same continuity break
+        # read_increment() refuses on). The rollup can self-heal
+        # instead: drop the HWM and recompute every affected hour from
+        # the restored snapshot.
+        if hwm and manifest.get("restored_from") != seen_restore:
+            hwm = {}
 
         if hwm:
             hwm_df = self.spark.createDataFrame(
                 list(hwm.items()), "bucket int, hwm bigint"
             )
             # Global lower bound pushes to row-group stats on every
-            # file; the exact per-bucket cut applies in codegen after.
-            min_hwm = min(hwm.values())
+            # file. It must cover buckets ABSENT from the saved map (a
+            # bucket whose first rows arrived after the last refresh
+            # starts at seq 0): any such bucket drops the bound to -1,
+            # i.e. no prefilter — the exact per-bucket coalesce(hwm,-1)
+            # cut in codegen stays the one source of truth.
+            min_hwm = min(hwm.get(b, -1) for b in set(maxima) | set(hwm))
             new = (
                 log.filter(F.col("seq") > F.lit(min_hwm))
                 .join(F.broadcast(hwm_df), on="bucket", how="left")
@@ -91,16 +108,19 @@ class HourlyRollup:
         else:
             new = log
 
-        hours = [
-            r["hk"]
-            for r in new.select(
-                F.date_format("ts", HOUR_FMT).alias("hk")
-            ).distinct().collect()
-        ]
+        # ONE job yields both the affected hours and the new-row count
+        # (previously a distinct() job plus a count() job re-read the
+        # tail twice for a reporting-only number).
+        hour_counts = (
+            new.groupBy(F.date_format("ts", HOUR_FMT).alias("hk"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        hours = [r["hk"] for r in hour_counts]
         if not hours:
             return {"hours_refreshed": 0, "new_rows": 0}
 
-        n_new = new.count()
+        n_new = sum(r["c"] for r in hour_counts)
         hour_key = F.date_format("ts", HOUR_FMT).alias("hour_key")
         rolled = (
             log.withColumn("hour_key", hour_key)
@@ -124,9 +144,16 @@ class HourlyRollup:
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
         # State commits AFTER the data write: a crash in between replays
-        # the same hours idempotently on the next refresh.
+        # the same hours idempotently on the next refresh. The restore
+        # marker rides along so the next refresh can detect a rollback.
         with open(self._state_path(), "w") as f:
-            json.dump({str(b): m for b, m in maxima.items()}, f)
+            json.dump(
+                {
+                    "hwm": {str(b): m for b, m in maxima.items()},
+                    "restore": manifest.get("restored_from"),
+                },
+                f,
+            )
         return {"hours_refreshed": len(hours), "new_rows": n_new}
 
     def read(self) -> DataFrame:

@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -86,12 +87,16 @@ class TopicStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        # Warm-path caches of the manifest's maxima/floors; produce()
-        # maintains them exactly like the reference broker's in-memory
-        # queue length, so offset math never re-reads the log while a
-        # store instance is live.
-        self._maxima: dict[str, dict[int, int]] = {}
-        self._floors: dict[str, dict[int, int]] = {}
+        # Warm-path caches of the manifest's maxima/floors, STAMPED with
+        # the manifest version they reflect: the warm path costs one
+        # log-dir listing (not a manifest read, never a parquet scan),
+        # and a commit by ANY writer — this instance or another process
+        # — invalidates the entry. An unstamped cache livelocks a
+        # consumer whose producer is a different TopicStore instance:
+        # its cached maxima never advance, so delivered-row sizing stays
+        # 0 forever while the data sits committed in the manifest.
+        self._maxima: dict[str, tuple[int, dict[int, int]]] = {}
+        self._floors: dict[str, tuple[int, dict[int, int]]] = {}
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "offsets"), exist_ok=True)
 
@@ -112,13 +117,18 @@ class TopicStore:
     def _manifest_path(self, topic: str, version: int) -> str:
         return os.path.join(self._log_dir(topic), f"{version:020d}.json")
 
-    def latest_manifest(self, topic: str) -> tuple[int, dict]:
-        """(version, manifest) of the newest committed manifest."""
+    def _latest_version(self, topic: str) -> int:
+        """Newest committed manifest version — one directory listing,
+        no file reads (the cheap cache-freshness probe)."""
         log = self._log_dir(topic)
         names = [n for n in os.listdir(log) if n.endswith(".json")]
         if not names:
             raise FileNotFoundError(f"topic {topic!r} has no manifest")
-        v = max(int(n[:-5]) for n in names)
+        return max(int(n[:-5]) for n in names)
+
+    def latest_manifest(self, topic: str) -> tuple[int, dict]:
+        """(version, manifest) of the newest committed manifest."""
+        v = self._latest_version(topic)
         with open(self._manifest_path(topic, v)) as f:
             return v, json.load(f)
 
@@ -155,9 +165,6 @@ class TopicStore:
         """Move staged parquet out of a Spark output dir into the live
         bucket dirs under collision-free names. The files are INVISIBLE
         until a manifest referencing them commits."""
-        import shutil
-        import uuid
-
         data = self.data_dir(topic)
         tag = uuid.uuid4().hex[:12]
         rel: list[str] = []
@@ -293,8 +300,6 @@ class TopicStore:
         # Total + per-bucket counts observed DURING the write (metrics
         # piggyback on the one action) — no persist, no second pass over
         # the batch, and the maxima cache updates for free.
-        import uuid
-
         staging = os.path.join(self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}")
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("n")] + [
@@ -421,32 +426,35 @@ class TopicStore:
                     for b in touched
                 }
                 base_v, _ = self.latest_manifest(topic)
-        self._maxima[topic] = {
-            int(b): x for b, x in committed["maxima"].items()
-        }
+        self._maxima[topic] = (
+            committed["version"],
+            {int(b): x for b, x in committed["maxima"].items()},
+        )
         return int(got["n"])
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:
-        """Current max seq per bucket: warm from the in-memory cache,
-        cold from the manifest — never a log scan (the manifest is the
-        metadata table)."""
+        """Current max seq per bucket: warm from the version-stamped
+        cache (freshness = one log-dir listing), cold from the manifest
+        — never a log scan (the manifest is the metadata table)."""
+        v = self._latest_version(topic)
         cached = self._maxima.get(topic)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == v:
+            return cached[1]
         maxima = {
             int(b): x for b, x in self.latest_manifest(topic)[1]["maxima"].items()
         }
-        self._maxima[topic] = maxima
+        self._maxima[topic] = (v, maxima)
         return maxima
 
     def _bucket_floors(self, topic: str) -> dict[int, int]:
+        v = self._latest_version(topic)
         cached = self._floors.get(topic)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == v:
+            return cached[1]
         floors = {
             int(b): x for b, x in self.latest_manifest(topic)[1]["floors"].items()
         }
-        self._floors[topic] = floors
+        self._floors[topic] = (v, floors)
         return floors
 
     def read_topic(self, topic: str, version: int | None = None) -> DataFrame:
@@ -505,8 +513,6 @@ class TopicStore:
         input set, so the swap keeps them). Seq/content are untouched,
         so consumer offsets stay valid.
         """
-        import uuid
-
         n_buckets = self.topic_meta(topic)["n_buckets"]
         if base_version is None:
             base_v, base = self.latest_manifest(topic)
@@ -581,9 +587,30 @@ class TopicStore:
             # claiming rows that no longer exist
             floors.setdefault(b, end + 1)
 
+        def _merge_floors(existing: dict) -> dict:
+            # floors only ever RISE, and a committed floor survives even
+            # when its bucket has no files in this pass (a bucket fully
+            # aged out by an EARLIER truncate must keep its floor, or a
+            # fresh consumer at offset 0 would spin through phantom
+            # seq ranges instead of clamping to the retained floor)
+            merged = {str(k): v for k, v in existing.items()}
+            for b, fl in floors.items():
+                merged[b] = max(merged.get(b, 0), fl)
+            return merged
+
+        if not drop and _merge_floors(base.get("floors", {})) == {
+            str(k): v for k, v in base.get("floors", {}).items()
+        }:
+            # nothing aged out and no floor moved: do NOT burn a
+            # manifest version (a quiet topic under a maintenance loop
+            # would otherwise grow one no-op version per cycle,
+            # breaking "version == data change" — same invariant
+            # produce() protects for empty batches)
+            return 0
+
         def apply(m: dict) -> dict:
             m["files"] = [f for f in m["files"] if f not in drop]
-            m["floors"] = floors
+            m["floors"] = _merge_floors(m.get("floors", {}))
             return m
 
         self._commit(topic, base_v, apply)
@@ -739,8 +766,6 @@ class TopicStore:
         offsets past the restored tail clamp at end-of-log on the next
         consume.
         """
-        import uuid
-
         with open(self._manifest_path(topic, version)) as f:
             target = json.load(f)
         data = self.data_dir(topic)

@@ -289,3 +289,68 @@ def test_stream_start_at_latest_tails_only_new_rows(spark, sf_dir, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert set(seen) == set(range(80, 120))
+
+
+def test_replay_survives_truncate_between_crash_and_restart(spark, sf_dir, tmp_path):
+    """Retention committed BETWEEN a crash and its recovery must not
+    shrink the replayed batch: the end offset pins the manifest version
+    the batch originally read, so readBetweenOffsets resolves the SAME
+    file set (still on disk until vacuum) instead of the truncated
+    latest manifest."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "trunc_topics"))
+    st.create_topic("t1", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(120), "t1")
+
+    delivered: list[tuple[int, int]] = []
+    state = {"batches": 0}
+
+    def sink_crash(df, _epoch):
+        rows = [(r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()]
+        state["batches"] += 1
+        if state["batches"] == 2:
+            state["lost"] = rows  # this output is "lost" with the crash
+            raise RuntimeError("injected crash mid-batch")
+        delivered.extend(rows)
+
+    def start(sink):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "t1")
+            .option("batch_size", 25)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_trunc"))
+            .start()
+        )
+
+    q = start(sink_crash)
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001
+        pass
+    assert state["batches"] >= 2
+    seen_before_crash = set(delivered)
+
+    # retention lands while the query is down: every row ages out of
+    # the LATEST manifest (files stay on disk — no vacuum)
+    hi = max(st._bucket_maxima("t1").values())
+    assert st.truncate("t1", before_seq=hi + 1) >= 1
+
+    def sink_ok(df, _epoch):
+        delivered.extend(
+            (r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()
+        )
+
+    q2 = start(sink_ok)
+    q2.processAllAvailable()
+    q2.stop()
+
+    # the crashed batch replayed IN FULL from its pinned snapshot
+    assert set(state["lost"]) <= set(delivered)
+    # and no pre-crash row was delivered twice
+    assert len(delivered) == len(set(delivered))
+    # nothing beyond the crashed batch exists to deliver (retention ate
+    # the rest), so delivered = pre-crash + the replayed batch
+    assert set(delivered) == seen_before_crash | set(state["lost"])

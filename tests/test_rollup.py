@@ -185,3 +185,66 @@ def test_refresh_hwm_is_pinned_to_folded_snapshot(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_folds_bucket_that_first_appears_after_a_refresh(spark, sf_dir, tmp_path):
+    """A bucket whose FIRST rows land after the first refresh starts at
+    seq 0 — below every saved HWM. The global min-HWM prefilter must
+    not exclude those rows (previously they were silently never folded
+    and the state write then recorded their maxima, losing them
+    permanently)."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "t"))
+    st.create_topic("nb", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events")
+    # route everything to one bucket first: key = constant 0
+    first = ev.limit(50).withColumn("user_id", F.lit(0).cast("bigint"))
+    st.produce(first, "nb")
+    ru = HourlyRollup(spark, st, "nb", str(tmp_path / "roll"))
+    ru.refresh()
+    total_1 = ru.read().agg(F.sum("n")).first()[0]
+    assert total_1 == 50
+    # now a batch that lands in OTHER buckets, seqs starting at 0
+    second = ev.filter((F.col("event_id") >= 50) & (F.col("event_id") < 90))
+    st.produce(second, "nb")
+    out = ru.refresh()
+    assert out["new_rows"] == 40
+    assert ru.read().agg(F.sum("n")).first()[0] == 90
+
+
+def test_rollup_self_heals_after_restore(spark, sf_dir, tmp_path):
+    """A restore rewinds seq HWMs, so 'seq > hwm' stops meaning 'new'.
+    The rollup must detect the rollback (restore marker in its state)
+    and rebuild instead of silently never folding the reused seqs."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "t2"))
+    st.create_topic("rr", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(40), "rr")
+    v_target, _ = st.latest_manifest("rr")
+    st.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 70)), "rr")
+    ru = HourlyRollup(spark, st, "rr", str(tmp_path / "roll2"))
+    ru.refresh()
+    assert ru.read().agg(F.sum("n")).first()[0] == 70
+    st.restore("rr", v_target)
+    st.produce(ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 125)), "rr")
+    out = ru.refresh()
+    assert out["hours_refreshed"] > 0
+    # 40 original + 25 post-restore; the 30 rolled-back rows may remain
+    # in hours the rebuild didn't touch — assert the folded hours are
+    # exactly the restored log's
+    log_now = (
+        st.read_topic("rr")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"))
+        .agg(F.count("*").alias("n"))
+    )
+    rolled = ru.read().groupBy("hour_key").agg(F.sum("n").alias("n"))
+    got = {(r["hour_key"], r["n"]) for r in rolled.join(log_now.select("hour_key"), "hour_key", "left_semi").collect()}
+    want = {(r["hour_key"], r["n"]) for r in log_now.collect()}
+    assert got == want

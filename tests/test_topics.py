@@ -420,3 +420,61 @@ def test_read_increment_refuses_across_a_restore(spark, sf_dir, tmp_path):
     v_after, _ = st.latest_manifest("x")
     st.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 55)), "x")
     assert st.read_increment("x", since_version=v_after).count() == 15
+
+
+def test_cross_instance_consume_sees_new_produces(spark, sf_dir, tmp_path):
+    """Producer and consumer on DIFFERENT TopicStore instances: the
+    consumer's cached maxima must refresh when another instance commits
+    (previously the unstamped cache froze delivered-row sizing at the
+    first-seen high-water mark — a permanent livelock)."""
+    root = str(tmp_path / "xi")
+    producer = TopicStore(spark, root)
+    producer.create_topic("x", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    producer.produce(ev.limit(40), "x")
+
+    consumer = TopicStore(spark, root)  # separate instance, same root
+    consumer.register_consumer("c", "x")
+    b0, nxt = consumer.consume("c", "x", bucket=0, count=10_000)
+    n0 = b0.count()
+    consumer.commit("c", "x", 0, nxt)
+    # drained — and the consumer's cache is now warm
+    empty, _ = consumer.consume("c", "x", bucket=0, count=10)
+    assert empty.count() == 0
+    # the OTHER instance appends; this instance must see it
+    producer.produce(ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 80)), "x")
+    b1, nxt2 = consumer.consume("c", "x", bucket=0, count=10_000)
+    n1 = b1.count()
+    assert n1 > 0
+    assert nxt2 == n0 + n1  # contiguous: no gap, no rewind
+
+
+def test_truncate_preserves_floor_of_fully_aged_bucket(spark, sf_dir, tmp_path):
+    """A bucket fully aged out by truncate A keeps its committed floor
+    through a later truncate B that sees no files for it — otherwise a
+    fresh consumer at offset 0 spins through phantom seq ranges instead
+    of clamping to the retained floor."""
+    st = TopicStore(spark, str(tmp_path / "fl"))
+    st.create_topic("f", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.limit(60), "f")
+    st.compact("f")
+    hi = max(st._bucket_maxima("f").values())
+    # truncate A: age out EVERYTHING -> every bucket gets floor = max+1
+    assert st.truncate("f", before_seq=hi + 1) >= 1
+    floors_a = dict(st._bucket_floors("f"))
+    assert all(v > 0 for v in floors_a.values())
+    # truncate B on the now-empty topic: must be a no-op commit-wise
+    v_before = st._latest_version("f")
+    assert st.truncate("f", before_seq=hi + 1) == 0
+    assert st._latest_version("f") == v_before  # no version burned
+    assert dict(st._bucket_floors("f")) == floors_a  # floors survive
+    # produce after retention: seq continues above the floor and a
+    # fresh consumer clamps to the floor, not offset 0
+    st.produce(ev.filter((F.col("event_id") >= 60) & (F.col("event_id") < 90)), "f")
+    st.register_consumer("nc", "f")
+    for b in (0, 1):
+        batch, _ = st.consume("nc", "f", bucket=b, count=10_000)
+        seqs = [r["seq"] for r in batch.orderBy("seq").collect()]
+        if seqs:
+            assert seqs[0] >= floors_a.get(b, 0)
