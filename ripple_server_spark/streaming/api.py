@@ -11,9 +11,10 @@ This is the live half of the reference's pub/sub surface:
   by construction: Spark's commit log records exactly what each batch
   read. Exactly-once per micro-batch — strictly stronger than the
   reference's at-least-once.
-- **sink** (:func:`write_stream_to_topic`): append-mode partitioned
-  write — the produce path (A5). File-sink commit log gives atomic
-  visibility per batch.
+- **sink** (:func:`write_stream_to_topic`): foreachBatch →
+  ``TopicStore.produce`` with batch-derived idempotency ids — the
+  produce path (A5), exactly-once end to end because the rows commit
+  through the manifest protocol.
 - **fan-out** (:func:`fanout_write`): foreachBatch writing N copies —
   the *semantic* analog of leader->follower gossip replication
   (internal/broker/producer/server/core.go:68-103 + ack handling
@@ -48,7 +49,29 @@ def stream_topic(
     ``maxFilesPerTrigger`` is the AskQuery Count analog: bounds work per
     micro-batch so one giant backlog cannot stall a trigger. Schema is
     taken from the batch view of the same log (cheap footer read).
+
+    CONTRACT: this is the DIRECTORY-TAILING source — it lists data/
+    itself, so it is at-least-once with respect to files no manifest
+    references: a crashed produce's orphans may be delivered, and a
+    ``compact()`` during the stream re-delivers every message through
+    the rewritten segments (the compacted files are new names beside
+    the old ones). Do not run log maintenance under a live tail; the
+    manifest-consistent streaming source is the ``ripple_topic``
+    DataSource (sources/datasource.py), which reads pinned manifest
+    snapshots and is compaction/retention-safe.
+
+    Refuses a topic with no recorded schema yet (nothing produced):
+    locking the minimal empty-topic DDL into a running query would
+    silently drop every payload column of rows produced later.
     """
+    if not store.topic_meta(topic).get("schema"):
+        raise ValueError(
+            f"topic {topic!r} has no recorded schema yet (nothing "
+            "produced): a stream started now would lock in the minimal "
+            "structural schema and silently drop payload columns of "
+            "future rows — produce first, or use the ripple_topic "
+            "DataSource"
+        )
     schema = store.read_topic(topic).schema
     return (
         store.spark.readStream.schema(schema)
@@ -58,16 +81,34 @@ def stream_topic(
 
 
 def write_stream_to_topic(
-    df: DataFrame, store: TopicStore, topic: str, checkpoint: str
+    df: DataFrame,
+    store: TopicStore,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "user_id",
 ) -> DataStreamWriter:
-    """Producer sink (A5): append-mode partitioned parquet write with a
-    checkpointed commit log (atomic per-batch visibility)."""
-    return (
-        df.writeStream.format("parquet")
-        .option("path", store.data_dir(topic))
-        .option("checkpointLocation", checkpoint)
-        .partitionBy("bucket")
-        .outputMode("append")
+    """Producer sink (A5): every micro-batch is appended through
+    :meth:`TopicStore.produce` under a batch-derived idempotency id, so
+    the whole path is EXACTLY-ONCE — a replayed batch (crash between
+    sink write and checkpoint commit) is a manifest-level no-op, and
+    the rows land under the manifest commit protocol: visible to
+    ``read_topic``/``consume``, safe under ``vacuum``.
+
+    (A raw parquet file-sink into ``data/`` — this function's previous
+    form — writes files no manifest references: invisible to every
+    manifest reader and reclaimed as orphans by vacuum, while its
+    ``_spark_metadata`` directory flips the directory-tailing source
+    into sink-log mode and hides produce()-written files. foreachBatch
+    + produce is the correct composition.)
+    """
+
+    def _produce(batch: DataFrame, batch_id: int) -> None:
+        store.produce(
+            batch, topic, key_col=key_col, batch_id=f"{topic}/{checkpoint}#{batch_id}"
+        )
+
+    return df.writeStream.foreachBatch(_produce).option(
+        "checkpointLocation", checkpoint
     )
 
 
@@ -156,8 +197,15 @@ def fanout_write(
     foreachBatch re-invokes the function for uncommitted batch ids."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        for p in paths:
-            batch.write.mode("overwrite").parquet(f"{p}/batch={batch_id}")
+        # one materialization serves every replica: without the persist
+        # the batch plan re-executes (source re-read included) once per
+        # path, scaling trigger latency linearly with replica count
+        batch.persist()
+        try:
+            for p in paths:
+                batch.write.mode("overwrite").parquet(f"{p}/batch={batch_id}")
+        finally:
+            batch.unpersist()
 
     return (
         df.writeStream.foreachBatch(write_batch)
@@ -176,6 +224,10 @@ def pick_replica(consumer_id: str, n_replicas: int) -> int:
     reproducible, the engine-wide invariant (no rand())."""
     import hashlib
 
+    if n_replicas <= 0:
+        raise ValueError(
+            "no replicas configured (n_replicas must be positive)"
+        )
     return int(hashlib.md5(consumer_id.encode()).hexdigest(), 16) % n_replicas
 
 
@@ -212,14 +264,26 @@ class StreamingGate:
 
     At scale this is how streaming ingest enforces contracts (null keys,
     empty payloads, late-data floods) without a second subscription on
-    the topic."""
+    the topic.
 
-    def __init__(self, name: str = "stream_gate") -> None:
+    Listener delivery is ASYNCHRONOUS (the listener bus runs beside the
+    query): call :meth:`wait` after ``awaitTermination`` before reading
+    ``violations()``/``batches``, or the final batches' metrics may not
+    have arrived yet."""
+
+    _SEQ = [0]
+
+    def __init__(self, name: str | None = None) -> None:
         from pyspark.sql.streaming import StreamingQueryListener
 
-        self.name = name
+        # Default name is unique PER GATE: two gates sharing one metric
+        # name on concurrent queries would silently collect each
+        # other's rows (observedMetrics are matched by name only).
+        self._SEQ[0] += 1
+        self.name = name or f"stream_gate_{self._SEQ[0]}"
         self.batches: list[dict] = []
         self._rules: list[tuple[str, object, str]] = []
+        self._attached = False
         gate = self
 
         class _Listener(StreamingQueryListener):
@@ -241,12 +305,28 @@ class StreamingGate:
         self._listener = _Listener()
 
     def attach(self, spark, df: DataFrame, **metrics) -> DataFrame:
-        """Register the listener and attach named metric expressions.
-        Streaming DataFrames use the string-name observe form (an
-        Observation object is batch-only)."""
-        spark.streams.addListener(self._listener)
+        """Register the listener (once — re-attaching must not
+        double-subscribe it, or every batch would be counted twice) and
+        attach named metric expressions. Streaming DataFrames use the
+        string-name observe form (an Observation object is
+        batch-only)."""
+        if not self._attached:
+            spark.streams.addListener(self._listener)
+            self._attached = True
         named = [expr.alias(n) for n, expr in metrics.items()]
         return df.observe(self.name, *named)
+
+    def wait(self, n_batches: int, timeout_s: float = 20.0) -> bool:
+        """Block until at least ``n_batches`` metric rows have arrived
+        (or the timeout passes). The listener bus delivers progress
+        events asynchronously, so a violations() read immediately after
+        awaitTermination() can miss the final batches."""
+        import time
+
+        deadline = time.time() + timeout_s
+        while len(self.batches) < n_batches and time.time() < deadline:
+            time.sleep(0.1)
+        return len(self.batches) >= n_batches
 
     def require(self, metric: str, pred, rule: str) -> "StreamingGate":
         self._rules.append((metric, pred, rule))

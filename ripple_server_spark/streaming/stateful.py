@@ -41,13 +41,18 @@ def _track(
         delivered, max_seq, gaps = state.get
     else:
         delivered, max_seq, gaps = 0, -1, 0
-    for pdf in batches:
-        seqs = sorted(int(s) for s in pdf["seq"])
-        for s in seqs:
-            if s > max_seq + 1:
-                gaps += s - (max_seq + 1)
-            max_seq = max(max_seq, s)
-            delivered += 1
+    # Concatenate BEFORE sorting: applyInPandas chunks a big key's
+    # micro-batch at arrow maxRecordsPerBatch in arbitrary post-shuffle
+    # order, so per-chunk sorting would report false gaps whenever a
+    # later chunk carries earlier seqs (the leader_watch_fn pattern).
+    seqs = sorted(
+        int(s) for pdf in batches for s in pdf["seq"]
+    )
+    for s in seqs:
+        if s > max_seq + 1:
+            gaps += s - (max_seq + 1)
+        max_seq = max(max_seq, s)
+        delivered += 1
     state.update((delivered, max_seq, gaps))
     yield pd.DataFrame(
         [{"bucket": bucket, "delivered": delivered, "max_seq": max_seq, "gaps": gaps}]
@@ -339,8 +344,15 @@ def rate_limit_fn(capacity: float, refill_per_sec: float):
     and a row is `allowed` iff a whole token is available — so bursts
     beyond the budget are marked for deferral/drop downstream instead
     of blocking a transport thread. Event-time refill makes replays
-    deterministic (same input stream -> same allow/deny sequence,
-    regardless of wall clock or batch boundaries)."""
+    deterministic: same input stream -> same allow/deny sequence
+    regardless of wall clock, and WITHIN a micro-batch regardless of
+    chunking (the key's rows are globally sorted before replay). Rows
+    that arrive in a LATER micro-batch with event time before the
+    persisted last_sec get no refill (the bucket never rewinds) — an
+    in-order source per key (the topic log's per-bucket FIFO) makes
+    decisions batch-boundary-invariant too; an out-of-order source
+    makes them dependent on where the boundary fell, the inherent cost
+    of commit-as-you-go rate limiting."""
 
     def limit(
         key: tuple,
@@ -351,10 +363,17 @@ def rate_limit_fn(capacity: float, refill_per_sec: float):
             tokens, last_sec = state.get
         else:
             tokens, last_sec = float(capacity), None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate the key's chunks and sort ONCE: a key with more
+        # rows than arrow maxRecordsPerBatch arrives as multiple chunks
+        # in arbitrary order, and replaying each chunk independently
+        # would advance last_sec past rows a later chunk still holds
+        # (no refill for them -> spurious denials diverging from the
+        # globally-sorted batch oracle).
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             secs = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000).to_numpy()
             allowed, left, tokens, last_sec = bucket_replay(
                 secs, capacity, refill_per_sec, tokens, last_sec

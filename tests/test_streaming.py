@@ -262,10 +262,8 @@ def test_streaming_gate_observes_and_flags(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
-        # listener delivery is async — poll briefly
-        deadline = time.time() + 20
-        while time.time() < deadline and not gate.batches:
-            time.sleep(0.2)
+        # listener delivery is async — the gate's own wait helper
+        assert gate.wait(n_batches=1, timeout_s=20)
     finally:
         gate.close(spark)
     rows = sum(b.get("n_rows", 0) for b in gate.batches)
@@ -345,3 +343,63 @@ def test_late_rows_beyond_watermark_are_dropped(spark, sf_dir, tmp_path):
     }
     assert rows[0] == 2, rows  # the too-late event_id=3 was dropped
     assert rows[60] == 2, rows  # both on-time rows of [60,65) counted
+
+
+def test_write_stream_to_topic_commits_through_manifest(spark, sf_dir, tmp_path):
+    """The producer sink must land rows under the manifest commit
+    protocol: visible to read_topic/consume, safe under vacuum, and
+    exactly-once via batch-derived idempotency ids (the previous raw
+    file-sink wrote manifest-invisible files that vacuum destroyed)."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+    from ripple_server_spark.streaming import api
+
+    st = TopicStore(spark, str(tmp_path / "sink_topics"))
+    st.create_topic("out", n_buckets=2)
+
+    # source: a rate-limited memory-ish stream — reuse a topic tail
+    src_store = TopicStore(spark, str(tmp_path / "src_topics"))
+    src_store.create_topic("in", n_buckets=2)
+    src_store.produce(load_table(spark, sf_dir, "events").limit(80), "in")
+    src = api.stream_topic(src_store, "in").drop("seq", "bucket")
+
+    writer = api.write_stream_to_topic(
+        src, st, "out", str(tmp_path / "ck_sink")
+    )
+    api.run_available_now(writer)
+
+    # rows are manifest-visible and survive vacuum
+    assert st.read_topic("out").count() == 80
+    st.vacuum("out", grace_s=0.0)
+    assert st.read_topic("out").count() == 80
+    # per-bucket seqs assigned contiguously by produce
+    for r in (
+        st.read_topic("out")
+        .groupBy("bucket")
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    ):
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    # restart from the same checkpoint: nothing new -> no duplicates
+    api.run_available_now(
+        api.write_stream_to_topic(
+            api.stream_topic(src_store, "in").drop("seq", "bucket"),
+            st, "out", str(tmp_path / "ck_sink"),
+        )
+    )
+    assert st.read_topic("out").count() == 80
+
+
+def test_stream_topic_refuses_schemaless_topic(spark, tmp_path):
+    """Opening a tail on a topic nothing was ever produced to must fail
+    loudly: locking the minimal empty-topic schema into a running query
+    would silently drop every payload column of later rows."""
+    import pytest as _pytest
+
+    from ripple_server_spark.sources.topics import TopicStore
+    from ripple_server_spark.streaming import api
+
+    st = TopicStore(spark, str(tmp_path / "empty_topics"))
+    st.create_topic("never_produced", n_buckets=2)
+    with _pytest.raises(ValueError, match="no recorded schema"):
+        api.stream_topic(st, "never_produced")
