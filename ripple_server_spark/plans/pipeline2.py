@@ -255,13 +255,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = toks.join(dfreq, "w").select(
-        "doc_id",
-        "w",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("score"),
+    # Corpus count stays in the lazy plan as a 1-row broadcast cross
+    # join (no eager docs.count() job at plan-build time, and no second
+    # full scan when the plan runs — same pattern as q_unigram_logprob).
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        toks.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
     )
     wnd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
     return (

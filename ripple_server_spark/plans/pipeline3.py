@@ -40,8 +40,11 @@ def q_text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: codegen regexp over the scan, no shuffle; the flag column
     is exactly the pushdown predicate the scrub stage filters on."""
     docs = load_table(spark, sf_dir, "documents")
-    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE)))
-    n_urls = F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE)))
+    # idx=0 (whole match): the patterns have no capture groups, and
+    # Spark's regexp_extract_all defaults to group 1, which throws
+    # REGEX_GROUP_INDEX on the first matching row otherwise.
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE), F.lit(0)))
     return docs.select(
         "doc_id",
         n_emails.cast("bigint").alias("n_emails"),
@@ -81,6 +84,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesces; no Python anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # Guard size(w) >= 2: Spark's sequence(1, 0) steps DOWN to [1, 0],
+    # so a 1-token doc would index past the array (ANSI error); the
+    # oracle's range(1, len(w)) is empty for those docs, so both
+    # engines now emit no row for them.
+    t = t.where(F.size("w") >= 2)
     grams = t.select(
         "doc_id",
         F.explode(

@@ -254,21 +254,6 @@ def q_upsample_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded = d.select(
         "doc_id", "source", F.explode(F.sequence(F.lit(1), w)).alias("copy")
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("copy").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
     return expanded.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_copies"),

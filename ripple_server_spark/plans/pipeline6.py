@@ -15,15 +15,8 @@ from pyspark.sql import functions as F
 from ripple_server_spark.catalog import load_table
 from ripple_server_spark.functions.text import tokens
 from ripple_server_spark.operators.dedup import shingle_sets
+from ripple_server_spark.plans.extensions import _SH_CTE
 from ripple_server_spark.plans.registry import query
-
-# Shared 3-gram shingle CTE (same definition as extensions._SH_CTE so
-# containment and Jaccard agree on the shingle universe).
-_SH_CTE = """
-    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    idx AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w FROM t),
-    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx)
-"""
 
 _CONTAIN_TOPK = 25
 
@@ -71,8 +64,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical candidate generation to q_dedup_ngram_jaccard
     — shared-shingle inverted-index self-join within the source block,
     never all-pairs (lossless for any threshold > 0 since C >= t > 0
-    implies a shared shingle). The direction/denominator step is a
-    broadcast-size join against per-doc set sizes. Hot-shingle skew is
+    implies a shared shingle). The direction/denominator step joins the
+    candidate pairs against the per-doc set sizes; the size table is
+    corpus-sized (one row per doc), so the join strategy is left to the
+    optimizer — AQE broadcasts it only when it is actually small, and
+    falls back to a shuffled join keyed by doc id. Hot-shingle skew is
     AQE-split; the prefix-filtered setsim join remains the exact
     high-skew fallback (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -94,8 +90,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     small_is_a = F.col("n_a") <= F.col("n_b")
     directed = (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_id"),
             F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_id"),

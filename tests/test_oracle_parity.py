@@ -214,3 +214,38 @@ def test_striped_rewrites_parity_on_degenerate_inputs(spark, tmp_path):
         assert diff is None, (name, diff)
     wd = SPECS["q_window_distribution"].builder(spark, sf_dir).collect()
     assert len(wd) == 1 and wd[0]["pr"] == 0.0 and wd[0]["cd"] == 1.0
+
+
+def test_text_quality_queries_on_pii_and_short_docs(spark, tmp_path):
+    """Regression for two live crashes found in review: (a) a document
+    that actually contains an email/URL used to throw REGEX_GROUP_INDEX
+    in q_text_pii_flags (regexp_extract_all defaulted to group 1 on
+    zero-group patterns); (b) a 1-token document used to throw
+    INVALID_ARRAY_INDEX in q_text_repetition (sequence(1, 0) steps DOWN
+    to [1, 0]). Both must now agree with the oracle on crafted docs
+    that exercise exactly those rows."""
+    from ripple_server_spark.plans.registry import SPECS
+    from tests.oracle_check import compare_query
+
+    rows = [
+        (1, "contact bob@x.com or see https://example.com/page now", "en", "srcA", 52),
+        (2, "word", "en", "srcA", 4),  # single token: no 2-grams
+        (3, "", "en", "srcA", 0),      # empty text: split -> ['']
+        (4, "spam spam spam spam", "en", "srcB", 19),
+    ]
+    sf_dir = str(tmp_path / "pii_edge")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = _crafted_con(sf_dir, ("documents",))
+    for name in ("q_text_pii_flags", "q_text_repetition"):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, (name, diff)
+    pii = {r["doc_id"]: r for r in SPECS["q_text_pii_flags"].builder(spark, sf_dir).collect()}
+    assert pii[1]["n_emails"] == 1 and pii[1]["n_urls"] == 1 and pii[1]["flagged"]
+    assert not pii[2]["flagged"]
+    rep = {r["doc_id"]: r for r in SPECS["q_text_repetition"].builder(spark, sf_dir).collect()}
+    assert set(rep) == {1, 4}  # 1-token and empty docs emit no row
+    assert rep[4]["top_gram_frac"] == 1.0
