@@ -5,8 +5,6 @@ SQL oracle (the applyInPandas surface).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,7 +143,7 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     sd = pdf["value"].std(ddof=1)  # sample stddev == stddev_samp
     z = (pdf["value"] - mu) / sd if (sd and sd == sd and sd > 0) else pdf["value"] * float("nan")
     return pd.DataFrame(
-        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(4)}
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
     )
 
 
@@ -176,4 +174,13 @@ def q_user_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "user_id")
         .groupBy("user_id")
         .applyInPandas(_zscore, schema=ZSCORE_SCHEMA)
+        # Degenerate groups (1 row -> sd NaN; constant -> sd 0) become
+        # NULL, matching SQL stddev_samp's NULL (the driver comparator
+        # treats NaN and NULL as distinct); rounding happens here so
+        # the mode is HALF_UP like the oracle's round(), not pandas
+        # half-even.
+        .withColumn(
+            "zscore",
+            F.when(F.isnan("zscore"), F.lit(None)).otherwise(F.round("zscore", 4)),
+        )
     )

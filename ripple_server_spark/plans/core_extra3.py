@@ -388,36 +388,27 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathologically hot users switch to the two-shuffle join form the
     oracle uses — same result, streaming-aggregate memory."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # collect_list skips the NULLs the whens produce, and array_min is
+    # order-independent, so the bare ts arrays need no sorting and no
+    # struct boxing.
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("event_type") == "click", F.struct("ts")
-                )
-            )
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
         ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("event_type") == "purchase", F.struct("ts")
-                )
-            )
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).alias("purchases"),
     )
     t_click = F.array_min(
-        F.filter(
-            F.transform(F.col("clicks"), lambda x: x["ts"]),
-            lambda t: t > F.col("t_signup"),
-        )
+        F.filter(F.col("clicks"), lambda t: t > F.col("t_signup"))
     )
-    t_purchase_src = F.transform(F.col("purchases"), lambda x: x["ts"])
     staged = per_user.select(
         "user_id",
         "t_signup",
         t_click.alias("t_click"),
         F.array_min(
-            F.filter(t_purchase_src, lambda t: t > t_click)
+            F.filter(F.col("purchases"), lambda t: t > t_click)
         ).alias("t_purchase"),
     )
     return staged.agg(

@@ -15,8 +15,6 @@ from pyspark.sql import functions as F
 from ripple_server_spark.catalog import load_table
 from ripple_server_spark.functions import text as tx
 from ripple_server_spark.functions.vectors import (
-    as_double,
-    cosine_pandas,
     dot,
     l2_norm,
     lsh_bucket_expr,
@@ -285,12 +283,16 @@ _LSH_CTES = """
     SELECT vec_a, nearest_id, sim FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS nearest_id,
                round({_COS}, 4) AS sim,
+               {_COS} AS raw_cos,
                row_number() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
         FROM e a JOIN e b
           ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    ) WHERE rn = 1 AND sim >= 0.2
+    ) WHERE rn = 1 AND raw_cos >= 0.2
+    -- threshold on the UNROUNDED cosine, matching the builder: a pair
+    -- at cosine 0.19995 must be dropped by both engines, not kept here
+    -- because the 4dp display rounding reached 0.2
     """,
     tags=("dedup", "vectors"),
 )
@@ -778,8 +780,11 @@ def q_timeseries_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = prof.filter(F.col("user_id") < 5).alias("a")
     b = prof.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+    # Broadcast the FILTERED query side (<= 5 rows) and stream the
+    # full profile table — profiles are O(users) and must never be the
+    # broadcast side of the nested-loop join.
     pairs = (
-        a.join(F.broadcast(b), F.col("a.user_id") != F.col("b.user_id"))
+        F.broadcast(a).join(b, F.col("a.user_id") != F.col("b.user_id"))
         .select(
             F.col("a.user_id").alias("q_user"),
             F.col("b.user_id").alias("sim_user"),

@@ -249,3 +249,39 @@ def test_text_quality_queries_on_pii_and_short_docs(spark, tmp_path):
     rep = {r["doc_id"]: r for r in SPECS["q_text_repetition"].builder(spark, sf_dir).collect()}
     assert set(rep) == {1, 4}  # 1-token and empty docs emit no row
     assert rep[4]["top_gram_frac"] == 1.0
+
+
+def test_zscore_parity_on_degenerate_user_groups(spark, tmp_path):
+    """A single-event user (stddev_samp NULL) and a constant-value user
+    (stddev 0) must produce NULL zscores in both engines — the pandas
+    kernel used to emit NaN, which the comparator treats as a distinct
+    value from NULL. Latent on the shipped fixtures (every user has
+    >= 49 events), so pinned here on crafted events."""
+    import datetime as dt
+
+    from ripple_server_spark.plans.registry import SPECS
+    from tests.oracle_check import compare_query
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (0, base, 1, "click", 5.0, "{}"),                              # 1-event user
+        (1, base, 2, "click", 7.0, "{}"),                              # constant user
+        (2, base + dt.timedelta(hours=1), 2, "view", 7.0, "{}"),
+        (3, base, 3, "click", 1.0, "{}"),                              # normal user
+        (4, base + dt.timedelta(hours=1), 3, "view", 3.0, "{}"),
+        (5, base + dt.timedelta(hours=2), 3, "error", 8.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "zscore_edge")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    con = _crafted_con(sf_dir, ("events",))
+    spec = SPECS["q_user_zscore_pandas"]
+    diff = compare_query(spark, con, "q_user_zscore_pandas", spec.builder, spec.oracle, sf_dir)
+    assert diff is None, diff
+    got = {r["event_id"]: r["zscore"] for r in spec.builder(spark, sf_dir).collect()}
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] is not None
