@@ -34,3 +34,19 @@ def ts_micros(col: Column) -> Column:
     Query results expose timestamps this way so value comparison is
     exact across engines/timezones (DuckDB: epoch_us)."""
     return F.unix_micros(col)
+
+
+# 48-bit md5-prefix hash as a SQL fragment: fill {expr} with any SQL
+# string expression. Fits a BIGINT exactly (no sign issues), and DuckDB
+# regenerates it verbatim via ('0x' || substr(md5(expr), 1, 12))::BIGINT,
+# so bit_xor over it is the repo's order-independent content
+# fingerprint for verifying SAMPLES (not just their sizes) across
+# engines. Single source of truth — format, don't re-type.
+H48_SQL = "cast(conv(substring(md5({expr}), 1, 12), 16, 10) as bigint)"
+
+
+def xor_fingerprint48(expr: str) -> str:
+    """bit_xor aggregate over :data:`H48_SQL` of ``expr`` — the
+    order-independent multiset fingerprint used by the replication,
+    sampling, and redaction oracles."""
+    return f"bit_xor({H48_SQL.format(expr=expr)})"

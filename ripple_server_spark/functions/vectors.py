@@ -93,10 +93,16 @@ _lsh_bucket_udfs: dict = {}
 
 def lsh_bucket_pandas(vec: Column, dim: int, n_planes: int = LSH_HYPERPLANES) -> Column:
     """Arrow-vectorized LSH bucket: one numpy matmul per batch against
-    the md5-derived ±1 plane matrix — identical signs to
-    :func:`lsh_bucket_expr` (same planes, float64 both ways). This is
-    the kernel to use on large corpora; the expr form documents the
-    engine-portable definition."""
+    the md5-derived ±1 plane matrix. Same planes and float64 math as
+    :func:`lsh_bucket_expr`, but NOT bit-for-bit sign-identical in
+    every case: numpy's pairwise/SIMD summation can differ from the
+    expr's sequential fold by ~1 ulp, so a projection within float
+    rounding of exactly 0 may bucket differently between the two
+    kernels (and vs a SQL oracle). Queries that hash-compare buckets
+    against an oracle must build them with ONE kernel on both sides,
+    or accept the zero-boundary caveat. This is the kernel to use on
+    large corpora; the expr form documents the engine-portable
+    definition."""
     key = (dim, n_planes)
     if key not in _lsh_bucket_udfs:
         planes = lsh_planes(dim, n_planes).T  # dim x planes

@@ -386,7 +386,9 @@ def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits -> 256 buckets. This is the ANN scale path's partitioner: at
     100 TB, search runs per-bucket (shuffle on bucket, ~n/256 each).
     Codegen-expr kernel here (the engine-portable definition); heavy
-    corpora use the numpy kernel (lsh_bucket_pandas), sign-identical."""
+    corpora use the numpy kernel (lsh_bucket_pandas) — same planes and
+    float64 math, but summation order differs, so projections within
+    ~1 ulp of 0 may bucket differently (see its docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", lsh_bucket_expr(F.col("embedding"), EMB_DIM).alias("bucket"))
 

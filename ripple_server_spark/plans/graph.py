@@ -239,12 +239,14 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trans.withColumn(
         "p", F.col("n") / F.sum("n").over(Window.partitionBy("prev"))
     ).select("prev", "curr", "p")
-    nodes = ev.select(F.col("event_type").alias("t")).distinct()
+    # persist nodes: each iteration's rank update references it, and
+    # without the pin the lineage re-derives the events scan+distinct.
+    nodes = ev.select(F.col("event_type").alias("t")).distinct().persist()
     n_nodes = float(nodes.count())
     edges = edges.persist()
     srcs = edges.select(F.col("prev").alias("t")).distinct()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         in_mass = (
             edges.join(F.broadcast(ranks), edges["prev"] == ranks["t"])
             .groupBy(F.col("curr").alias("t"))
@@ -266,6 +268,14 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+        # Cut lineage BETWEEN rounds: ranks appears TWICE per iteration
+        # (in_mass and dangling), so the unresolved plan doubles per
+        # round — 2^iters copies of the events scan without this. Same
+        # discipline as connected_components' per-round pin; the last
+        # iteration stays un-checkpointed so the declared plan (and the
+        # broadcast-join gate in tests/test_plans.py) remains visible.
+        if it < _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("t").alias("event_type"), F.round("pr", 6).alias("pagerank"))
 
 

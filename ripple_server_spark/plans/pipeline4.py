@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.plans.registry import query
 
 SHUFFLE_SEED = "42"
@@ -258,7 +259,6 @@ def q_upsample_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_copies"),
         F.expr(
-            "bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
-            "cast(copy as string))), 1, 12), 16, 10) as bigint))"
+            xor_fingerprint48("concat(cast(doc_id as string), ':', cast(copy as string))")
         ).alias("sample_hash"),
     )

@@ -30,7 +30,7 @@ SPAN_DOC_THRESHOLD = 3
 
 # 48-bit md5 prefix as BIGINT: the engine-portable order-independent
 # fingerprint primitive (same construction as q_upsample_by_weight).
-_H48 = "cast(conv(substring(md5({expr}), 1, 12), 16, 10) as bigint)"
+from ripple_server_spark.functions.scalar import H48_SQL as _H48  # noqa: E402
 
 
 @query(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.functions.text import tokens
 from ripple_server_spark.operators.dedup import shingle_sets
 from ripple_server_spark.plans.extensions import _SH_CTE
@@ -236,10 +237,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = latest.filter(F.col("op") != "D")
     return state.groupBy((F.col("user_id") % _CDC_BUCKETS).alias("bucket")).agg(
         F.count("*").alias("n_keys"),
-        F.expr(
-            "bit_xor(cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)"
-            " as bigint))"
-        ).alias("key_xor"),
+        F.expr(xor_fingerprint48("cast(user_id as string)")).alias("key_xor"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.plans.registry import query
 
 
@@ -298,20 +299,10 @@ def q_fanout_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     u = reps[0].unionByName(reps[1]).unionByName(reps[2])
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
     return u.groupBy("replica").agg(
         F.count("*").alias("n_rows"),
         F.expr(
-            "bit_xor(cast(conv(substring(md5(concat(cast(event_id as string), "
-            "':', event_type)), 1, 12), 16, 10) as bigint))"
+            xor_fingerprint48("concat(cast(event_id as string), ':', event_type)")
         ).alias("content_hash"),
     )
 
@@ -372,15 +363,11 @@ def q_topic_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.compact("tt")
 
     def snap(df: DataFrame, label: str) -> DataFrame:
-        h = (
-            "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12),"
-            " 16, 10) as bigint))"
-        )
         return df.agg(
             F.lit(label).alias("snapshot"),
             F.count("*").alias("n_rows"),
             F.sum("event_id").cast("bigint").alias("sum_ids"),
-            F.expr(h).alias("ids_hash"),
+            F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
         )
 
     pinned = store.read_topic("tt", version=v1)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
+from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.functions import text as tx
 from ripple_server_spark.plans.registry import query
 
@@ -155,7 +156,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval and quantization alike).
 
     Scale shape: posexplode + ONE partial aggregate keyed on the
-    dimension index (dim-cardinality result, 16 keys here); moments
+    dimension index (dim-cardinality result, 64 keys here); moments
     are partial-aggregatable so the explode never shuffles raw
     values beyond the per-dim combine."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -242,9 +243,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("source").agg(
         F.count_if(F.col("red") != F.col("text")).alias("n_redacted"),
         F.sum(F.length("red") - F.length("text")).cast("bigint").alias("chars_delta"),
-        F.expr(
-            "bit_xor(cast(conv(substring(md5(red), 1, 12), 16, 10) as bigint))"
-        ).alias("red_hash"),
+        F.expr(xor_fingerprint48("red")).alias("red_hash"),
     )
 
 
@@ -476,7 +475,10 @@ _BOT_TOPK = 25
     ),
     span AS (
         SELECT user_id, count(*) AS n_events,
-               (epoch(max(ts))::BIGINT - epoch(min(ts))::BIGINT) // 3600 + 1 AS hours
+               -- floor() before the cast: DuckDB's double->BIGINT cast ROUNDS,
+               -- Spark's unix_timestamp FLOORS; sub-second timestamps would
+               -- otherwise flip the hour-span on .5s fractional parts
+               (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) // 3600 + 1 AS hours
         FROM events GROUP BY user_id
     )
     SELECT s.user_id,

@@ -168,7 +168,9 @@ def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value"))
     )
-    total = pv.agg((F.sum("value") * F.lit(0.001)).alias("cutoff"))
+    # decimal literal keeps the cutoff comparison in exact decimal
+    # arithmetic like the oracle (a double 0.001 would demote it)
+    total = pv.agg((F.sum("value") * F.lit("0.001").cast("decimal(4,3)")).alias("cutoff"))
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("value") > F.col("cutoff"))
