@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ripple_server_spark.config import default_sf_dir  # noqa: E402
-from ripple_server_spark.plans.registry import SPECS  # noqa: E402
+from ripple_server_spark.plans.registry import bench_queries  # noqa: E402
 from ripple_server_spark.session import get_spark  # noqa: E402
 
 
@@ -32,16 +32,18 @@ def main() -> None:
     sf_dir = default_sf_dir()
     spark = get_spark(app_name="ripple-spark-bench")
 
-    bench_specs = {n: s for n, s in sorted(SPECS.items()) if s.bench}
+    # The registry owns the bench-set definition; sorted for a stable
+    # per-query timing order run to run.
+    builders = dict(sorted(bench_queries().items()))
 
     # Untimed warmup at the smallest SF: compiles the same codegen'd
     # stage shapes and spins up the Arrow python workers, so timed runs
     # measure steady-state throughput, not JIT warmup.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for spec in bench_specs.values():
+        for builder in builders.values():
             try:
-                materialize(spec.builder(spark, warm_dir))
+                materialize(builder(spark, warm_dir))
             except Exception:
                 pass
 
@@ -51,14 +53,14 @@ def main() -> None:
     # state. Reported value = min.
     timings: dict[str, float] = {}
     for _round in range(2):
-        for name, spec in bench_specs.items():
+        for name, builder in builders.items():
             # Drop persisted intermediates before EVERY query: queries
             # sharing pipeline fragments (e.g. the minhash shingle/band
             # tables) would otherwise time warm-cache reruns of each
             # other, making per-query numbers incomparable.
             spark.catalog.clearCache()
             t0 = time.time()
-            materialize(spec.builder(spark, sf_dir))
+            materialize(builder(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
@@ -82,9 +84,10 @@ def main() -> None:
         # (JIT/codegen/committer spin-up), then best-of-2 timed runs —
         # each into a fresh topic so every timed produce starts empty.
         n = 0
+        n_buckets = 8  # single constant: topic layout AND consume sweep
         for i, tag in enumerate(("warm", "t1", "t2")):
             topic = f"bench_{tag}"
-            store.create_topic(topic, n_buckets=8)
+            store.create_topic(topic, n_buckets=n_buckets)
             t0 = time.time()
             n = store.produce(ev, topic)
             dt = round(time.time() - t0, 3)
@@ -93,7 +96,7 @@ def main() -> None:
                 timings["pubsub_produce"] = min(prev, dt)
             store.register_consumer("bench_c", topic)
             t0 = time.time()
-            for b in range(8):
+            for b in range(n_buckets):
                 store.consume("bench_c", topic, bucket=b, count=5000)[0].count()
             dt = round(time.time() - t0, 3)
             if i > 0:

@@ -40,13 +40,6 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder: deterministic pseudo image dims from md5 bytes.
-    Replace with PIL.Image.open(...) in a real deployment."""
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0], 64 + h[1], 1 + (h[2] % 3)
-
-
 def _pil():
     """Import the real image codec or raise the documented stub
     boundary error. The fake=False paths below are REAL whenever
@@ -75,9 +68,17 @@ def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterato
     for pdf in pdf_iter:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # NULL payload (undecodable/absent media): emit the row
+                # with NULL metadata instead of killing the task.
+                rows.append({"doc_id": doc_id, "n_bytes": None, "checksum": None,
+                             "width": None, "height": None, "n_channels": None})
+                continue
             b = bytes(payload)
+            hh = hashlib.md5(b)  # one hash serves dims AND checksum
             if fake:
-                w, h, c = _fake_decode(b)
+                d = hh.digest()
+                w, h, c = 64 + d[0], 64 + d[1], 1 + (d[2] % 3)
             else:
                 im = Image.open(io.BytesIO(b))
                 (w, h), c = im.size, len(im.getbands())
@@ -85,7 +86,7 @@ def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterato
                 {
                     "doc_id": doc_id,
                     "n_bytes": len(b),
-                    "checksum": hashlib.md5(b).hexdigest(),
+                    "checksum": hh.hexdigest(),
                     "width": w,
                     "height": h,
                     "n_channels": c,
@@ -132,18 +133,26 @@ def resize_batch(
         for pdf in pdf_iter:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    out.append({"doc_id": doc_id, "width": target_w,
+                                "height": target_h, "checksum": None,
+                                "payload": None})
+                    continue
                 b = bytes(payload)
                 if fake:
                     # STUB resize: deterministic target-keyed digest
                     # chain, truncated to a size proportional to the
-                    # target dims.
+                    # target dims — floored at 1 byte so tiny targets
+                    # (w*h < 64) still yield per-document payloads
+                    # instead of a constant empty byte string.
+                    n_out = max(1, target_w * target_h // 64)
                     seed = hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
                     buf = bytearray()
                     block = seed
-                    while len(buf) < target_w * target_h // 64:
+                    while len(buf) < n_out:
                         block = hashlib.md5(block).digest()
                         buf.extend(block)
-                    resized = bytes(buf[: target_w * target_h // 64])
+                    resized = bytes(buf[:n_out])
                 else:
                     im = Image.open(io.BytesIO(b)).resize((target_w, target_h))
                     sink = io.BytesIO()
@@ -197,6 +206,11 @@ def frame_sample_batch(n_frames: int, fake: bool = True):
                 )
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # No frames can be sampled from absent media: the
+                    # doc simply emits zero rows (the 1->N fan-out's
+                    # natural empty case).
+                    continue
                 b = bytes(payload)
                 for k in range(n_frames):
                     # STUB frame: digest of (payload, frame index) — the
@@ -242,10 +256,20 @@ def embed_batch(dim: int = 16, fake: bool = True):
         for pdf in pdf_iter:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    out.append({"doc_id": doc_id, "embedding": None})
+                    continue
                 b = bytes(payload)
                 if fake:
-                    hx = hashlib.md5(b).hexdigest()[:dim]
-                    emb = [(ord(c) - 100.0) / 10.0 for c in hx]
+                    # Digest CHAIN so dim > 32 yields dim values (a
+                    # single md5 hexdigest is only 32 chars; the old
+                    # [:dim] silently truncated larger dims). For
+                    # dim <= 32 this is byte-identical to the single
+                    # hash, so existing oracles are unchanged.
+                    hx = hashlib.md5(b).hexdigest()
+                    while len(hx) < dim:
+                        hx += hashlib.md5(hx[-32:].encode()).hexdigest()
+                    emb = [(ord(c) - 100.0) / 10.0 for c in hx[:dim]]
                 else:
                     # Real (model-free) visual feature: grayscale
                     # downsample to `dim` pixels, normalized to [0,1] —

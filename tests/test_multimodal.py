@@ -129,3 +129,60 @@ def test_real_codecs_smoke(spark):
     # solid-color images embed to constant vectors with distinct levels
     assert len(set(embs[1])) == 1 and len(set(embs[2])) == 1
     assert embs[1][0] != embs[2][0]
+
+
+def test_null_payload_rows_survive_every_kernel(spark):
+    """A NULL payload (absent/undecodable media) must not kill the
+    task: decode/resize/embed emit the row with NULL outputs, frame
+    sampling emits zero rows for it — review regression (bytes(None)
+    used to raise TypeError in all four kernels)."""
+    from ripple_server_spark import multimodal as mm
+
+    payloads = spark.createDataFrame(
+        [(1, b"real bytes"), (2, None)], "doc_id long, payload binary"
+    )
+    meta = {r["doc_id"]: r for r in mm.decode_payloads(payloads).collect()}
+    assert meta[1]["checksum"] is not None and meta[1]["width"] is not None
+    assert meta[2]["checksum"] is None and meta[2]["width"] is None
+
+    rz = {r["doc_id"]: r for r in mm.resize_payloads(payloads, 16, 16).collect()}
+    assert rz[1]["payload"] is not None and rz[2]["payload"] is None
+
+    em = {r["doc_id"]: r["embedding"] for r in mm.embed_payloads(payloads).collect()}
+    assert em[1] is not None and em[2] is None
+
+    fr = mm.frame_sample_batch(3)
+    frames = (
+        payloads.mapInPandas(fr, schema=mm.FRAME_SCHEMA)
+        .groupBy("doc_id").count().collect()
+    )
+    got = {r["doc_id"]: r["count"] for r in frames}
+    assert got == {1: 3}  # null-payload doc emits no frame rows
+
+
+def test_embed_dim_above_32_extends_digest_chain(spark):
+    """dim > 32 must yield dim embedding values (a single md5 hexdigest
+    is 32 chars; the old code silently truncated), and the first 32
+    values must equal the dim=32 embedding (chain extension preserves
+    the single-hash prefix, keeping existing oracles valid)."""
+    from ripple_server_spark import multimodal as mm
+
+    payloads = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    e32 = mm.embed_payloads(payloads, dim=32).collect()[0]["embedding"]
+    e64 = mm.embed_payloads(payloads, dim=64).collect()[0]["embedding"]
+    assert len(e32) == 32 and len(e64) == 64
+    assert e64[:32] == e32
+
+
+def test_tiny_resize_targets_stay_per_document(spark):
+    """Targets with w*h < 64 used to floor to zero output bytes, making
+    every thumbnail the identical empty payload; now floored at 1 byte
+    so distinct payloads stay distinct."""
+    from ripple_server_spark import multimodal as mm
+
+    payloads = spark.createDataFrame(
+        [(1, b"first"), (2, b"second")], "doc_id long, payload binary"
+    )
+    rz = {r["doc_id"]: bytes(r["payload"]) for r in mm.resize_payloads(payloads, 7, 7).collect()}
+    assert len(rz[1]) == 1 and len(rz[2]) == 1
+    assert rz[1] != rz[2]
