@@ -16,9 +16,10 @@ Usage: python scripts/audit.py [--fast]   (--fast skips audit 3)
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ripple_server_spark.plans.registry import SPECS  # noqa: E402
 from ripple_server_spark.session import get_spark  # noqa: E402
@@ -33,11 +34,18 @@ def main() -> int:
     failures = 0
 
     con = duckdb_conn(GATE)
-    empty = [
-        n
-        for n, s in sorted(SPECS.items())
-        if s.oracle and len(con.execute(s.oracle).fetchall()) == 0
-    ]
+    empty = []
+    for n, s_ in sorted(SPECS.items()):
+        if not s_.oracle:
+            continue
+        try:
+            # count-only: no need to materialize full result sets
+            nrows = con.execute(f"SELECT count(*) FROM ({s_.oracle})").fetchone()[0]
+        except Exception as e:  # noqa: BLE001 - one bad oracle must not abort audits 2/3
+            empty.append((n, f"error: {e!s:.80}"))
+            continue
+        if nrows == 0:
+            empty.append((n, "0 rows"))
     con.close()
     if empty:
         print(f"VACUOUS at {GATE}: {empty}")
@@ -65,6 +73,15 @@ def main() -> int:
     if not fast:
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # every builder calls catalog.load_table -> ensure_runtime_conf,
+        # which re-applies RUNTIME_CONF; override the dict too or the
+        # no-coalesce setting is silently reverted before any query runs
+        from ripple_server_spark import session as session_mod  # noqa: PLC0415
+
+        session_mod.RUNTIME_CONF = {
+            **session_mod.RUNTIME_CONF,
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
         con = duckdb_conn(GATE)
         bad = []
         for name, spec in sorted(SPECS.items()):

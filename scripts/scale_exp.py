@@ -86,6 +86,18 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
                         F.regexp_replace(F.col("text"), r"(\s+)", f"$1{tag}"),
                     )
                 ).cast("long").alias(c)
+            if table == "embeddings" and c == "embedding" and k > 0:
+                # Perturb vectors per copy for the same reason text is
+                # tagged: verbatim clones are adversarial to every
+                # bucketed similarity self-join (N identical vectors
+                # per bucket -> N^2 pair blowup measuring the cloning
+                # artifact, not corpus growth). A tiny deterministic
+                # per-copy rotation keeps norms ~unchanged and the
+                # intra-copy neighborhood structure intact.
+                eps = k * 1e-3
+                return F.transform(
+                    F.col(c), lambda x, i: (x + eps * F.cos(i.cast("double"))).cast("float")
+                ).alias(c)
             return F.col(c)
 
         copies = [

@@ -11,6 +11,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def spark():
     s = get_spark(app_name="ripple-spark-tests", shuffle_partitions=8)
     yield s
+    s.stop()
 
 
 @pytest.fixture(scope="session")

@@ -37,10 +37,28 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / +0.0 and represent with enough digits
-        if v == 0:
+        # round FIRST, then collapse ±0: exact 0.0, 1e-10 and -1e-10
+        # must all canonicalize identically ('0'), not '0'/'0.0'/'-0.0'.
+        r = round(v, 9)
+        if r == 0:
             return "0"
-        return repr(round(v, 9))
+        return repr(r)
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collects binary as bytearray, DuckDB returns bytes —
+        # same payload must compare equal.
+        return repr(bytes(v))
+    if hasattr(v, "asDict"):
+        # pyspark Row (struct cell) vs DuckDB dict — MUST come before
+        # the tuple branch (Row subclasses tuple)
+        return _canon_cell(v.asDict())
+    if isinstance(v, (list, tuple)):
+        # arrays: canonicalize elementwise so nested floats get the
+        # same rounding/zero/NaN treatment as scalars
+        return "[" + ", ".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{k!r}: {_canon_cell(v[k])}" for k in sorted(v)
+        ) + "}"
     return repr(v)
 
 
