@@ -118,6 +118,27 @@ def lsh_bucket_pandas(vec: Column, dim: int, n_planes: int = LSH_HYPERPLANES) ->
     return _lsh_bucket_udfs[key](vec)
 
 
+def lsh_probe_buckets(bucket: Column, n_planes: int = LSH_HYPERPLANES) -> Column:
+    """Multi-probe LSH probe set (Lv et al., VLDB'07): the bucket itself
+    plus every Hamming-distance-1 variant (one sign bit flipped), as an
+    array of n_planes+1 bit strings. Probing the adjacent buckets lifts
+    recall from p^n to p^n + n·p^(n-1)(1-p) per neighbor (p = per-plane
+    agreement probability) while scanning only (n+1)/2^n of the corpus —
+    the query side explodes this tiny array; the corpus side is never
+    expanded, so the join stays bucket-pruned at any scale."""
+    flips = []
+    for j in range(n_planes):
+        c = F.substring(bucket, j + 1, 1)
+        flips.append(
+            F.concat(
+                F.substring(bucket, 1, j),
+                F.when(c == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(bucket, j + 2, n_planes - j - 1),
+            )
+        )
+    return F.array(bucket, *flips)
+
+
 def lsh_bucket_expr(vec: Column, dim: int, n_planes: int = LSH_HYPERPLANES) -> Column:
     """Sign-projection bucket as an n_planes-char bit string, computed
     with codegen expressions (md5-derived ±1 weights inlined as an

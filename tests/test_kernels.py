@@ -27,7 +27,9 @@ def test_lsh_bucket_pandas_matches_expr(spark, sf_dir):
         lsh_bucket_expr(F.col("embedding"), 64).alias("b_expr"),
         lsh_bucket_pandas(F.col("embedding"), 64).alias("b_np"),
     )
-    assert both.filter(F.col("b_expr") != F.col("b_np")).count() == 0
+    # eqNullSafe: a kernel regressing to NULL buckets must FAIL, not
+    # have every NULL comparison drop out of the filter
+    assert both.filter(~F.col("b_expr").eqNullSafe(F.col("b_np"))).count() == 0
 
 
 def test_cosine_pandas_matches_expr(spark, sf_dir):
@@ -89,20 +91,114 @@ def test_minhash_finds_planted_duplicates(spark, sf_dir):
 
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
-    """LSH-bucketed ANN must return genuinely-similar neighbors: every
-    returned neighbor's exact rank among all candidates is sane, and
-    returned sims match brute-force sims."""
+    """Multi-probe LSH ANN: every returned sim must equal the brute-force
+    cosine for that pair (no fabricated scores), and recall@3 vs the
+    exact top-3 must clear a floor. The fixture's true neighbors are
+    weakly similar (mean cosine ~0.34, Hamming 2-4 of 8 sign bits), so
+    the collision-bound recall here is low by nature — the floor pins
+    the multi-probe gain over single-probe (~0.02 measured); the strong-
+    neighbor regime LSH is built for is pinned by
+    test_multiprobe_lsh_recovers_planted_neighbors below."""
+    import numpy as np
+
+    from ripple_server_spark.operators.similarity import cosine_topk_scan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
     exact = {
         (r["q_id"], r["neighbor_id"]): r["sim"]
-        for r in SPECS["q_similarity_topk"].builder(spark, sf_dir).collect()
+        for r in cosine_topk_scan(emb, queries, k=3).collect()
     }
     approx = SPECS["q_ann_lsh_topk"].builder(spark, sf_dir).collect()
     assert len(approx) > 0
-    # where ANN returns a pair the exact top-5 also contains, sims agree
+    # per-query cardinality: never more than k results
+    per_q: dict[int, int] = {}
     for r in approx:
-        key = (r["q_id"], r["neighbor_id"])
-        if key in exact:
-            assert abs(exact[key] - r["sim"]) < 1e-6
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert all(c <= 3 for c in per_q.values())
+    # sim fidelity on EVERY returned pair, not just exact-top-k overlaps
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in approx:
+        a, b = vecs[r["q_id"]], vecs[r["neighbor_id"]]
+        true_sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(true_sim - r["sim"]) < 1e-3, (r, true_sim)
+    hits = sum(1 for r in approx if (r["q_id"], r["neighbor_id"]) in exact)
+    assert hits / len(exact) >= 0.05, f"recall@3 {hits}/{len(exact)}"
+
+
+def test_multiprobe_lsh_recovers_planted_neighbors(spark):
+    """The recall contract in LSH's design regime: plant 30 strong
+    near-dups (cosine >= 0.99) and require the multi-probe pipeline —
+    the same bucket kernel + Hamming-1 probe expansion q_ann_lsh_topk
+    uses — to surface >= 80% of them in the top-3. Per-neighbor
+    collision probability at this cosine is ~0.97 within one flipped
+    bit, so 0.8 over 30 deterministic (seeded) plants is a real bound,
+    not noise."""
+    import numpy as np
+
+    from ripple_server_spark.functions.vectors import (
+        dot,
+        l2_norm,
+        lsh_bucket_pandas,
+        lsh_probe_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(30, 64)) * 0.01
+    dup = base + noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    assert float(np.min((base * dup).sum(axis=1))) >= 0.99
+    rows = [(i, base[i].tolist()) for i in range(30)] + [
+        (i + 1000, dup[i].tolist()) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_pandas(F.col("embedding"), 64).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    a = (
+        e.filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            "embedding",
+            "nn",
+            F.explode(lsh_probe_buckets(F.col("bucket"))).alias("probe"),
+        )
+        .alias("a")
+    )
+    b = e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nn") * F.col("b.nn")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    top = (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    recovered = {r["q_id"] for r in top if r["neighbor_id"] == r["q_id"] + 1000}
+    assert len(recovered) >= 24, f"planted recall {len(recovered)}/30"
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
@@ -318,10 +414,11 @@ def test_chunking_covers_and_overlaps(spark, sf_dir):
         assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
         # tiling: starts at stride intervals; last chunk reaches the end
         assert (len(rows) - 1) * CHUNK_STRIDE < n
+        # the true last chunk starts at the final stride boundary, so its
+        # width is n - idx*stride (always <= stride < CHUNK_TOKENS); a
+        # full-width "last" chunk would mean the tail chunk was dropped
         last = rows[-1]
-        assert last["chunk_tokens"] == n - last["chunk_idx"] * CHUNK_STRIDE or (
-            last["chunk_tokens"] == CHUNK_TOKENS
-        )
+        assert last["chunk_tokens"] == n - last["chunk_idx"] * CHUNK_STRIDE
         for r in rows[:-1]:
             assert r["chunk_tokens"] == min(
                 CHUNK_TOKENS, n - r["chunk_idx"] * CHUNK_STRIDE
@@ -346,10 +443,14 @@ def test_seq_packing_respects_budget_order(spark, sf_dir):
         totals: dict[int, int] = {}
         for r in rs:
             totals[r["pack_bin"]] = totals.get(r["pack_bin"], 0) + r["n_tokens"]
-        # every bin but possibly the last started below the budget
-        for b, tot in totals.items():
+        # every bin but the last fills to its budget boundary: the docs in
+        # bins <= b must total at least (b+1)*budget, else the next doc
+        # could not have rolled over into bin b+1
+        prefix = 0
+        for b in sorted(totals):
+            prefix += totals[b]
             if b != max(bins):
-                assert tot >= 1
+                assert prefix >= (b + 1) * PACK_TARGET, (src, b, prefix)
         # prefix-fill invariant: a doc's bin equals prior-tokens // budget
         run = 0
         for r in rs:

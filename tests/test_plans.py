@@ -148,7 +148,9 @@ def test_topn_per_group_uses_window_group_limit(spark):
 def test_tpch_q10_takeordered_and_broadcast_nation(spark):
     p = plan(build(spark, "q_tpch_q10_returns"))
     assert "TakeOrderedAndProject" in p
-    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+    # the top-k must fully replace the sort: no Sort node anywhere in the
+    # plan (joins are broadcast, so nothing else legitimately sorts)
+    assert "Sort " not in p
 
 
 def test_tpch_q4_exists_is_semi_join(spark):
@@ -245,7 +247,8 @@ def test_quota_cap_window_partitions_by_source(spark):
     global single-partition window."""
     p = plan(build(spark, "q_source_quota_cap"))
     assert "Window" in p
-    assert "partitionBy" not in p or "source" in p  # formatted plans inline specs
+    # the exchange feeding the window must hash-partition on source
+    assert "hashpartitioning(source#" in p
     # a global window would show an Exchange SinglePartition feeding it
     assert "SinglePartition" not in p
 

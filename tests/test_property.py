@@ -450,14 +450,14 @@ def test_vocab_growth_striped_rank_handles_sparse_ids(spark, rows, tmp_path_fact
     assert got == want
 
 
-edge_lists = st.lists(
+star_edge_lists = st.lists(
     st.tuples(st.integers(0, 40), st.integers(0, 40)),
     min_size=1,
     max_size=60,
 )
 
 
-@given(edges=edge_lists)
+@given(edges=star_edge_lists)
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_star_cc_matches_union_find(spark, edges):
     """Large-star/small-star CC must label every vertex with the

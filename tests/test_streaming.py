@@ -94,13 +94,29 @@ def test_windowed_counts_match_batch(spark, store):
     assert got == want
 
 
-def test_streaming_dedup_drops_replayed_rows(spark, store):
-    """At-least-once -> exactly-once-processing: replaying the same rows
-    through dedup yields no duplicates."""
-    log = store.read_topic("s1")
-    doubled = log.unionByName(log)  # simulate redelivery
-    deduped = doubled.dropDuplicates(["event_id", "ts"])
-    assert deduped.count() == log.count()
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """At-least-once -> exactly-once-processing, through a REAL streaming
+    query: the same 200 rows are produced twice (distinct batch_ids, so
+    the log genuinely holds 400), then api.dedup_stream runs over the
+    topic stream with a small maxFilesPerTrigger so the redelivered
+    copies arrive in LATER micro-batches — only cross-batch state-store
+    dedup can drop them, a batch dropDuplicates could not regress-test
+    this. Wide watermark: the file source doesn't batch in ts order, so
+    a tight horizon would GC state mid-drain and drop originals."""
+    st = TopicStore(spark, str(tmp_path / "topics_dup"))
+    st.create_topic("sdup", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    st.produce(ev, "sdup", batch_id="b-orig")
+    st.produce(ev, "sdup", batch_id="b-redelivery")
+    assert st.read_topic("sdup").count() == 400  # duplicates really landed
+    deduped = api.dedup_stream(
+        api.stream_topic(st, "sdup", max_files_per_trigger=2),
+        watermark="3650 days",
+    )
+    out = _drain_to_memory(spark, deduped, "m_dedup")
+    got = out.select("event_id").collect()
+    assert len(got) == 200, f"streaming dedup emitted {len(got)} rows"
+    assert len({r["event_id"] for r in got}) == 200
 
 
 def test_session_window_plan_builds(spark, store):

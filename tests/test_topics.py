@@ -38,7 +38,11 @@ def test_produce_assigns_contiguous_seq_per_bucket(store):
 
 
 def test_second_produce_extends_sequences(store, spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").limit(600).filter(F.col("event_id") >= 400)
+    # deterministic id-range slice — limit() before a filter would let the
+    # engine pick an arbitrary 600 rows and could leave this batch empty
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 400) & (F.col("event_id") < 600)
+    )
     store.produce(ev, "t1")
     log = store.read_topic("t1")
     per_bucket = (
@@ -46,6 +50,7 @@ def test_second_produce_extends_sequences(store, spark, sf_dir):
         .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
         .collect()
     )
+    assert sum(r["n"] for r in per_bucket) == 600  # append landed: 400 + 200
     for r in per_bucket:
         assert r["mx"] == r["n"] - 1  # still contiguous after append
 
