@@ -135,8 +135,22 @@ _PRIORITY_PREFIXES = (
 )
 
 
+# Queries whose contract (oracle SQL and/or builder semantics) changed
+# AFTER a prior round hash-verified them: a stale green row no longer
+# covers the live code, so they re-sort with the never-verified names
+# and the driver re-exercises the NEW contract. Keep this set tiny —
+# every entry competes with the unverified backlog for the driver's
+# 50-query budget (unverified + recheck must stay <= 50). Remove a name
+# once a later CORRECTNESS round is green for it.
+_ORACLE_CHANGED_RECHECK = {
+    # round 4: single-probe LSH -> multi-probe (Hamming-1) LSH; oracle
+    # gained the probes CTE, builder broadcasts the exploded query side
+    "q_ann_lsh_topk",
+}
+
+
 def _ordered_names() -> list[str]:
-    verified = _driver_verified_names()
+    verified = _driver_verified_names() - _ORACLE_CHANGED_RECHECK
 
     def rank(name: str) -> tuple[bool, int]:
         for i, pfx in enumerate(_PRIORITY_PREFIXES):

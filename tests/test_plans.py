@@ -158,6 +158,17 @@ def test_tpch_q4_exists_is_semi_join(spark):
     assert "LeftSemi" in p
 
 
+def test_ann_lsh_broadcasts_query_side(spark):
+    """The multi-probe ANN join must build the exploded QUERY side
+    (queries x 9 probes — always tiny) and stream the corpus: BuildLeft,
+    and the broadcast mode keyed on the probe column. Broadcasting the
+    corpus would work at test scale and break at any real one."""
+    p = plan(build(spark, "q_ann_lsh_topk"))
+    assert "BroadcastHashJoin" in p
+    assert "BuildLeft" in p and "BuildRight" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_edit_distance_blocking_is_hash_join(spark):
     """Prefix blocking must plan as an equi hash/SMJ join, never a
     cartesian/nested-loop product."""
