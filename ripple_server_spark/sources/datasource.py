@@ -62,11 +62,38 @@ _SEQ_IDX = _SCHEMA_FIELD_ORDER.index("seq")
 
 
 class BucketPartition(InputPartition):
-    def __init__(self, files: list[str], bucket: int, offset: int, limit: int | None):
+    def __init__(
+        self,
+        files: list[str],
+        bucket: int,
+        offset: int,
+        limit: int | None,
+        upto: int | None = None,
+    ):
         self.files = files
         self.bucket = bucket
         self.offset = offset
         self.limit = limit
+        self.upto = upto  # exclusive seq bound, pushed into the scan
+
+
+def _latest_version(root: str, topic: str) -> int | None:
+    """Latest committed manifest version, or None for manifest-less
+    legacy layouts — the ONE place manifest names are listed/parsed
+    (mirrors TopicStore._latest_version)."""
+    log_dir = os.path.join(root, "topics", topic, "_log")
+    manifests = (
+        sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+        if os.path.isdir(log_dir)
+        else []
+    )
+    return int(manifests[-1][:-5]) if manifests else None
+
+
+def _load_manifest(root: str, topic: str, version: int) -> dict:
+    path = os.path.join(root, "topics", topic, "_log", f"{version:020d}.json")
+    with open(path) as f:
+        return json.load(f)
 
 
 def _bucket_files(
@@ -80,23 +107,20 @@ def _bucket_files(
     crashed-produce orphans and mid-compaction files are invisible.
     Falls back to directory listing for manifest-less legacy layouts."""
     data_dir = os.path.join(root, "topics", topic, "data")
-    log_dir = os.path.join(root, "topics", topic, "_log")
     by_bucket: dict[int, list[str]] = {}
-    manifests = (
-        sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
-        if os.path.isdir(log_dir)
-        else []
-    )
-    if version is not None:
-        name = f"{version:020d}.json"
-        if name not in manifests:
+    if version is None:
+        version = _latest_version(root, topic)
+    elif version != _latest_version(root, topic):
+        # pinned: verify it exists for a precise error (the latest
+        # version trivially exists)
+        try:
+            _load_manifest(root, topic, version)
+        except FileNotFoundError:
             raise ValueError(
                 f"topic {topic!r} has no committed manifest version {version}"
-            )
-        manifests = [name]
-    if manifests:
-        with open(os.path.join(log_dir, manifests[-1])) as f:
-            m = json.load(f)
+            ) from None
+    if version is not None:
+        m = _load_manifest(root, topic, version)
         for rel in m["files"]:
             b = int(rel.split("/", 1)[0].split("=", 1)[1])
             by_bucket.setdefault(b, []).append(os.path.join(data_dir, rel))
@@ -122,6 +146,12 @@ def _read_bucket(part: BucketPartition):
 
     dataset = ds.dataset(part.files, format="parquet")
     flt = ds.field("seq") >= part.offset
+    if part.upto is not None:
+        # crash-recovery replay bound: pushing seq < upto into the scan
+        # keeps the replay proportional to the batch, not to the whole
+        # retained tail above the cursor (row groups past the bound are
+        # pruned by their seq stats)
+        flt = flt & (ds.field("seq") < part.upto)
     tbl = dataset.to_table(filter=flt)
     tbl = tbl.sort_by("seq")
     if part.limit is not None:
@@ -161,6 +191,13 @@ class RippleTopicReader(DataSourceReader):
         ]
 
     def read(self, partition: BucketPartition) -> Iterator[tuple]:
+        if partition is None:
+            # partitions() returned [] (created-but-empty topic, or all
+            # files aged out): Spark substitutes a single None partition
+            # and still calls read — an empty topic is a legitimate
+            # broker state, serve zero rows (same contract as
+            # TopicStore.read_topic), not an AttributeError
+            return
         yield from _read_bucket(partition)
 
 
@@ -191,15 +228,11 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             # O(1) in topic size; scanning the seq column of every
             # retained file (the thing "latest" exists to skip) would
             # make startup O(backlog) in driver I/O.
-            log_dir = os.path.join(self.root, "topics", self.topic, "_log")
-            manifests = (
-                sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
-                if os.path.isdir(log_dir)
-                else []
-            )
-            if manifests:
-                with open(os.path.join(log_dir, manifests[-1])) as f:
-                    maxima = json.load(f).get("maxima", {})
+            version = _latest_version(self.root, self.topic)
+            if version is not None:
+                maxima = _load_manifest(self.root, self.topic, version).get(
+                    "maxima", {}
+                )
                 cursors = {str(b): mx + 1 for b, mx in maxima.items()}
                 return {"cursors": json.dumps(cursors)}
             # manifest-less legacy layout: fall back to a parquet scan
@@ -223,13 +256,7 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         # snapshot; the version rides in the end offset so crash
         # recovery can replay the exact file set this batch saw (see
         # readBetweenOffsets).
-        log_dir = os.path.join(self.root, "topics", self.topic, "_log")
-        manifests = (
-            sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
-            if os.path.isdir(log_dir)
-            else []
-        )
-        version = int(manifests[-1][:-5]) if manifests else None
+        version = _latest_version(self.root, self.topic)
         for b, files in _bucket_files(self.root, self.topic, version):
             off = int(cursors.get(str(b), 0))
             part = BucketPartition(files, b, off, max_rows)
@@ -273,9 +300,10 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             if upto > off:
                 # bound by SEQ, not row count: a retention gap between
                 # off and upto must shrink the replay, not let it slide
-                # past upto
-                part = BucketPartition(files, b, off, None)
-                yield from (r for r in _read_bucket(part) if r[_SEQ_IDX] < upto)
+                # past upto — and the bound is pushed into the scan so
+                # replay cost follows the batch, not the retained tail
+                part = BucketPartition(files, b, off, None, upto=upto)
+                yield from _read_bucket(part)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns committed offsets

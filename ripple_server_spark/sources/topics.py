@@ -279,6 +279,11 @@ class TopicStore:
         commit, so a crash anywhere before the commit leaves only
         orphan files no reader sees (vacuum reclaims them) and the
         retry re-appends cleanly. Applied ids are bounded (last 1000).
+
+        NULL routing keys land in bucket 0 (the deterministic analog of
+        Kafka's null-key routing): pmod(NULL) is NULL, which would
+        otherwise write a ``__HIVE_DEFAULT_PARTITION__`` dir that breaks
+        every manifest reader and restarts seq at 0 on each produce.
         """
         base_v, meta = self.latest_manifest(topic)
         if batch_id is not None:
@@ -287,7 +292,9 @@ class TopicStore:
         n_buckets = meta["n_buckets"]
 
         existing = self._bucket_maxima(topic)
-        routed = df.withColumn("bucket", bucket_of(F.col(key_col), n_buckets))
+        routed = df.withColumn(
+            "bucket", F.coalesce(bucket_of(F.col(key_col), n_buckets), F.lit(0))
+        )
         w = Window.partitionBy("bucket").orderBy("ts", "event_id")
         # Base-seq lookup via a broadcast join of the tiny maxima map
         # (never a Python UDF on the data path).
@@ -513,7 +520,13 @@ class TopicStore:
         old-or-new snapshot (never a mix, never FileNotFound — old
         files persist until vacuum); a produce that lands mid-compact
         is preserved by the rebase (its files are not in the compacted
-        input set, so the swap keeps them). Seq/content are untouched,
+        input set, so the swap keeps them). A concurrent truncate (or
+        second compact) that REMOVED one of our input files supersedes
+        this attempt entirely: swapping in output built from the stale
+        base would resurrect aged-out rows below the retention floor,
+        so the commit aborts and the compaction restages from the
+        latest manifest (the superseded staged files are crash-orphan
+        equivalent; vacuum reclaims them). Seq/content are untouched,
         so consumer offsets stay valid.
         """
         n_buckets = self.topic_meta(topic)["n_buckets"]
@@ -523,29 +536,47 @@ class TopicStore:
             base_v = base_version
             with open(self._manifest_path(topic, base_v)) as f:
                 base = json.load(f)
-        compacted_input = set(base["files"])
-        staging = os.path.join(self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}")
-        (
-            self.read_topic(topic, version=base_v)
-            .repartition(n_buckets, F.col("bucket"))
-            .sortWithinPartitions("seq")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
-        )
-        new_files = self._move_staged(topic, staging)
 
-        def apply(m: dict) -> dict:
-            # keep files committed concurrently (not part of our input)
-            kept = [f for f in m["files"] if f not in compacted_input]
-            m["files"] = new_files + kept
-            # compacted files share one (merged) schema; only files a
-            # concurrent producer landed mid-compact can still diverge
-            if not kept:
-                m["schema_evolved"] = False
-            return m
+        class _InputSuperseded(Exception):
+            """A concurrent commit removed one of this compaction's
+            input files — the staged output contains rows the live
+            manifest no longer serves and must not be swapped in."""
 
-        self._commit(topic, base_v, apply)
+        for _ in range(20):
+            compacted_input = set(base["files"])
+            staging = os.path.join(
+                self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
+            )
+            (
+                self.read_topic(topic, version=base_v)
+                .repartition(n_buckets, F.col("bucket"))
+                .sortWithinPartitions("seq")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(staging)
+            )
+            new_files = self._move_staged(topic, staging)
+
+            def apply(
+                m: dict, compacted_input=compacted_input, new_files=new_files
+            ) -> dict:
+                if compacted_input - set(m["files"]):
+                    raise _InputSuperseded()
+                # keep files committed concurrently (not part of our input)
+                kept = [f for f in m["files"] if f not in compacted_input]
+                m["files"] = new_files + kept
+                # compacted files share one (merged) schema; only files a
+                # concurrent producer landed mid-compact can still diverge
+                if not kept:
+                    m["schema_evolved"] = False
+                return m
+
+            try:
+                self._commit(topic, base_v, apply)
+                return
+            except _InputSuperseded:
+                base_v, base = self.latest_manifest(topic)
+        raise RuntimeError(f"compaction superseded 20 times on topic {topic!r}")
 
     def truncate(self, topic: str, before_seq: int) -> int:
         """Retention: drop log FILES wholly below ``before_seq`` in every

@@ -178,6 +178,12 @@ class TTLDedupProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         if self._seen.exists():
+            # re-arm: updating the value resets its TTL clock, matching
+            # the GroupState form's re-arm-on-every-touch (sliding
+            # window) — a key is re-emitted only after ttl_ms of
+            # SILENCE, not ttl_ms after first sight while duplicates
+            # are still arriving
+            self._seen.update((1,))
             return
         self._seen.update((1,))
         for pdf in rows:

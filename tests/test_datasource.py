@@ -49,6 +49,40 @@ def test_batch_read_with_offset_and_limit(spark, store):
         assert r["n"] <= 10  # AskQuery.Count clamp
 
 
+def test_batch_read_of_empty_topic_serves_zero_rows(spark, store):
+    """A created-but-never-produced topic is a legitimate broker state:
+    partitions() returns [], Spark substitutes a single None partition
+    and still calls read(None) — which must yield nothing, matching
+    TopicStore.read_topic's empty-frame contract, not crash."""
+    store.create_topic("d_empty", n_buckets=2)
+    df = (
+        spark.read.format("ripple_topic")
+        .option("root", store.root)
+        .option("topic", "d_empty")
+        .load()
+    )
+    assert df.count() == 0
+    assert {"seq", "bucket", "event_id"} <= set(df.columns)
+
+
+def test_read_bucket_pushes_upto_bound_into_scan(spark, store):
+    """Crash-recovery replay pushes the exclusive seq bound into the
+    pyarrow dataset filter (BucketPartition.upto), so the replay reads
+    the batch's range, not the whole retained tail above the cursor."""
+    from ripple_server_spark.sources.datasource import (
+        BucketPartition,
+        _bucket_files,
+        _read_bucket,
+        _SEQ_IDX,
+    )
+
+    buckets = dict(_bucket_files(store.root, "d1"))
+    files = buckets[0]
+    rows = list(_read_bucket(BucketPartition(files, 0, 3, None, upto=9)))
+    seqs = sorted(r[_SEQ_IDX] for r in rows)
+    assert seqs == list(range(3, 9))
+
+
 def test_stream_reader_delivers_and_resumes(spark, store, tmp_path):
     q = (
         spark.readStream.format("ripple_topic")

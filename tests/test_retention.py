@@ -70,6 +70,36 @@ def test_compact_then_truncate_is_exact(spark, store):
     assert store.truncate("t", before_seq=hi) == 4
 
 
+def test_stale_base_compact_does_not_resurrect_truncated_rows(spark, sf_dir, tmp_path):
+    """Compact racing truncate: a compaction whose base snapshot predates
+    a truncate holds the aged-out rows in its staged output — swapping it
+    in would serve them again below the retention floor, permanently
+    (the compacted file straddles the floor, so no later truncate could
+    reclaim them). The commit must detect its input was superseded and
+    restage from the post-truncate manifest. Simulated deterministically
+    by pinning base_version to the pre-truncate manifest."""
+    st = TopicStore(spark, str(tmp_path / "race"))
+    st.create_topic("r", n_buckets=1)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(ev.filter(F.col("event_id") < 100), "r")  # seqs 0-99
+    st.produce(
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)), "r"
+    )  # seqs 100-199
+    post_produce_v, _ = st.latest_manifest("r")
+    assert st.truncate("r", before_seq=100) == 1  # first file aged out
+    floor = st._bucket_floors("r")[0]
+    assert floor == 100
+
+    # compact pinned to the PRE-truncate base: must rebase, not resurrect
+    st.compact("r", base_version=post_produce_v)
+    after = st.read_topic("r")
+    assert after.filter(F.col("seq") < floor).count() == 0, (
+        "stale-base compaction resurrected rows below the retention floor"
+    )
+    assert after.count() == 100  # seqs 100-199 intact
+    assert st._bucket_floors("r")[0] == floor  # floor survived the swap
+
+
 def test_total_truncation_then_reproduce_continues_seq(spark, sf_dir, tmp_path):
     """Aging out the ENTIRE log must leave a servable empty topic with
     the recorded message schema, and a later produce must continue the

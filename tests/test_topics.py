@@ -55,6 +55,37 @@ def test_second_produce_extends_sequences(store, spark, sf_dir):
         assert r["mx"] == r["n"] - 1  # still contiguous after append
 
 
+def test_produce_routes_null_keys_to_bucket_zero(spark, sf_dir, tmp_path):
+    """NULL routing keys must land in a REAL bucket (0 — the
+    deterministic analog of Kafka's null-key routing), with seq joining
+    bucket 0's normal contiguous chain. pmod(NULL) is NULL: unrouted it
+    would write a __HIVE_DEFAULT_PARTITION__ dir into the manifest
+    (breaking every ripple_topic reader) and restart seq at 0 on every
+    produce."""
+    st = TopicStore(spark, str(tmp_path / "null_keys"))
+    st.create_topic("nk", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events")
+    nulled = ev.filter(F.col("event_id") < 100).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("user_id")),
+    )
+    st.produce(nulled, "nk")
+    st.produce(nulled.withColumn("event_id", F.col("event_id") + 1000), "nk")
+    log = st.read_topic("nk")
+    assert log.count() == 200
+    assert log.filter(F.col("bucket").isNull()).count() == 0
+    per = (
+        log.groupBy("bucket")
+        .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per:  # contiguity holds with NULL keys folded into bucket 0
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+    # the manifest references only real bucket dirs
+    _v, m = st.latest_manifest("nk")
+    assert all(rel.startswith("bucket=") and "__HIVE" not in rel for rel in m["files"])
+
+
 def test_fifo_order_follows_ts_within_bucket(store):
     rows = (
         store.read_topic("t1")
