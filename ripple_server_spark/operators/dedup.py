@@ -28,7 +28,7 @@ from ripple_server_spark.config import (
     MINHASH_BANDS,
     MINHASH_PERMS,
 )
-from ripple_server_spark.functions.text import shingles_pandas
+from ripple_server_spark.functions.text import exploded_tokens, shingles_pandas
 from ripple_server_spark.functions.vectors import cosine, dot, l2_norm
 
 
@@ -82,6 +82,15 @@ def minhash_band_hashes(
             for s in range(perms)
         ]
     )
+    return _explode_band_hashes(mins, lambda i: F.col(f"m{i}"), perms, bands)
+
+
+def _explode_band_hashes(df: DataFrame, min_col, perms: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) from per-permutation minima — THE band layout
+    (md5 over each band's mins joined in seed order), shared by the expr
+    path (``min_col = lambda i: F.col(f"m{i}")``) and the Arrow-kernel
+    path (``lambda i: F.col("sig")[i]``) so the two stay bit-identical
+    by construction (equivalence test-asserted)."""
     if perms % bands:
         raise ValueError(
             f"perms ({perms}) must divide evenly into bands ({bands}): "
@@ -98,17 +107,14 @@ def minhash_band_hashes(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[
-                            F.col(f"m{b * rows + i}").cast("string")
-                            for i in range(rows)
-                        ],
+                        *[min_col(b * rows + i).cast("string") for i in range(rows)],
                     )
                 ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    return mins.select("doc_id", F.explode(band_structs).alias("x")).select(
+    return df.select("doc_id", F.explode(band_structs).alias("x")).select(
         "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
 
@@ -276,15 +282,6 @@ def minhash_band_hashes_from_docs(
     Arrow kernel (zero shuffle), band hashes as a JVM projection over
     the signature array — md5 of the band's mins joined in seed order,
     identical to :func:`minhash_band_hashes`."""
-    if perms % bands:
-        raise ValueError(
-            f"perms ({perms}) must divide evenly into bands ({bands}): "
-            "trailing permutations would be computed and shuffled but "
-            "silently ignored by the banding, and the effective "
-            "detection threshold (1/b)^(1/r) would differ from what "
-            "the caller's perms implied"
-        )
-    rows = perms // bands
     # Parallelism recovery: a corpus packed into few row groups (the
     # local fixtures are ONE) would run the kernel on that few tasks.
     # At real scale input splits >> cores and this branch is a no-op;
@@ -297,26 +294,7 @@ def minhash_band_hashes_from_docs(
     sigs = docs.select(
         "doc_id", minhash_sigs_pandas(F.col("text"), perms=perms).alias("sig")
     ).filter(F.col("sig").isNotNull())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("sig")[b * rows + i].cast("string")
-                            for i in range(rows)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sigs.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
-    )
+    return _explode_band_hashes(sigs, lambda i: F.col("sig")[i], perms, bands)
 
 
 def minhash_lsh_dedup(
@@ -390,8 +368,11 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     Two shuffles: token counts per doc, then signature assembly. The
     ±1 per (word,b) is codegen'd md5 — deterministic in any engine.
     """
+    # the ONE corpus tokenization rule (functions.text.tokens) — an
+    # inline re-split here would silently diverge from every other text
+    # operator's token stream if the rule ever changes
     toks = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        exploded_tokens(docs)
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -453,11 +434,24 @@ def embedding_neardup_bucketed(emb_with_bucket: DataFrame, min_sim: float = 0.2)
         F.col("b.vec_id").alias("vec_b"),
         sim.alias("sim"),
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b"))
+    return _nearest_above(pairs, min_sim)
+
+
+def _nearest_above(pairs: DataFrame, min_sim: float) -> DataFrame:
+    """Nearest-neighbor emit — THE rounding/tie contract of the
+    embedding near-dup family, in one place (6-dp rounded rank with
+    vec_b tie-break, threshold on the UNROUNDED sim, 4-dp display),
+    exactly what the DuckDB oracles encode. A precision or tie-order
+    change lands in both blocked variants at once."""
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b")
+    )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("sim") >= min_sim))
-        .select("vec_a", F.col("vec_b").alias("nearest_id"), F.round("sim", 4).alias("sim"))
+        .select(
+            "vec_a", F.col("vec_b").alias("nearest_id"), F.round("sim", 4).alias("sim")
+        )
     )
 
 
@@ -480,12 +474,7 @@ def embedding_neardup(emb: DataFrame, min_sim: float = 0.2) -> DataFrame:
             sim.alias("sim"),
         )
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("sim") >= min_sim))
-        .select("vec_a", F.col("vec_b").alias("nearest_id"), F.round("sim", 4).alias("sim"))
-    )
+    return _nearest_above(pairs, min_sim)
 
 
 def setsim_join_prefix(
@@ -644,7 +633,7 @@ class IncrementalSetSimJoin:
         for h in handles:
             h.unpersist()
 
-        old = (self.sh, self.pref, self.df, self._last_pairs)
+        old = (self.sh, self.pref, self.df)
         self.sh = sh_all.localCheckpoint()
         self.pref = pref_all.localCheckpoint()
         merged = df_c if self.df is None else (
@@ -653,8 +642,12 @@ class IncrementalSetSimJoin:
             .agg(F.sum("df").alias("df"))
         )
         self.df = merged.localCheckpoint()
-        # the new checkpoints (and the returned pairs) carry all data
-        # forward — free the superseded epoch's blocks
+        # the new checkpoints carry the INTERNAL state forward — free the
+        # superseded epoch's blocks. The previously RETURNED pairs frame
+        # is the caller's handle: never free its blocks here (an action
+        # on it would hit missing checkpoint blocks); dropping our
+        # reference leaves reclamation to GC + ContextCleaner once the
+        # caller lets go.
         for stale in (*old, sh_c, pref_c):
             free_local_checkpoint(stale)
         self._last_batch_id = batch_id

@@ -63,6 +63,11 @@ def connected_components(
     fallbacks; the budget is bytes, not a row count, so the driver-
     memory exposure is explicit and configurable.)
     """
+    if max_iter < 1:
+        # changed starts at 0, so a zero-round run would LOOK converged
+        # and silently return identity labels — exactly the partial
+        # fixpoint the fail-loud guard below exists to prevent
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # Persist before the tier-choosing count: without it the (possibly
     # expensive) edge-producing pipeline would run twice — once for
     # count(), once for the collect()/loop that follows.
@@ -140,6 +145,10 @@ def connected_components(
             f"({changed} labels still changing) — the graph's diameter "
             "exceeds max_iter; raise it or use connected_components_star"
         )
+    # the returned labels depend only on the final round's checkpoint —
+    # the symmetrized edge set (the largest cached state of the job) is
+    # dead now; free it like every superseded round's labels
+    free_local_checkpoint(e)
     return labels
 
 
@@ -166,6 +175,10 @@ def connected_components_star(
     minimum vertex id of the component, identical to
     :func:`connected_components`.
     """
+    if max_iter < 1:
+        # same fail-loud contract as connected_components: a zero-round
+        # run would return the raw edge list as labels, not components
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # node set BEFORE dropping self-loops: a vertex whose only edge is
     # (v, v) is a singleton component and must still be labeled, exactly

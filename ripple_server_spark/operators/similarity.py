@@ -43,6 +43,31 @@ def _collect_query_rows(queries: DataFrame, max_rows: int = MAX_BROADCAST_QUERIE
     return rows
 
 
+def _empty_topk_result(df: DataFrame) -> DataFrame:
+    """Typed empty frame for a zero-query call: an empty broadcast side
+    means an empty join result (SQL semantics), not a numpy crash."""
+    return df.sparkSession.createDataFrame(
+        [], "q_id long, neighbor_id long, sim double"
+    )
+
+
+def _query_matrix(queries: DataFrame, normalize: bool = False):
+    """Broadcast-side query set as ``(qids, qm, qn)`` int64/float64
+    arrays — the shared preamble of every top-k kernel, so dtype and
+    guard changes land once instead of drifting across four copies.
+    Returns None for an EMPTY query set (callers emit a typed empty
+    result instead of letting ``np.stack([])`` raise)."""
+    qrows = _collect_query_rows(queries)
+    if not qrows:
+        return None
+    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
+    if normalize:
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
+    qn = np.linalg.norm(qm, axis=1)
+    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
+    return qids, qm, qn
+
+
 def cosine_topk_scan(
     emb: DataFrame,
     queries: DataFrame,
@@ -55,10 +80,10 @@ def cosine_topk_scan(
     ``margin`` extra candidates per batch guard the per-batch pre-prune
     against rounded-tie reordering in the final global rank.
     """
-    qrows = _collect_query_rows(queries)
-    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qm, axis=1)
-    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
+    qmx = _query_matrix(queries)
+    if qmx is None:
+        return _empty_topk_result(emb)
+    qids, qm, qn = qmx
     take = k + margin
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,6 +161,11 @@ def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
             .limit(sample_cap)
             .collect()
         )
+    if not rows:
+        raise ValueError(
+            "cannot train an ANN quantizer on an empty corpus: the "
+            "embeddings DataFrame has no rows"
+        )
     x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
     return x
@@ -186,11 +216,11 @@ def ivf_topk(
     candidates. A final window rank merges batches. This is the classic
     IVF-Flat search shape (FAISS-style) expressed as mapInPandas.
     """
+    qmx = _query_matrix(queries)
+    if qmx is None:
+        return _empty_topk_result(emb)
+    qids, qm, qn = qmx
     cent = train_centroids(emb, nlist)
-    qrows = _collect_query_rows(queries)
-    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qm, axis=1)
-    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
     # per-query probed cells -> cell -> query row indices
     probe = np.argsort(-((qm / np.maximum(qn[:, None], 1e-12)) @ cent.T), axis=1)[
         :, :nprobe
@@ -253,10 +283,10 @@ def cosine_topk_scan_arrow(
     """
     import pyarrow as pa
 
-    qrows = _collect_query_rows(queries)
-    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qm, axis=1)
-    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
+    qmx = _query_matrix(queries)
+    if qmx is None:
+        return _empty_topk_result(emb)
+    qids, qm, qn = qmx
     take = k + margin
 
     def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -355,13 +385,13 @@ def pq_topk(
     vanishing fraction of the corpus. Codebooks and query LUTs are a
     few KB broadcast to every task.
     """
+    qmx = _query_matrix(queries, normalize=True)
+    if qmx is None:
+        return _empty_topk_result(emb)
+    qids, qm, _qn = qmx
     books = train_pq_codebooks(emb, m=m, ksub=ksub)
     dsub = books.shape[2]
     take_batch = rerank + margin  # tie guard for the rounded global cut
-    qrows = _collect_query_rows(queries)
-    qm = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in qrows])
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
-    qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
     # ADC lookup table: LUT[q, j, c] = q_subvec_j . codebook[j][c]
     lut = np.stack(
         [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1

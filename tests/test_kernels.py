@@ -773,3 +773,63 @@ def test_connected_components_raises_when_not_converged(spark):
     # with budget, the same input converges to one component
     ok = connected_components(e, max_iter=20, max_local_edge_bytes=0)
     assert {r["comp"] for r in ok.collect()} == {0}
+
+
+def test_cc_rejects_nonpositive_max_iter(spark):
+    """max_iter <= 0 must raise, not silently return identity labels
+    (changed starts at 0, so a zero-round run would look converged to
+    the fail-loud guard)."""
+    import pytest as _pytest
+
+    from ripple_server_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components(e, max_iter=0, max_local_edge_bytes=0)
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components_star(e, max_iter=0)
+
+
+def test_similarity_empty_queries_and_corpus(spark, sf_dir):
+    """Degenerate inputs fail cleanly: zero queries -> typed empty
+    result from every top-k entry point (SQL empty-join semantics, not
+    an np.stack crash); an empty corpus -> a clear training error."""
+    import pytest as _pytest
+
+    from ripple_server_spark.operators.similarity import (
+        cosine_topk_scan,
+        cosine_topk_scan_arrow,
+        ivf_topk,
+        pq_topk,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    no_q = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    for fn in (cosine_topk_scan, cosine_topk_scan_arrow, ivf_topk, pq_topk):
+        out = fn(emb, no_q)
+        assert out.count() == 0
+        assert out.columns == ["q_id", "neighbor_id", "sim"]
+    with _pytest.raises(ValueError, match="empty corpus"):
+        train_centroids(emb.filter(F.lit(False)), nlist=4)
+
+
+def test_incremental_setsim_prior_epoch_pairs_stay_usable(spark):
+    """The frame observe() RETURNS belongs to the caller: a later epoch
+    must not free its checkpoint blocks (a held handle would hit
+    missing-block errors on its next action)."""
+    from ripple_server_spark.operators.dedup import IncrementalSetSimJoin
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    inc = IncrementalSetSimJoin(threshold=0.5)
+    pairs_0 = inc.observe(mk([(1, "a b c d e f g"), (2, "a b c d e f h")]), batch_id=0)
+    n0 = pairs_0.count()
+    inc.observe(mk([(3, "a b c d e f g x")]), batch_id=1)
+    inc.observe(mk([(4, "a b c d e f g y")]), batch_id=2)
+    # epoch 0's handle still materializes after two later epochs
+    assert pairs_0.count() == n0
