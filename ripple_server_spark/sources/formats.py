@@ -27,6 +27,12 @@ TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 # PERMISSIVE mode.
 TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 TS_NTZ_FMT_READ = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
+# Same tolerance on the plain-TIMESTAMP read path: an explicit
+# timestampFormat disables Spark's fallback parsers, so the strict
+# 6-digit write pattern would silently NULL externally produced values
+# with 0/3 fractional digits ('...:00Z', '...:00.123Z') under
+# PERMISSIVE mode. Writes stay fixed-width.
+TS_FMT_READ = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"
 
 
 def _ts_write_opts(w):
@@ -34,7 +40,7 @@ def _ts_write_opts(w):
 
 
 def _ts_read_opts(r):
-    return r.option("timestampFormat", TS_FMT).option(
+    return r.option("timestampFormat", TS_FMT_READ).option(
         "timestampNTZFormat", TS_NTZ_FMT_READ
     )
 

@@ -117,8 +117,12 @@ class TopicMaintenance:
             raise RuntimeError("maintenance loop already running")
         self._stop_evt = threading.Event()
 
-        def loop() -> None:
-            while not self._stop_evt.wait(self.interval_s):
+        # bind THIS start()'s event: the closure must not re-read
+        # self._stop_evt, or a stop() whose join times out followed by
+        # start() would leave the old thread watching the NEW (unset)
+        # event — two maintenance loops contending on one topic
+        def loop(evt: threading.Event = self._stop_evt) -> None:
+            while not evt.wait(self.interval_s):
                 self.run_once()
 
         self._thread = threading.Thread(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,10 +85,29 @@ class HourlyRollup:
         # so "seq > hwm" no longer means "new" (reused seqs would be
         # silently never folded — the same continuity break
         # read_increment() refuses on). The rollup can self-heal
-        # instead: drop the HWM and recompute every affected hour from
-        # the restored snapshot.
-        if hwm and manifest.get("restored_from") != seen_restore:
+        # instead: drop the HWM, clear the aggregate table, and rebuild
+        # from the restored snapshot — clearing matters because dynamic
+        # partition overwrite only rewrites hours PRESENT in the
+        # restored log, and an hour whose rows were entirely rolled
+        # back would otherwise keep serving rolled-back aggregates
+        # forever.
+        restored = bool(hwm) and manifest.get("restored_from") != seen_restore
+        if restored:
             hwm = {}
+            shutil.rmtree(os.path.join(self.dest, "data"), ignore_errors=True)
+            # crash-safe: the old state (with the stale restore marker)
+            # survives until the normal post-write commit below, so a
+            # crash anywhere in the rebuild re-detects the restore and
+            # rebuilds again
+
+        if not manifest.get("files"):
+            # nothing retained (never produced, or restored/truncated to
+            # empty): there are no event columns to aggregate — and after
+            # a restore-to-empty the cleared table must STAY empty, with
+            # the marker committed so later refreshes don't re-detect it
+            if restored:
+                self._write_state(maxima, manifest)
+            return {"hours_refreshed": 0, "new_rows": 0}
 
         if hwm:
             hwm_df = self.spark.createDataFrame(
@@ -118,6 +138,11 @@ class HourlyRollup:
         )
         hours = [r["hk"] for r in hour_counts]
         if not hours:
+            if restored:
+                # restored-to-empty: the table was cleared above and
+                # stays empty; commit the new marker so later refreshes
+                # don't re-detect the same restore
+                self._write_state(maxima, manifest)
             return {"hours_refreshed": 0, "new_rows": 0}
 
         n_new = sum(r["c"] for r in hour_counts)
@@ -146,7 +171,16 @@ class HourlyRollup:
         # State commits AFTER the data write: a crash in between replays
         # the same hours idempotently on the next refresh. The restore
         # marker rides along so the next refresh can detect a rollback.
-        with open(self._state_path(), "w") as f:
+        self._write_state(maxima, manifest)
+        return {"hours_refreshed": len(hours), "new_rows": n_new}
+
+    def _write_state(self, maxima: dict, manifest: dict) -> None:
+        # atomic (tmp + rename, same discipline as TopicStore._write_json):
+        # a crash mid-dump must leave the previous state readable, not a
+        # truncated JSON that breaks every later refresh
+        path = self._state_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "hwm": {str(b): m for b, m in maxima.items()},
@@ -154,7 +188,23 @@ class HourlyRollup:
                 },
                 f,
             )
-        return {"hours_refreshed": len(hours), "new_rows": n_new}
+        os.replace(tmp, path)
+
+    # partition column (hour_key) LAST — the order spark.read.parquet
+    # yields for a partitioned table, so the empty frame's schema equals
+    # the folded table's
+    ROLLUP_DDL = (
+        "event_type string, n bigint, sum_value double, "
+        "min_value double, max_value double, hour_key string"
+    )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dest, "data"))
+        data = os.path.join(self.dest, "data")
+        if not os.path.isdir(data) or not any(
+            e.startswith("hour_key=") for e in os.listdir(data)
+        ):
+            # nothing folded yet (or restored-to-empty): an empty typed
+            # frame, not a PATH_NOT_FOUND crash for a scheduler that
+            # reads before the first produce
+            return self.spark.createDataFrame([], self.ROLLUP_DDL)
+        return self.spark.read.parquet(data)

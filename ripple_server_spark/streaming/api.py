@@ -32,6 +32,8 @@ This is the live half of the reference's pub/sub surface:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
@@ -102,9 +104,15 @@ def write_stream_to_topic(
     + produce is the correct composition.)
     """
 
+    # Normalize the checkpoint path inside the idempotency id: Spark
+    # replays batch N for the RESOLVED checkpoint dir, so 'ckpt' and
+    # 'ckpt/' (same dir, different spelling) must produce the same id —
+    # a spelling-sensitive id would let a replayed batch double-append.
+    ckpt_id = os.path.abspath(checkpoint)
+
     def _produce(batch: DataFrame, batch_id: int) -> None:
         store.produce(
-            batch, topic, key_col=key_col, batch_id=f"{topic}/{checkpoint}#{batch_id}"
+            batch, topic, key_col=key_col, batch_id=f"{topic}/{ckpt_id}#{batch_id}"
         )
 
     return df.writeStream.foreachBatch(_produce).option(
@@ -337,13 +345,26 @@ class StreamingGate:
 
         Empty micro-batches (e.g. a source's startup batch) report
         count metrics as 0 and sum metrics as None — predicates must
-        tolerate both (or the caller filters batches by n_rows)."""
+        tolerate both (or the caller filters batches by n_rows).
+
+        A rule whose metric name never appeared in ANY observed batch is
+        itself reported as a violation (batch -1): a typo'd require()
+        must fail the gate, not pass it vacuously."""
         out = []
         for i, row in enumerate(self.batches):
             for m, pred, rule in self._rules:
                 if m in row and not pred(row[m]):
                     out.append((i, m, row[m], rule))
+        if self.batches:
+            seen = set().union(*(row.keys() for row in self.batches))
+            for m, _pred, rule in self._rules:
+                if m not in seen:
+                    out.append((-1, m, None, f"metric never observed: {rule}"))
         return out
 
     def close(self, spark) -> None:
         spark.streams.removeListener(self._listener)
+        # allow a later attach() to re-register — leaving _attached True
+        # would make the next query's gate collect nothing and report
+        # vacuously clean
+        self._attached = False

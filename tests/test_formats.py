@@ -86,3 +86,32 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     q = back.filter(F.col("user_id") == 7).select("event_id", "user_id")
     plan = spark._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
     assert "PushedFilters:" in plan and "user_id" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_timestamp_read_accepts_variable_fraction_digits(spark, tmp_path):
+    """Same tolerance for plain TIMESTAMP (with zone offset): external
+    '...:00Z' / '...:00.123Z' values must parse, not null out — the
+    explicit write format disables Spark's fallback parsers on read."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    p = tmp_path / "ext_ts"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "ts": "2024-03-01T10:00:00Z"}\n'
+        '{"id": 2, "ts": "2024-03-01T10:00:00.123Z"}\n'
+        '{"id": 3, "ts": "2024-03-01T10:00:00.123456+00:00"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    got = {r["id"]: r["ts"] for r in formats.read_json(spark, str(p), schema).collect()}
+    assert got == {
+        1: datetime.datetime(2024, 3, 1, 10, 0, 0),
+        2: datetime.datetime(2024, 3, 1, 10, 0, 0, 123000),
+        3: datetime.datetime(2024, 3, 1, 10, 0, 0, 123456),
+    }

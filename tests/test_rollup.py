@@ -236,15 +236,58 @@ def test_rollup_self_heals_after_restore(spark, sf_dir, tmp_path):
     st.produce(ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 125)), "rr")
     out = ru.refresh()
     assert out["hours_refreshed"] > 0
-    # 40 original + 25 post-restore; the 30 rolled-back rows may remain
-    # in hours the rebuild didn't touch — assert the folded hours are
-    # exactly the restored log's
+    # the rebuild clears the aggregate table first, so the rollup equals
+    # the restored log EXACTLY — no stale hour may keep serving
+    # rolled-back aggregates (an hour whose rows were entirely rolled
+    # back must disappear, not survive the dynamic-partition overwrite)
     log_now = (
         st.read_topic("rr")
         .groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("hour_key"))
         .agg(F.count("*").alias("n"))
     )
     rolled = ru.read().groupBy("hour_key").agg(F.sum("n").alias("n"))
-    got = {(r["hour_key"], r["n"]) for r in rolled.join(log_now.select("hour_key"), "hour_key", "left_semi").collect()}
+    got = {(r["hour_key"], r["n"]) for r in rolled.collect()}
     want = {(r["hour_key"], r["n"]) for r in log_now.collect()}
     assert got == want
+    assert ru.read().agg(F.sum("n")).first()[0] == 65  # 40 restored + 25 new
+
+
+def test_rollup_read_before_first_fold_is_empty_typed(spark, tmp_path):
+    """read() on a rollup that has never folded anything returns an
+    empty frame with the rollup schema (a scheduler may read before the
+    first produce), not a PATH_NOT_FOUND crash."""
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "t3"))
+    st.create_topic("empty_r", n_buckets=2)
+    ru = HourlyRollup(spark, st, "empty_r", str(tmp_path / "roll3"))
+    assert ru.refresh() == {"hours_refreshed": 0, "new_rows": 0}
+    df = ru.read()
+    assert df.count() == 0
+    assert df.columns == [
+        "event_type", "n", "sum_value", "min_value", "max_value", "hour_key"
+    ]
+
+
+def test_rollup_state_write_is_atomic(spark, sf_dir, tmp_path):
+    """The state file commits via tmp+rename: no .tmp remnant survives a
+    refresh, and a pre-existing stale .tmp (crash artifact) is ignored
+    and replaced rather than corrupting the state."""
+    import os
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "t4"))
+    st.create_topic("at", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(30), "at")
+    ru = HourlyRollup(spark, st, "at", str(tmp_path / "roll4"))
+    # plant a crash artifact where the tmp file goes
+    with open(ru._state_path() + ".tmp", "w") as f:
+        f.write("{corrupt")
+    ru.refresh()
+    assert not os.path.exists(ru._state_path() + ".tmp")
+    hwm, _marker = ru._load_state()
+    assert hwm  # committed state is valid JSON with the folded HWMs

@@ -287,6 +287,50 @@ def test_streaming_gate_observes_and_flags(spark, tmp_path):
     viols = gate.violations()
     assert all(m != "short_docs" for _, m, _, _ in viols)
     assert any(m == "n_rows" and v >= 10 for _, m, v, _ in viols)
+    # a rule on a metric name that never appears (typo'd require) must
+    # itself be a violation, not a vacuous pass
+    gate.require("n_row", lambda v: True, "typo'd metric name")
+    assert any(
+        b == -1 and m == "n_row" and "never observed" in r
+        for b, m, _v, r in gate.violations()
+    )
+
+
+def test_streaming_gate_reattaches_after_close(spark, tmp_path):
+    """close() must fully release the gate so a later attach() on the
+    same instance re-registers the listener — otherwise the second
+    query's metrics are silently never collected and the gate passes
+    vacuously."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.streaming.api import StreamingGate
+
+    from tests.conftest import SF_SMOKE
+
+    src_dir = str(tmp_path / "in2")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    docs.write.mode("overwrite").parquet(src_dir)
+    gate = StreamingGate("reuse_gate")
+
+    def run(ck, expect_batches):
+        stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+        observed = gate.attach(spark, stream, n_rows=F.count(F.lit(1)))
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert gate.wait(n_batches=expect_batches, timeout_s=20)
+        gate.close(spark)
+
+    run("ck_a", expect_batches=1)
+    n_first = len(gate.batches)
+    assert n_first >= 1
+    # second attach after close: listener must collect the new query's
+    # batches on top of the first run's
+    run("ck_b", expect_batches=n_first + 1)
+    assert len(gate.batches) > n_first
 
 
 def test_late_rows_beyond_watermark_are_dropped(spark, sf_dir, tmp_path):
