@@ -68,6 +68,29 @@ def _query_matrix(queries: DataFrame, normalize: bool = False):
     return qids, qm, qn
 
 
+def _batch_topk_pairs(sims: np.ndarray, take: int):
+    """(row_idx, col_idx) of every batch row that can survive the
+    global cut: per query (column), all rows whose 6-dp-ROUNDED sim
+    ties or beats the ``take``-th largest rounded sim in this batch.
+
+    Exact under ties: :func:`_global_topk` ranks by the rounded sim
+    with neighbor_id as the tie-break, so a row tied at the pre-prune
+    boundary can still win the global tie-break and MUST be forwarded.
+    A bare argpartition forwards an arbitrary subset of the tied group
+    (caught by the adversarial ties scenario — an all-identical-vector
+    corpus made per-batch selection disagree with the SQL oracle's
+    id-ordered ties). Under mass ties the forwarded set legitimately
+    grows to the tied group's size — that is the contract, not a leak.
+    Non-finite sims (masked self-pairs) never match."""
+    if sims.shape[0] == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    r = np.round(sims, 6)
+    top = min(take, r.shape[0])
+    thr = -np.partition(-r, top - 1, axis=0)[top - 1, :]
+    mask = (r >= thr[None, :]) & np.isfinite(sims)
+    return np.nonzero(mask)
+
+
 def cosine_topk_scan(
     emb: DataFrame,
     queries: DataFrame,
@@ -77,8 +100,10 @@ def cosine_topk_scan(
     """Exact cosine top-k of ``queries`` (columns q_id, qe) over ``emb``
     (columns vec_id, embedding), excluding self-pairs.
 
-    ``margin`` extra candidates per batch guard the per-batch pre-prune
-    against rounded-tie reordering in the final global rank.
+    Per-batch pre-prune keeps ``k + margin`` candidates per query plus
+    every row TIED with the boundary at the global rank's 6-dp rounding
+    (:func:`_batch_topk_pairs`), so the final cut is exact for any tie
+    structure.
     """
     qmx = _query_matrix(queries)
     if qmx is None:
@@ -88,19 +113,20 @@ def cosine_topk_scan(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vid = pdf["vec_id"].to_numpy().astype(np.int64)
             sims = (m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
             sims[vid[:, None] == qids[None, :]] = -np.inf  # self-exclusion
-            top = min(take, sims.shape[0])
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # rows x queries
-            out = {
-                "q_id": np.repeat(qids, top),
-                "neighbor_id": vid[idx].T.ravel(),
-                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
-            }
-            pdf_out = pd.DataFrame(out)
-            yield pdf_out[np.isfinite(pdf_out["sim"])]
+            ri, qi = _batch_topk_pairs(sims, take)
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi],
+                    "neighbor_id": vid[ri],
+                    "sim": sims[ri, qi],
+                }
+            )
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "q_id long, neighbor_id long, sim double"
@@ -126,6 +152,83 @@ def _global_topk(
     if emit_score:
         return ranked.select("q_id", "neighbor_id", F.round(score, 4).alias("sim"))
     return ranked.select("q_id", "neighbor_id")
+
+
+def ann_recall_audit(
+    queries: DataFrame,
+    result: DataFrame,
+    exact: DataFrame,
+    emb: DataFrame,
+    k: int,
+    min_recall: float = 0.7,
+) -> DataFrame:
+    """One-row ANN audit summary (n_queries, n_returned, recall_ok) —
+    the driver-checkable contract shared by the IVF and PQ queries.
+
+    Corpus-aware: the expected per-query return count is
+    ``min(k, |corpus| - 1)`` clamped at 0 (self excluded), so the audit
+    holds on ANY corpus — a 1-vector or empty corpus passes vacuously
+    with 0 returns instead of comparing NULL aggregates against a
+    hard-coded k (caught by the adversarial parity sweep's single_row /
+    empty scenarios).
+
+    Recall counts a returned neighbor as a hit when its sim reaches the
+    query's k-th best EXACT sim (recall-with-ties, the standard IR
+    definition): under heavy sim ties any tied pick is a true nearest
+    neighbor, where an id-join against the tie-broken exact list would
+    undercount (caught by the sweep's all-identical-vectors scenario).
+    The id-joined sim-agreement term still verifies the re-rank math
+    wherever ids do coincide.
+
+    ``queries`` must be one row per q_id; n_queries comes from it (not
+    from the result) so queries with zero returns still count.
+    """
+    nc = emb.agg(F.count("*").alias("nc"))
+    expected_k = F.greatest(F.least(F.lit(k), F.col("nc") - 1), F.lit(0))
+    per_q = queries.select("q_id").join(
+        result.groupBy("q_id").agg(F.count("*").alias("n_ret")), "q_id", "left"
+    ).select(F.coalesce("n_ret", F.lit(0)).alias("n_ret"))
+    thr = exact.groupBy("q_id").agg(F.min("exact_sim").alias("thr"))
+    hits = (
+        result.join(thr, "q_id")
+        .filter(F.col("sim") >= F.col("thr") - 1e-9)
+        .agg(F.count("*").alias("hits"))
+    )
+    sim_err = result.join(exact, on=["q_id", "neighbor_id"]).agg(
+        F.coalesce(
+            F.max(F.abs(F.col("sim") - F.col("exact_sim"))), F.lit(0.0)
+        ).alias("max_sim_err")
+    )
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.coalesce(F.sum("n_ret"), F.lit(0)).cast("bigint").alias("n_returned"),
+            F.min("n_ret").alias("min_ret"),
+        )
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(sim_err))
+        .select(
+            "n_queries",
+            "n_returned",
+            (
+                (F.col("hits") >= min_recall * expected_k * F.col("n_queries"))
+                & (F.coalesce(F.col("min_ret"), expected_k) == expected_k)
+                & (F.col("max_sim_err") < 1e-6)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+ANN_AUDIT_ORACLE = """
+    WITH nc AS (SELECT count(*) AS n FROM embeddings),
+         q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 20)
+    SELECT CAST(q.nq AS BIGINT) AS n_queries,
+           CAST(q.nq * greatest(least({k}, nc.n - 1), 0) AS BIGINT)
+               AS n_returned,
+           TRUE AS recall_ok
+    FROM q CROSS JOIN nc
+"""
 
 
 def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
@@ -215,10 +318,22 @@ def ivf_topk(
     the queries probing that cell, emitting per-batch top-(k+margin)
     candidates. A final window rank merges batches. This is the classic
     IVF-Flat search shape (FAISS-style) expressed as mapInPandas.
+
+    Tiny corpora fall back to the exact flat scan: below ~4x nlist
+    vectors there are too few points for the cell structure to promise
+    nprobe coverage (one query can land in a probe set that misses the
+    only neighbors — caught by the adversarial sweep's 2-vector
+    corpus), and scanning the whole corpus is cheaper than pruning it
+    anyway — the same small-index guideline FAISS documents for
+    IVF-vs-Flat.
     """
     qmx = _query_matrix(queries)
     if qmx is None:
         return _empty_topk_result(emb)
+    # cheap bounded probe: only needs to distinguish "tiny" from "big"
+    flat_cutoff = 4 * nlist
+    if len(emb.select("vec_id").limit(flat_cutoff + 1).collect()) <= flat_cutoff:
+        return cosine_topk_scan_arrow(emb, queries, k=k, margin=margin)
     qids, qm, qn = qmx
     cent = train_centroids(emb, nlist)
     # per-query probed cells -> cell -> query row indices
@@ -297,15 +412,13 @@ def cosine_topk_scan_arrow(
             m = flat.reshape(len(vid), -1)
             sims = (m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
             sims[vid[:, None] == qids[None, :]] = -np.inf
-            top = min(take, sims.shape[0])
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            sim_out = np.take_along_axis(sims, idx, axis=0).T.ravel()
-            keep = np.isfinite(sim_out)
+            # tie-exact pre-prune, same contract as cosine_topk_scan
+            ri, qi = _batch_topk_pairs(sims, take)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "q_id": np.repeat(qids, top)[keep],
-                    "neighbor_id": vid[idx].T.ravel()[keep],
-                    "sim": sim_out[keep],
+                    "q_id": qids[qi],
+                    "neighbor_id": vid[ri],
+                    "sim": sims[ri, qi],
                 }
             )
 

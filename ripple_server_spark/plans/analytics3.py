@@ -110,10 +110,24 @@ def q_seq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(stddev_samp(value), 6) AS sd,
            round(var_samp(value), 6) AS var,
-           round(skewness(value) * (count(*) - 2)
-                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
-           round(kurtosis_pop(value), 6) AS kurt,
-           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uid,
+           -- zero-variance guard on the shape moments: on a CONSTANT
+           -- series whose value is not binary-representable (e.g.
+           -- 327.53), DuckDB's sum-of-powers accumulation leaves a
+           -- ~1e-23 cancellation residue in m2 and skew/kurt explode
+           -- into garbage, while Spark's Welford updates give m2 = 0
+           -- exactly and return NULL. Both engines now emit NULL
+           -- whenever the variance rounds to 0 at the result edge.
+           CASE WHEN round(var_samp(value), 6) > 0
+                THEN round(skewness(value) * (count(*) - 2)
+                           / sqrt(count(*) * (count(*) - 1.0)), 6) END AS skew,
+           CASE WHEN round(var_samp(value), 6) > 0
+                THEN round(kurtosis_pop(value), 6) END AS kurt,
+           -- corr carries the same residue problem in its sd terms:
+           -- gate on BOTH sides' variance rounding positive
+           CASE WHEN round(var_samp(value), 6) > 0
+                 AND round(var_samp(CAST(user_id AS DOUBLE)), 6) > 0
+                THEN round(corr(value, CAST(user_id AS DOUBLE)), 6)
+           END AS corr_uid,
            round(regr_slope(value, epoch(ts)), 9) AS trend
     FROM events GROUP BY event_type
     """,
@@ -130,16 +144,41 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLE forms — the oracle uses kurtosis_pop() and de-corrects
     skewness by (n-2)/sqrt(n(n-1)) so both engines compute g1/g2."""
     ev = load_table(spark, sf_dir, "events")
+    # skew/kurt gated on round(var, 6) > 0 in BOTH engines: see the
+    # oracle comment — DuckDB's sum-of-powers m2 keeps a cancellation
+    # residue on constant non-representable values where Spark's
+    # Welford m2 is exactly 0, so the raw moments disagree there.
+    var_pos = F.round(F.var_samp("value"), 6) > 0
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd"),
         F.round(F.var_samp("value"), 6).alias("var"),
-        F.round(F.skewness("value"), 6).alias("skew"),
-        F.round(F.kurtosis("value"), 6).alias("kurt"),
-        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
-            "corr_uid"
-        ),
+        F.when(var_pos, F.round(F.skewness("value"), 6)).alias("skew"),
+        F.when(var_pos, F.round(F.kurtosis("value"), 6)).alias("kurt"),
+        # corr/regr_slope decomposed into their co-moment ratios with
+        # try_divide: under ANSI, Spark's builtins throw DIVIDE_BY_ZERO
+        # on a zero-variance side (constant value column, or all of a
+        # type's events at one timestamp), where DuckDB yields NULL.
+        # Identical to the builtins wherever variance is nonzero
+        # (same partial-aggregated co-moments, one extra division).
+        F.when(
+            var_pos
+            & (F.round(F.var_samp(F.col("user_id").cast("double")), 6) > 0),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("value", F.col("user_id").cast("double")),
+                    F.stddev_samp("value")
+                    * F.stddev_samp(F.col("user_id").cast("double")),
+                ),
+                6,
+            ),
+        ).alias("corr_uid"),
         F.round(
-            F.regr_slope("value", F.unix_micros(F.col("ts").cast("timestamp")) / 1e6),
+            F.try_divide(
+                F.covar_pop(
+                    "value", F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+                ),
+                F.var_pop(F.unix_micros(F.col("ts").cast("timestamp")) / 1e6),
+            ),
             9,
         ).alias("trend"),
     )

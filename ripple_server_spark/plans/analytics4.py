@@ -450,19 +450,30 @@ def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
             w_next AS (PARTITION BY event_type ORDER BY hour
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    blended AS (
+        SELECT event_type, hour, v,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv)
+                         * (date_diff('hour', ph, hour)::DOUBLE
+                            / date_diff('hour', ph, nh))
+               END AS b
+        FROM walls
     )
     SELECT event_type, hour,
            -- arithmetic half-up rounding: engine round() differs on the
            -- exact 4-dp midpoints linear blends systematically produce
            -- (Spark HALF_UP vs DuckDB nearbyint); floor(x*1e4 + 0.5)
-           -- is the same IEEE ops in both engines.
-           floor((CASE WHEN v IS NOT NULL THEN v
-                       ELSE pv + (nv - pv)
-                            * (date_diff('hour', ph, hour)::DOUBLE
-                               / date_diff('hour', ph, nh))
-                  END) * 10000 + 0.5) / 10000 AS value,
+           -- is the same IEEE ops in both engines. Guarded to |b| <
+           -- 1e12: beyond that a 4-dp round is below double ulp (a
+           -- no-op in value terms), and Spark's floor-to-LONG would
+           -- saturate at b*1e4 > 2^63 where DuckDB's double floor
+           -- doesn't — the guard keeps both engines on identical ops.
+           CASE WHEN abs(b) < 1e12
+                THEN floor(b * 10000 + 0.5) / 10000
+                ELSE b END AS value,
            v IS NULL AS interpolated
-    FROM walls
+    FROM blended
     """,
     tags=("timeseries", "resample", "interpolate", "window"),
 )
@@ -527,10 +538,17 @@ def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-dp fixture values systematically land on exact 4-dp midpoints,
     # where Spark's HALF_UP (decimal-string) and DuckDB's nearbyint
     # (binary) disagree; this form is identical IEEE ops in both.
+    # Guarded to |b| < 1e12: beyond that a 4-dp round is below double
+    # ulp anyway, and Spark's floor (double -> LONG) would saturate at
+    # b*1e4 > 2^63 where DuckDB's floor stays a double — the guard
+    # keeps both engines on identical IEEE ops at every magnitude.
+    rounded = F.when(
+        F.abs(blended) < 1e12, F.floor(blended * 10000 + 0.5) / 10000
+    ).otherwise(blended)
     return walls.select(
         "event_type",
         "hour",
-        (F.floor(blended * 10000 + 0.5) / 10000).alias("value"),
+        rounded.alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
 
@@ -1229,10 +1247,24 @@ def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c", 1).over(w).alias("c1"),
         F.lag("c", 24).over(w).alias("c24"),
     )
+    # corr() decomposed into covar_samp / (sd_x * sd_y) over the
+    # pairwise-complete rows (the when() restricts c's moments to rows
+    # where the lagged value exists, matching corr's pair semantics):
+    # Spark's corr under ANSI throws DIVIDE_BY_ZERO on a zero-variance
+    # series (e.g. a type with a constant hourly count), where DuckDB's
+    # corr yields NULL — try_divide restores the NULL contract and is
+    # bit-identical wherever the variance is nonzero.
+    def acf(lag_col: str):
+        paired_c = F.when(F.col(lag_col).isNotNull(), F.col("c"))
+        return F.try_divide(
+            F.covar_samp("c", lag_col),
+            F.stddev_samp(paired_c) * F.stddev_samp(lag_col),
+        )
+
     return lagged.groupBy("event_type").agg(
         F.count("*").alias("n_hours"),
-        F.round(F.corr("c", "c1"), 3).alias("acf_lag1"),
-        F.round(F.corr("c", "c24"), 3).alias("acf_lag24"),
+        F.round(acf("c1"), 3).alias("acf_lag1"),
+        F.round(acf("c24"), 3).alias("acf_lag24"),
     )
 
 
@@ -1279,7 +1311,11 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
     )
-    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    # try_divide: a type whose hourly counts are all EQUAL has sd = 0.0
+    # exactly (and a single-hour type has sd NULL) — DuckDB's division
+    # yields NULL either way and the WHERE drops the row; a bare `/`
+    # under ANSI throws on the sd = 0 case instead.
+    z = F.try_divide(F.col("c") - F.col("mu"), F.col("sd"))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .filter(z >= _BURST_Z)
@@ -1361,8 +1397,13 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("grp") == 1, 1)).cast("double").alias("n1"),
     )
     u = F.col("r0") - F.col("n0") * (F.col("n0") + 1) / 2
-    z = (u - F.col("n0") * F.col("n1") / 2) / F.sqrt(
-        F.col("n0") * F.col("n1") * (F.col("n0") + F.col("n1") + 1) / 12.0
+    # try_divide: an event type whose events all fall in ONE half has
+    # n0*n1 = 0, so the z denominator is sqrt(0) — DuckDB's double
+    # division yields NULL there, while a bare `/` under ANSI throws
+    # DIVIDE_BY_ZERO. Identical on any type with both halves populated.
+    z = F.try_divide(
+        u - F.col("n0") * F.col("n1") / 2,
+        F.sqrt(F.col("n0") * F.col("n1") * (F.col("n0") + F.col("n1") + 1) / 12.0),
     )
     return agg.select(
         "event_type",
@@ -1451,10 +1492,24 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").over(w).alias("f0"),
         F.sum("c1").over(w).alias("f1"),
     )
+    # try_divide: a type with an empty half makes one ECDF denominator
+    # zero — DuckDB's double division yields NULL (max ignores it, so
+    # ks_d goes NULL when every step is NULL), while a bare `/` under
+    # ANSI throws. Identical whenever both halves are populated.
     return (
         ecdf.join(F.broadcast(n), "event_type")
         .groupBy("event_type", "n0", "n1")
-        .agg(F.round(F.max(F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))), 4).alias("ks_d"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.try_divide(F.col("f0"), F.col("n0"))
+                        - F.try_divide(F.col("f1"), F.col("n1"))
+                    )
+                ),
+                4,
+            ).alias("ks_d")
+        )
         .select(
             "event_type",
             F.col("n0").cast("bigint").alias("n0"),

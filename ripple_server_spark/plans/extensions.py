@@ -22,7 +22,10 @@ from ripple_server_spark.functions.vectors import (
     lsh_probe_buckets,
 )
 from ripple_server_spark.operators import dedup
+from ripple_server_spark.operators.similarity import ANN_AUDIT_ORACLE
 from ripple_server_spark.plans.registry import query
+
+_ANN_AUDIT_ORACLE_K3 = ANN_AUDIT_ORACLE.format(k=3)
 
 EMB_DIM = 64
 
@@ -476,17 +479,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_ivf_topk",
     # The IVF result itself is estimator-specific (centroid-space
     # prune), so the driver-checkable contract is the RECALL ASSERTION:
-    # Spark computes IVF top-3 AND exact top-3, joins them, and emits a
-    # one-row summary whose recall_ok bit requires aggregate recall@3
-    # >= 0.7, exactly 3 results per query, and sim agreement on every
-    # hit. The oracle states the expected outcome in SQL; any recall /
-    # cardinality / sim degradation flips a value and fails the hash.
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(count(*) * 3 AS BIGINT) AS n_returned,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 20
-    """,
+    # Spark computes IVF top-3 AND exact top-3 and emits a one-row
+    # summary whose recall_ok bit requires aggregate recall@3 >= 0.7
+    # (with-ties definition), the corpus-aware expected row count per
+    # query (min(3, corpus-1)), and sim agreement on id-coinciding
+    # hits — see operators/similarity.ann_recall_audit. The oracle
+    # states the expected outcome in SQL; any recall / cardinality /
+    # sim degradation flips a value and fails the hash.
+    oracle=_ANN_AUDIT_ORACLE_K3,
     bench=True,
     tags=("vectors", "ann", "ivf"),
 )
@@ -500,7 +500,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     much harder at the same recall. Deterministic: strided training
     sample + fixed Lloyd init, so reruns are stable. The same bound is
     pytest-checked per-query in tests/test_kernels.py."""
-    from ripple_server_spark.operators.similarity import cosine_topk_scan_arrow, ivf_topk
+    from ripple_server_spark.operators.similarity import (
+        ann_recall_audit,
+        cosine_topk_scan_arrow,
+        ivf_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -510,28 +514,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
         "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
     )
-    per_q = ivf.groupBy("q_id").agg(F.count("*").alias("n_ret"))
-    hits = ivf.join(exact, on=["q_id", "neighbor_id"]).agg(
-        F.count("*").alias("hits"),
-        F.max(F.abs(F.col("sim") - F.col("exact_sim"))).alias("max_sim_err"),
-    )
-    return (
-        per_q.agg(
-            F.count("*").alias("n_queries"),
-            F.sum("n_ret").cast("bigint").alias("n_returned"),
-            F.min("n_ret").alias("min_ret"),
-        )
-        .crossJoin(hits)
-        .select(
-            "n_queries",
-            "n_returned",
-            (
-                (F.col("hits") >= 0.7 * 3 * F.col("n_queries"))
-                & (F.col("min_ret") == 3)
-                & (F.col("max_sim_err") < 1e-6)
-            ).alias("recall_ok"),
-        )
-    )
+    return ann_recall_audit(queries, ivf, exact, emb, k=3)
 
 
 @query(

@@ -243,6 +243,13 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the pin the lineage re-derives the events scan+distinct.
     nodes = ev.select(F.col("event_type").alias("t")).distinct().persist()
     n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        # Empty event log => empty node set: the oracle's recursive
+        # CTEs all project from `nodes` and yield zero rows, so the
+        # builder must serve the typed empty frame instead of dividing
+        # the uniform prior by zero driver-side.
+        nodes.unpersist()
+        return spark.createDataFrame([], "event_type string, pagerank double")
     edges = edges.persist()
     srcs = edges.select(F.col("prev").alias("t")).distinct()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))

@@ -16,6 +16,7 @@ from ripple_server_spark.catalog import load_table
 from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.functions.text import tokens
 from ripple_server_spark.operators.dedup import shingle_sets
+from ripple_server_spark.operators.similarity import ANN_AUDIT_ORACLE
 from ripple_server_spark.plans.extensions import _SH_CTE
 from ripple_server_spark.plans.registry import query
 
@@ -246,15 +247,12 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_pq_topk",
     # Like q_ann_ivf_topk, the PQ result is estimator-specific, so the
     # driver-checkable contract is the RECALL ASSERTION: top-3 via
-    # PQ+ADC+exact-rerank joined against brute-force top-3; recall_ok
-    # requires aggregate recall@3 >= 0.7, exactly 3 rows per query, and
-    # per-hit sim agreement. Any degradation flips a value.
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(count(*) * 3 AS BIGINT) AS n_returned,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 20
-    """,
+    # PQ+ADC+exact-rerank audited against brute-force top-3 through
+    # operators/similarity.ann_recall_audit — recall@3 >= 0.7
+    # (with-ties), corpus-aware expected row counts (min(3, corpus-1)),
+    # and sim agreement on id-coinciding hits. Any degradation flips a
+    # value.
+    oracle=ANN_AUDIT_ORACLE.format(k=3),
     bench=True,
     tags=("vectors", "ann", "pq"),
 )
@@ -268,7 +266,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 — the isotropic worst case). Same audit contract as
     q_ann_ivf_topk; per-query bound pytest-checked in
     tests/test_kernels.py."""
-    from ripple_server_spark.operators.similarity import cosine_topk_scan_arrow, pq_topk
+    from ripple_server_spark.operators.similarity import (
+        ann_recall_audit,
+        cosine_topk_scan_arrow,
+        pq_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -278,28 +280,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
         "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
     )
-    per_q = pq.groupBy("q_id").agg(F.count("*").alias("n_ret"))
-    hits = pq.join(exact, on=["q_id", "neighbor_id"]).agg(
-        F.count("*").alias("hits"),
-        F.max(F.abs(F.col("sim") - F.col("exact_sim"))).alias("max_sim_err"),
-    )
-    return (
-        per_q.agg(
-            F.count("*").alias("n_queries"),
-            F.sum("n_ret").cast("bigint").alias("n_returned"),
-            F.min("n_ret").alias("min_ret"),
-        )
-        .crossJoin(hits)
-        .select(
-            "n_queries",
-            "n_returned",
-            (
-                (F.col("hits") >= 0.7 * 3 * F.col("n_queries"))
-                & (F.col("min_ret") == 3)
-                & (F.col("max_sim_err") < 1e-6)
-            ).alias("recall_ok"),
-        )
-    )
+    return ann_recall_audit(queries, pq, exact, emb, k=3)
 
 
 _COLL_MIN_COUNT = 5

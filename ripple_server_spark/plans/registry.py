@@ -146,6 +146,13 @@ _ORACLE_CHANGED_RECHECK = {
     # round 4: single-probe LSH -> multi-probe (Hamming-1) LSH; oracle
     # gained the probes CTE, builder broadcasts the exploded query side
     "q_ann_lsh_topk",
+    # round 4: recall-audit contract made corpus-aware + with-ties
+    # (operators/similarity.ann_recall_audit); the oracle's expected
+    # row count changed from a hard-coded k to min(k, corpus-1)
+    "q_ann_pq_topk",
+    # round 4: skew/kurt gated on round(var, 6) > 0 in both engines
+    # (zero-variance cancellation garbage in the DuckDB moments)
+    "q_stats_moments",
 }
 
 

@@ -320,17 +320,6 @@ class TopicStore:
             "bucket"
         ).parquet(staging)
         got = obs.get
-        if int(got["n"]) == 0:
-            # Empty batch: nothing to append — do NOT burn a manifest
-            # version (high-frequency producers would churn the log
-            # with no-op commits and break "version == data change").
-            shutil.rmtree(staging, ignore_errors=True)
-            return 0
-        new_files = self._move_staged(topic, staging)
-        maxima = {
-            b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
-        }
-
         # Message schema of the staged files (bucket is a partition dir,
         # not a file column): tracked in the manifest so reads only pay
         # footer-merging (mergeSchema) after a producer actually evolved
@@ -339,6 +328,40 @@ class TopicStore:
             f"{f.name}:{f.dataType.simpleString()}"
             for f in routed.drop("bucket").schema.fields
         ]
+        if int(got["n"]) == 0:
+            # Empty batch: nothing to append — do NOT burn a manifest
+            # version for a no-op (high-frequency producers would churn
+            # the log and break "version == change"). But the batch's
+            # SCHEMA is still a declaration: when it ESTABLISHES the
+            # topic's message schema or EVOLVES it with new columns,
+            # commit a metadata-only manifest (the Delta "empty write
+            # still commits the schema change" shape) so a later read
+            # serves the typed columns instead of losing them.
+            shutil.rmtree(staging, ignore_errors=True)
+            prev_schema = meta.get("schema")
+            new_fields = [
+                f for f in fields if f not in (prev_schema or [])
+            ]
+            if prev_schema is None or new_fields:
+
+                def apply_schema(m: dict) -> dict:
+                    p = m.get("schema")
+                    if p is None:
+                        m["schema"] = fields
+                    else:
+                        add = [f for f in fields if f not in p]
+                        if not add:
+                            return m
+                        m["schema"] = list(p) + add
+                        m["schema_evolved"] = True
+                    return m
+
+                self._commit(topic, base_v, apply_schema)
+            return 0
+        new_files = self._move_staged(topic, staging)
+        maxima = {
+            b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
+        }
 
         touched = [b for b in range(n_buckets) if int(got[f"c{b}"]) > 0]
         state = {"files": new_files, "existing": existing, "maxima": maxima}
@@ -503,7 +526,21 @@ class TopicStore:
         reader = self.spark.read.option("basePath", data)
         if m.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        # The manifest owns the schema, not the footers (Delta/Iceberg
+        # semantics): a column recorded by an evolution that appended no
+        # data yet (metadata-only commit above) exists in NO file, so
+        # footer merging cannot surface it — materialize it as typed
+        # nulls, exactly what pre-evolution rows get for evolved
+        # columns that DO have files.
+        recorded = m.get("schema")
+        if recorded:
+            have = set(df.columns)
+            for s in recorded:
+                name, typ = s.split(":", 1)
+                if name not in have:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+        return df
 
     # -- maintenance -------------------------------------------------------
     def compact(self, topic: str, base_version: int | None = None) -> None:

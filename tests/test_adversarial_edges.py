@@ -1,0 +1,196 @@
+"""Regression pins for the adversarial-fixture parity sweep findings
+(scripts/adversarial_parity.py, round 4).
+
+Each test reconstructs the MINIMAL crafted regime that made a builder
+and its DuckDB oracle diverge, and runs both through the exact
+driver-mirror comparator. The full 5-scenario × registry sweep stays a
+script (too slow for the unit suite); these pin the individual bug
+classes it caught so they cannot regress silently.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from ripple_server_spark.plans.registry import SPECS
+from tests.oracle_check import compare_query
+
+BASE = dt.datetime(2024, 1, 1)
+EV_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _con(sf_dir: str, tables: tuple[str, ...]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _write_events(spark, sf_dir: str, rows) -> None:
+    spark.createDataFrame(rows, EV_DDL).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+
+def test_two_sample_tests_with_one_empty_half(spark, tmp_path):
+    """A type whose events all fall in ONE split half has n0*n1 = 0:
+    the z / ECDF denominators are zero, where DuckDB's double division
+    yields NULL but a bare Spark `/` under ANSI threw DIVIDE_BY_ZERO
+    (sweep: ties/degenerate/extremes/single_row scenarios). Both
+    engines must now emit the row with a NULL statistic."""
+    rows = []
+    eid = 0
+    # 'click': all events BEFORE the 2024-01-16 split -> n1 = 0
+    for i in range(6):
+        rows.append((eid, BASE + dt.timedelta(hours=i), i % 3, "click", 10.0 + i, "{}"))
+        eid += 1
+    # 'view': both halves populated -> real statistic
+    for i in range(8):
+        ts = BASE + dt.timedelta(days=20 if i % 2 else 2, hours=i)
+        rows.append((eid, ts, i % 3, "view", 5.0 * i, "{}"))
+        eid += 1
+    sf_dir = str(tmp_path / "half_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    for name in ("q_ks_test", "q_mann_whitney_u"):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, f"{name}: {diff}"
+    got = {r["event_type"]: r for r in SPECS["q_mann_whitney_u"].builder(spark, sf_dir).collect()}
+    assert got["click"]["z_approx"] is None  # undefined, not a crash
+    assert got["view"]["z_approx"] is not None
+
+
+def test_moment_queries_on_constant_series(spark, tmp_path):
+    """Constant series break the moment denominators two ways (sweep:
+    ties/extremes): (a) zero variance made Spark's corr/regr_slope and
+    the burst/ACF z divisions throw under ANSI where DuckDB yields
+    NULL; (b) on a constant value that is NOT binary-representable
+    (327.53), DuckDB's sum-of-powers m2 keeps a ~1e-23 cancellation
+    residue and skew/kurt explode into garbage while Spark's Welford
+    m2 is exactly 0 — both engines now gate the shape moments on
+    round(var, 6) > 0."""
+    rows = []
+    eid = 0
+    for h in range(6):  # 2 counts/hour for every type: sd(counts) = 0
+        for t, val in (("click", 327.53), ("view", 42.0)):
+            for _ in range(2):
+                rows.append((eid, BASE + dt.timedelta(hours=h), eid % 3, t, val, "{}"))
+                eid += 1
+    sf_dir = str(tmp_path / "const_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    for name in ("q_stats_moments", "q_burst_detection", "q_hourly_autocorrelation"):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, f"{name}: {diff}"
+    got = {r["event_type"]: r for r in SPECS["q_stats_moments"].builder(spark, sf_dir).collect()}
+    assert got["click"]["skew"] is None and got["click"]["kurt"] is None
+    assert got["click"]["var"] == 0.0
+
+
+def test_resample_rounding_survives_extreme_magnitudes(spark, tmp_path):
+    """The 4-dp half-up idiom floor(x*1e4 + 0.5) saturates Spark's
+    floor-to-LONG at |x| > ~9.2e14 (DuckDB's floor stays a double), so
+    an interpolated 1e15 came back as int64max/1e4 (sweep: extremes).
+    Both engines now skip the round above |x| >= 1e12, where 4 dp is
+    below double ulp anyway."""
+    rows = [
+        (0, BASE, 1, "click", 1.0e15, "{}"),
+        # hour 1 empty -> interpolated
+        (1, BASE + dt.timedelta(hours=2), 1, "click", 1.0e15, "{}"),
+    ]
+    sf_dir = str(tmp_path / "resample_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_ts_resample_linear"]
+    diff = compare_query(spark, con, "q_ts_resample_linear", spec.builder, spec.oracle, sf_dir)
+    assert diff is None, diff
+    vals = [r["value"] for r in spec.builder(spark, sf_dir).collect()]
+    assert all(v == 1.0e15 for v in vals)  # no int64 saturation artifact
+
+
+def test_ann_audit_holds_on_tiny_and_tied_corpora(spark, tmp_path):
+    """The ANN recall audits hard-coded 3 expected rows per query and
+    id-joined recall, which broke on (a) corpora with < k+1 vectors
+    (NULL aggregates vs the oracle's count*3) and (b) all-identical
+    vectors, where any tied pick is a true neighbor but id-joins
+    undercount (sweep: single_row/empty/ties). The contract is now
+    corpus-aware (min(k, corpus-1)) with recall-with-ties."""
+    rng = np.random.default_rng(7)
+
+    def write_emb(dirname, vecs):
+        sf_dir = str(tmp_path / dirname)
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+        return sf_dir
+
+    # (a) 2-vector corpus: expected returns = min(3, 1) = 1 per query
+    tiny = write_emb("emb_tiny", [rng.normal(0, 0.1, 64) for _ in range(2)])
+    # (b) 25 identical vectors: every sim ties at 1.0
+    one = rng.normal(0, 0.1, 64)
+    tied = write_emb("emb_tied", [one] * 25)
+    for sf_dir in (tiny, tied):
+        con = _con(sf_dir, ("embeddings",))
+        for name in ("q_ann_ivf_topk", "q_ann_pq_topk"):
+            spec = SPECS[name]
+            diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+            assert diff is None, f"{name} on {sf_dir}: {diff}"
+        row = SPECS["q_ann_ivf_topk"].builder(spark, sf_dir).collect()[0]
+        assert row["recall_ok"] is True
+    # tie-exact kernel pre-prune: the Arrow/pandas brute-force kernel
+    # must agree with the SQL oracle's id-ordered ties on the tied corpus
+    spec = SPECS["q_similarity_topk_pandas"]
+    con = _con(tied, ("embeddings",))
+    diff = compare_query(spark, con, "q_similarity_topk_pandas", spec.builder, spec.oracle, tied)
+    assert diff is None, diff
+
+
+def test_topic_empty_batch_still_commits_schema(spark, tmp_path):
+    """An empty produce appends nothing, but its schema is still a
+    declaration (sweep: empty/single_row broke the topic queries with
+    UNRESOLVED_COLUMN): establishing or evolving the message schema on
+    an empty batch is a metadata-only manifest commit (Delta-style),
+    and read_topic materializes manifest-recorded columns that exist in
+    no data file as typed nulls. Known-schema empty batches remain
+    no-ops (no version burn — pinned by test_topics)."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    st = TopicStore(spark, str(tmp_path / "schema_topics"))
+    st.create_topic("t", n_buckets=2)
+
+    # empty first batch ESTABLISHES the schema via a metadata commit
+    st.produce(ev.limit(0), "t")
+    snap = st.read_topic("t")
+    assert {"event_id", "user_id", "ts", "bucket"} <= set(snap.columns)
+    assert snap.count() == 0
+
+    # data lands; an EMPTY evolved batch still records the new column
+    st.produce(ev.limit(10), "t")
+    st.produce(ev.limit(0).withColumn("tag", F.lit("v2")), "t")
+    snap = st.read_topic("t")
+    assert "tag" in snap.columns
+    assert snap.count() == 10
+    assert snap.filter(F.col("tag").isNull()).count() == 10  # typed nulls
+
+    # replaying the same empty schema-known batch burns no version
+    v_before = st.latest_manifest("t")[0]
+    st.produce(ev.limit(0).withColumn("tag", F.lit("v2")), "t")
+    assert st.latest_manifest("t")[0] == v_before
