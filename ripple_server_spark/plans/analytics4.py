@@ -1692,26 +1692,34 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cusum_changepoint",
     oracle="""
     WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS v
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(round(avg(value), 6) AS DECIMAL(19,6)) AS v6
         FROM events GROUP BY event_type, hour
     ),
-    m AS (SELECT event_type, avg(v) AS mu FROM hourly GROUP BY event_type),
     c AS (
-        SELECT h.event_type, h.hour,
-               sum(h.v - m.mu) OVER (PARTITION BY h.event_type ORDER BY h.hour
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
-        FROM hourly h JOIN m USING (event_type)
+        SELECT event_type, hour,
+               CAST(count(*) OVER wt AS DECIMAL(7,0))
+                 * CAST(sum(v6) OVER wc AS DECIMAL(25,6))
+               - CAST(row_number() OVER wo AS DECIMAL(7,0))
+                 * CAST(sum(v6) OVER wt AS DECIMAL(25,6)) AS score,
+               CAST(count(*) OVER wt AS DOUBLE) AS n
+        FROM hourly
+        WINDOW wt AS (PARTITION BY event_type),
+               wc AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY event_type ORDER BY hour)
     )
     SELECT event_type, hour AS changepoint_hour,
-           round(abs_cusum, 3) AS max_abs_cusum
+           CASE WHEN ac < 1e12 THEN floor(ac * 1000 + 0.5) / 1000
+                ELSE ac END AS max_abs_cusum
     FROM (
-        SELECT event_type, hour, abs(cusum) AS abs_cusum,
+        SELECT event_type, hour, abs(score)::DOUBLE / n AS ac,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY round(abs(cusum), 6) DESC, hour) AS rn
+                                  ORDER BY abs(score) DESC, hour) AS rn
         FROM c
     ) WHERE rn = 1
     """,
-    tags=("timeseries", "changepoint", "cusum", "window"),
+    tags=("timeseries", "changepoint", "cusum", "window", "decimal"),
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point estimate per event type: the hour where the
@@ -1724,34 +1732,54 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all over the dimension-sized hourly series; the rank-1 filter
     compiles to WindowGroupLimit.
 
-    Determinism: the argmax ranks by abs(cusum) ROUNDED to 6 dp (hour
-    as tie-break) in both engines — running float sums may differ by an
-    ulp across accumulation strategies (DuckDB's windowed segment tree
-    vs Spark's sequential frame), and an unrounded comparison would let
-    two near-tied hours swap rank between engines."""
+    Determinism — DECIMAL-exact score: CUSUM_k = P_k - k*mu amplifies a
+    1-ulp engine difference in mu by up to N cumulative steps, which
+    flipped the 3-dp output on skewed data (adversarial sweep). The
+    rank score is therefore computed as N*P_k - k*S (= N*CUSUM_k) in
+    exact decimal arithmetic over the 6-dp-rounded hourly means — no
+    division, no float accumulation, bit-identical in both engines
+    regardless of windowed-sum strategy (DuckDB's segment tree vs
+    Spark's sequential frame). The single remaining cross-engine term
+    is the per-hour round(avg, 6) itself (an independent ulp coin per
+    HOUR, never amplified). Division by N and the 3-dp half-up round
+    happen once at the result edge, on bit-identical operands. Decimal
+    widths hold exactly for |value| <= 1e12 and <= 1e7 hours per type
+    (ANSI overflow fails loud beyond)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.avg("value").alias("v"))
-    m = hourly.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    ).agg(F.round(F.avg("value"), 6).cast("decimal(19,6)").alias("v6"))
+    wt = Window.partitionBy("event_type")
     wc = (
         Window.partitionBy("event_type")
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = hourly.join(F.broadcast(m), "event_type").select(
-        "event_type", "hour", F.sum(F.col("v") - F.col("mu")).over(wc).alias("cusum")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    score = (
+        F.count("*").over(wt).cast("decimal(7,0)")
+        * F.sum("v6").over(wc).cast("decimal(25,6)")
+        - F.row_number().over(wo).cast("decimal(7,0)")
+        * F.sum("v6").over(wt).cast("decimal(25,6)")
+    )
+    c = hourly.select(
+        "event_type",
+        "hour",
+        score.alias("score"),
+        F.count("*").over(wt).cast("double").alias("n"),
     )
     wr = Window.partitionBy("event_type").orderBy(
-        F.desc(F.round(F.abs(F.col("cusum")), 6)), F.asc("hour")
+        F.desc(F.abs(F.col("score"))), F.asc("hour")
     )
+    ac = F.abs(F.col("score")).cast("double") / F.col("n")
+    rounded = F.when(ac < 1e12, F.floor(ac * 1000 + 0.5) / 1000).otherwise(ac)
     return (
         c.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .select(
             "event_type",
             F.col("hour").alias("changepoint_hour"),
-            F.round(F.abs(F.col("cusum")), 3).alias("max_abs_cusum"),
+            rounded.alias("max_abs_cusum"),
         )
     )
 

@@ -23,7 +23,12 @@ regimes and runs the EXACT driver-mirror comparator
               (1e6) embedding vectors, unicode tokens;
 - empty       documents + embeddings + events EMPTY (TPC-H intact) —
               builders must agree with oracles on empty corpora, not
-              crash on them.
+              crash on them;
+- whitespace  consecutive/leading/trailing spaces (EMPTY tokens from
+              split), tabs/newlines inside tokens, all-space docs;
+- skew        one user owns ~90% of events, one source owns every
+              document — results under hot keys must be identical,
+              skew handling is physical, never semantic.
 
 All scenario data stays inside the declared fixture contract (same
 schemas incl. physical types, n_chars == length(text), referential
@@ -354,12 +359,70 @@ def scenario_empty(rng):
     return t
 
 
+def scenario_whitespace(rng):
+    """Messy-whitespace text: consecutive/leading/trailing spaces make
+    split(' ') emit EMPTY tokens, and tabs/newlines hide inside tokens
+    — web-scrape-shaped strings the generator's single-spaced corpus
+    never contains. Both engines define tokens as split-on-space, so
+    they must agree on the empty-token artifacts, not avoid them."""
+    t = _tpch(rng)
+    t["documents"] = _docs(
+        [
+            (0, "a  b", "en", "src1"),
+            (1, " leading space", "en", "src1"),
+            (2, "trailing space ", "de", "src2"),
+            (3, "tab\there and\nnewline inside", "en", "src2"),
+            (4, "   ", "fr", "src3"),
+            (5, " ".join(WORDS[i % len(WORDS)] for i in range(50)), "en", "src3"),
+            (6, "double  space  every  gap", "es", "src4"),
+        ]
+    )
+    t["embeddings"] = _random_embeddings(rng, 25)
+    t["events"] = _random_events(rng, n=1000, users=8)
+    return t
+
+
+def scenario_skew(rng):
+    """Heavy key skew: one user owns ~90% of events, one source owns
+    every document, one label owns every embedding — the hot-key
+    regime the salting/striping paths exist for. Results must be
+    IDENTICAL to the oracle's (skew handling is physical, never
+    semantic)."""
+    t = _tpch(rng)
+    rows = []
+    for i in range(1000):
+        uid = 7 if i % 10 else int(rng.integers(0, 4))
+        rows.append(
+            (
+                i,
+                T0 + int(rng.integers(0, 5 * DAY_US)),
+                uid,
+                EVENT_TYPES[int(rng.integers(0, 5))],
+                round(float(rng.uniform(0.1, 300.0)), 2),
+                '{"k": %d}' % int(rng.integers(0, 100)),
+            )
+        )
+    t["events"] = _events(rows)
+    t["documents"] = _docs(
+        [
+            (i, " ".join(WORDS[(i * 5 + j) % len(WORDS)] for j in range(30)), "en", "src1")
+            for i in range(20)
+        ]
+    )
+    emb = _random_embeddings(rng, 25)
+    emb["label"] = [0] * 25
+    t["embeddings"] = emb
+    return t
+
+
 SCENARIOS = {
     "ties": scenario_ties,
     "degenerate": scenario_degenerate,
     "single_row": scenario_single_row,
     "extremes": scenario_extremes,
     "empty": scenario_empty,
+    "whitespace": scenario_whitespace,
+    "skew": scenario_skew,
 }
 
 # (scenario, query) pairs excluded with a stated engine-semantics

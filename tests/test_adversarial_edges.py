@@ -120,6 +120,31 @@ def test_resample_rounding_survives_extreme_magnitudes(spark, tmp_path):
     assert all(v == 1.0e15 for v in vals)  # no int64 saturation artifact
 
 
+def test_cusum_decimal_score_is_engine_exact(spark, tmp_path):
+    """CUSUM_k = P_k - k*mu amplifies a 1-ulp cross-engine difference
+    in mu by up to N steps; on skewed data that flipped the 3-dp
+    output across a rounding midpoint (sweep: skew). The score is now
+    N*P_k - k*S in exact decimal arithmetic — this pins the decimal
+    plumbing (widths, casts, window sums) on a long series of
+    binary-INEXACT values (x.1) where the old float path drifts."""
+    rows = []
+    for h in range(72):  # 3 days of hours, mean shifts at h=48
+        v = 10.1 if h < 48 else 30.1
+        rows.append((h, BASE + dt.timedelta(hours=h), h % 5, "click", v, "{}"))
+    sf_dir = str(tmp_path / "cusum_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_cusum_changepoint"]
+    diff = compare_query(spark, con, "q_cusum_changepoint", spec.builder, spec.oracle, sf_dir)
+    assert diff is None, diff
+    row = spec.builder(spark, sf_dir).collect()[0]
+    # the level shift at hour 48 is the |CUSUM| argmax by construction
+    assert row["changepoint_hour"] == BASE + dt.timedelta(hours=47) or (
+        row["changepoint_hour"] == BASE + dt.timedelta(hours=48)
+    )
+    assert row["max_abs_cusum"] > 0
+
+
 def test_ann_audit_holds_on_tiny_and_tied_corpora(spark, tmp_path):
     """The ANN recall audits hard-coded 3 expected rows per query and
     id-joined recall, which broke on (a) corpora with < k+1 vectors
