@@ -491,7 +491,14 @@ def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row dimension — never a fact-sized join); the neighbor walls are
     two running-state window passes over GRID rows (~dimension-sized,
     not event-sized) on the same per-type partitioning. The raw event
-    table is touched exactly once."""
+    table is touched exactly once. The NEXT wall deliberately avoids a
+    [currentRow, unboundedFollowing) frame: Spark evaluates that frame
+    shape by re-aggregating the remaining rows for EVERY output row —
+    O(rows²) per partition, which a long-span grid (decades × hourly =
+    10⁶ rows/type) turns into hours of CPU. A descending-order running
+    frame computes the identical value with O(rows) running state; the
+    re-sort stays inside the existing per-type partitioning (no extra
+    shuffle, plan-gated in tests/test_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
     # NOTE: the hourly mean stays a full-precision double until the one
     # result-edge round. Pre-rounding it (e.g. to 6 dp) would make the
@@ -513,10 +520,14 @@ def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # first(x ignorenulls) over [currentRow, unboundedFollowing] ==
+    # last(x ignorenulls) over a DESC-ordered running frame: same rows,
+    # same closest-non-null-at-or-after semantics, O(n) instead of
+    # Spark's O(n²) UnboundedFollowingWindowFunctionFrame.
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     real_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
     walls = joined.select(
@@ -525,8 +536,8 @@ def q_ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(real_hour, ignorenulls=True).over(w_prev).alias("ph"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(real_hour, ignorenulls=True).over(w_next).alias("nh"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(real_hour, ignorenulls=True).over(w_next).alias("nh"),
     )
     frac = F.expr("timestampdiff(HOUR, ph, hour)").cast("double") / F.expr(
         "timestampdiff(HOUR, ph, nh)"

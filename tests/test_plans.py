@@ -497,16 +497,35 @@ def test_registry_wide_no_cartesian_product(spark):
     contain a CartesianProduct — intentional small-side cross joins
     plan as BroadcastNestedLoopJoin over aggregate/1-row inputs, so a
     CartesianProduct can only mean an unkeyed pair blowup slipped in.
-    Also doubles as a builds-clean smoke for all 192 builders."""
+    Nor may any plan carry a [X > unboundedPreceding, unboundedFollowing]
+    window frame: Spark evaluates that shape (UnboundedFollowingWindow-
+    FunctionFrame) by re-aggregating the frame remainder for EVERY
+    output row — O(rows²) per partition, hours of CPU once a partition
+    reaches ~10⁶ rows (a decades-long hourly grid did exactly that).
+    Whole-partition frames (unboundedPreceding → unboundedFollowing)
+    are exempt: Spark computes those once per partition. The equivalent
+    DESC-ordered running frame is O(rows); q_ts_resample_linear is the
+    pattern. Also doubles as a builds-clean smoke for all 192 builders."""
+    import re
+
+    frame_re = re.compile(
+        r"specifiedwindowframe\(\w+Frame, ([^,]+), unboundedfollowing\$\(\)\)"
+    )
     bad = []
     rowwise = []
+    quadratic = []
     for name, spec in sorted(SPECS.items()):
         p = plan(spec.builder(spark, SF_SMOKE), "simple")
         if "CartesianProduct" in p:
             bad.append(name)
         if "BatchEvalPython" in p:
             rowwise.append(name)
+        if any(
+            lo != "unboundedpreceding$()" for lo in frame_re.findall(p)
+        ):
+            quadratic.append(name)
     assert not bad, f"cartesian products in: {bad}"
+    assert not quadratic, f"O(n^2) unbounded-following frames in: {quadratic}"
     # Row-at-a-time Python is banned everywhere except the one query
     # whose PURPOSE is the Python-UDTF surface (table functions have no
     # Arrow form); everything else must be Arrow-vectorized or JVM.
