@@ -24,8 +24,19 @@ def json_int(col: Column, path: str) -> Column:
     ``get_json_object`` is a codegen'd JVM path (Jackson streaming) —
     no Python round-trip; at scale prefer parsing once with
     ``from_json`` into a struct column if many fields are read.
-    """
-    return F.get_json_object(col, path).cast("bigint")
+
+    Non-integer values at the path (float, non-numeric string, object)
+    yield NULL, never an error: payload JSON is caller-controlled, and
+    one dirty payload among 10¹¹ rows killing the whole scan under ANSI
+    mode is the wrong failure mode. The integer-literal regex guard is
+    explicit because engines disagree on lenient casts (DuckDB
+    TRY_CAST('1.5' AS BIGINT) ROUNDS to 2; Spark's returns NULL) — the
+    guard pins the portable semantics: an int field is extracted, a
+    float/other field is a type mismatch → NULL. ``try_cast`` behind
+    the guard still NULLs int64 overflow identically on both engines.
+    Oracles mirror this shape verbatim (regexp_matches + TRY_CAST)."""
+    s = F.get_json_object(col, path)
+    return F.when(s.rlike(r"^-?\d+$"), s.try_cast("bigint"))
 
 
 def ts_micros(col: Column) -> Column:

@@ -230,7 +230,10 @@ def q_date_trunc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_props_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                    '^-?\\d+$')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
     FROM events
     """,
     tags=("json",),
@@ -238,7 +241,11 @@ def q_date_trunc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from the JSON payload column — the queryable
     replacement for the reference's opaque GOB `Payload.Data` bytes
-    (internal/broker/queue/queue.go:16-19)."""
+    (internal/broker/queue/queue.go:16-19). Int-literal-guarded
+    TRY_CAST on both engines (see functions/scalar.json_int): a
+    non-integer payload value yields NULL instead of aborting the scan
+    (payloads are caller-controlled bytes), and the guard pins the
+    cross-engine semantics where lenient casts diverge."""
     ev = _events(spark, sf_dir)
     return ev.select("event_id", json_int(F.col("props"), "$.k").alias("k"))
 

@@ -415,6 +415,68 @@ def scenario_skew(rng):
     return t
 
 
+def scenario_domains(rng):
+    """Schema-legal values outside the generator's habits: NEGATIVE
+    event values (refunds/corrections), odd-but-valid JSON props
+    (missing key, null, string-typed number, float, extra keys,
+    empty object), and epoch-boundary timestamps (1970 start, 2040 —
+    past the 2038 int32-seconds rollover) alongside the 2024 window.
+    log/sqrt domains, leading-digit extraction, JSON-path semantics
+    and date arithmetic must agree between engines on all of them.
+
+    Boundary timestamps are confined to ONE event_type: grid-densifying
+    queries (q_ts_resample_linear) materialize each type's min→max
+    hourly span, so a 70-year span on every type would make the
+    COMPARATOR's full-result collect the bottleneck (~4M rows through
+    Python canonicalization) — a harness-cost artifact, not an engine
+    check. One type still runs the full 1970→2040 grid end-to-end."""
+    t = _tpch(rng)
+    props_pool = [
+        "{}",
+        '{"k": null}',
+        '{"k": 0}',
+        '{"k": "7"}',
+        '{"k": 1.5}',
+        '{"k": 12, "extra": {"nested": true}}',
+        '{"k": 999999999}',
+    ]
+    rows = []
+    # 800 rows keeps ~150 events per type — above the >= ~100/type
+    # estimator-density bar documented in the module contract (the
+    # approx_percentile audit tolerance assumes fixture-like density;
+    # nearest-rank vs interpolated gaps grow with sparsity).
+    for i in range(800):
+        boundary = i % 100 == 0
+        if boundary:
+            ts = 0 if i % 200 == 0 else T0 + 16 * 365 * DAY_US  # 1970 / 2040
+        else:
+            ts = T0 + int(rng.integers(0, 5 * DAY_US))
+        val = round(float(rng.uniform(0.1, 300.0)), 2)
+        if i % 3 == 0:
+            val = -val  # refunds: negative is schema-legal
+        rows.append(
+            (
+                i,
+                ts,
+                int(rng.integers(0, 6)),
+                # epoch-boundary rows pinned to one type (see docstring)
+                EVENT_TYPES[0] if boundary else EVENT_TYPES[int(rng.integers(0, 5))],
+                val,
+                props_pool[i % len(props_pool)],
+            )
+        )
+    t["events"] = _events(rows)
+    t["documents"] = _docs(
+        [
+            (i, " ".join(WORDS[(i * 3 + j) % len(WORDS)] for j in range(40)), "en",
+             f"src{1 + i % 3}")
+            for i in range(15)
+        ]
+    )
+    t["embeddings"] = _random_embeddings(rng, 25)
+    return t
+
+
 SCENARIOS = {
     "ties": scenario_ties,
     "degenerate": scenario_degenerate,
@@ -423,6 +485,7 @@ SCENARIOS = {
     "empty": scenario_empty,
     "whitespace": scenario_whitespace,
     "skew": scenario_skew,
+    "domains": scenario_domains,
 }
 
 # (scenario, query) pairs excluded with a stated engine-semantics
