@@ -439,6 +439,9 @@ def scenario_domains(rng):
         '{"k": 1.5}',
         '{"k": 12, "extra": {"nested": true}}',
         '{"k": 999999999}',
+        '{"k": [1, 2]}',
+        '{"k": {"a": 1}}',
+        '{"k": -3}',
     ]
     rows = []
     # 800 rows keeps ~150 events per type — above the >= ~100/type
