@@ -218,11 +218,11 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_moving_avg_time",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ), 6) AS ma_1h
+           floor(CAST(sum(CAST(value AS DECIMAL(16,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w * 1000000 + 0.5) / 1000000 AS ma_1h
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "range-frame", "timeseries"),
 )
@@ -232,15 +232,30 @@ def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     so co-timestamped events share a frame regardless of row order
     (deterministic without a tie-break, unlike ROWS frames). One
     shuffle on user_id; frame evaluation is a sliding two-pointer scan
-    within each sorted partition."""
+    within each sorted partition.
+
+    The mean is decimal-exact-sum / count, not avg(double): engines
+    evaluate sliding frames in different orders (Spark rebuilds from
+    frame start, DuckDB uses segment trees), so a double avg over a
+    dense frame (~150 co-hour rows in a burst) differs in ulps and a
+    2-dp fixture mean lands on exact 6-dp midpoints where Spark
+    (HALF_UP) and DuckDB (nearbyint) round apart. The DECIMAL(16,2)
+    window sum is order-independent and exact, the double division is
+    then identical IEEE on both engines, and floor(x·10⁶ + 0.5) is the
+    shared arithmetic half-up (the q_ts_resample_linear pattern)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0))
         .rangeBetween(-3600, 0)
     )
+    ma = F.sum(F.col("value").cast("decimal(16,2)")).over(w).cast(
+        "double"
+    ) / F.count("value").over(w)
     return ev.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma_1h")
+        "event_id",
+        "user_id",
+        (F.floor(ma * 1000000 + F.lit(0.5)) / 1000000).alias("ma_1h"),
     )
 
 

@@ -480,6 +480,53 @@ def scenario_domains(rng):
     return t
 
 
+def scenario_bimodal(rng):
+    """Bursty time: ~790 events land inside ONE hour, then 10
+    stragglers arrive exactly 30 days later (event types 0/1 only, so
+    three types have SINGLE-hour series). A regime neither `ties`
+    (every row at one instant) nor `domains` (uniform days) reaches:
+    2-point hourly series (trend slope exactly determined, lag-1
+    autocorrelation with one pair), ~720-hour interpolation gaps in
+    the resample grid, month-long session splits, burst→quiet
+    changepoint shapes, and near-zero intra-burst interarrival gaps
+    next to one enormous gap. Density stays ≥ ~150 events/type inside
+    the burst hour, respecting the estimator-audit floor."""
+    t = _tpch(rng)
+    rows = []
+    for i in range(790):
+        rows.append(
+            (
+                i,
+                T0 + int(rng.integers(0, 3_600_000_000)),  # one hour, µs
+                int(rng.integers(0, 6)),
+                EVENT_TYPES[int(rng.integers(0, 5))],
+                round(float(rng.uniform(0.1, 300.0)), 2),
+                '{"k": %d}' % int(rng.integers(0, 100)),
+            )
+        )
+    for j in range(10):
+        rows.append(
+            (
+                790 + j,
+                T0 + 30 * DAY_US + j * 60_000_000,  # 30 days later
+                j % 6,
+                EVENT_TYPES[j % 2],
+                round(float(rng.uniform(0.1, 300.0)), 2),
+                '{"k": 1}',
+            )
+        )
+    t["events"] = _events(rows)
+    t["documents"] = _docs(
+        [
+            (i, " ".join(WORDS[(i * 5 + j) % len(WORDS)] for j in range(30)), "en",
+             f"src{1 + i % 3}")
+            for i in range(15)
+        ]
+    )
+    t["embeddings"] = _random_embeddings(rng, 25)
+    return t
+
+
 SCENARIOS = {
     "ties": scenario_ties,
     "degenerate": scenario_degenerate,
@@ -489,6 +536,7 @@ SCENARIOS = {
     "whitespace": scenario_whitespace,
     "skew": scenario_skew,
     "domains": scenario_domains,
+    "bimodal": scenario_bimodal,
 }
 
 # (scenario, query) pairs excluded with a stated engine-semantics
