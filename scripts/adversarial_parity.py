@@ -28,7 +28,16 @@ regimes and runs the EXACT driver-mirror comparator
               split), tabs/newlines inside tokens, all-space docs;
 - skew        one user owns ~90% of events, one source owns every
               document — results under hot keys must be identical,
-              skew handling is physical, never semantic.
+              skew handling is physical, never semantic;
+- domains     schema-legal values outside the generator's habits:
+              negative measures (refunds), odd-but-valid JSON payloads
+              (float/array/object/string-typed values at the extracted
+              path), epoch-boundary timestamps (1970, 2040 — past the
+              2038 int32 rollover) pinned to one event_type;
+- bimodal     bursty time: ~790 events in ONE hour + 10 stragglers 30
+              days later — 2-point hourly series, ~720-hour
+              interpolation gaps, month-long session splits,
+              burst→quiet changepoint shapes.
 
 All scenario data stays inside the declared fixture contract (same
 schemas incl. physical types, n_chars == length(text), referential

@@ -219,3 +219,65 @@ def test_topic_empty_batch_still_commits_schema(spark, tmp_path):
     v_before = st.latest_manifest("t")[0]
     st.produce(ev.limit(0).withColumn("tag", F.lit("v2")), "t")
     assert st.latest_manifest("t")[0] == v_before
+
+
+def test_json_extraction_nulls_non_integer_payloads(spark, tmp_path):
+    """A float at the extracted JSON path crashed the Spark scan under
+    ANSI (CAST_INVALID_INPUT), and the naive TRY_CAST fix diverges:
+    DuckDB TRY_CAST('1.5' AS BIGINT) ROUNDS to 2 where Spark returns
+    NULL (sweep: domains). Both engines now run the same int-literal
+    regex guard over TRY_CAST — int fields extract, float/array/object/
+    non-numeric-string/overflow all yield NULL, and one dirty payload
+    can never abort the scan."""
+    pool = [
+        ("{}", None),
+        ('{"k": null}', None),
+        ('{"k": 0}', 0),
+        ('{"k": "7"}', 7),
+        ('{"k": 1.5}', None),  # the crasher / rounder
+        ('{"k": -12}', -12),
+        ('{"k": [1, 2]}', None),
+        ('{"k": {"a": 1}}', None),
+        ('{"k": "x"}', None),
+        ('{"k": 99999999999999999999999}', None),  # > int64
+    ]
+    rows = [
+        (i, BASE + dt.timedelta(minutes=i), i % 3, "click", 1.0, props)
+        for i, (props, _) in enumerate(pool)
+    ]
+    sf_dir = str(tmp_path / "json_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_json_props_extract"]
+    diff = compare_query(
+        spark, con, "q_json_props_extract", spec.builder, spec.oracle, sf_dir
+    )
+    assert diff is None, diff
+    got = {r["event_id"]: r["k"] for r in spec.builder(spark, sf_dir).collect()}
+    assert got == {i: want for i, (_, want) in enumerate(pool)}
+
+
+def test_moving_avg_dense_frame_midpoint_rounds_engine_exact(spark, tmp_path):
+    """A dense range frame (burst hour) averages many 2-dp values and
+    the mean lands on exact 6-dp midpoints, where Spark's round()
+    (HALF_UP on the decimal string) and DuckDB's (nearbyint, half-even)
+    disagree (sweep: bimodal). The mean is now an order-independent
+    DECIMAL(16,2) window sum divided in double with the shared
+    floor(x*1e6 + 0.5) half-up. This pins the decimal plumbing on an
+    exact rational midpoint: 32 co-frame rows summing to 0.01 give
+    mean 0.01/32 = 0.0003125 — a true 6-dp midpoint, which must round
+    UP to 0.000313 on BOTH engines."""
+    rows = [(0, BASE, 1, "click", 0.01, "{}")] + [
+        (i, BASE + dt.timedelta(seconds=10 * i), 1, "click", 0.0, "{}")
+        for i in range(1, 32)
+    ]
+    sf_dir = str(tmp_path / "ma_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_moving_avg_time"]
+    diff = compare_query(
+        spark, con, "q_moving_avg_time", spec.builder, spec.oracle, sf_dir
+    )
+    assert diff is None, diff
+    last = {r["event_id"]: r["ma_1h"] for r in spec.builder(spark, sf_dir).collect()}
+    assert last[31] == 0.000313  # half-up at the exact midpoint
