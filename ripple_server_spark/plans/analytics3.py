@@ -91,7 +91,11 @@ def q_seq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != "error")
         .select(
             (F.col("event_id") % 8).alias("bucket"),
-            (F.col("event_id") / 8).cast("bigint").alias("seq"),
+            # integer `div`, never `/`: Spark's `/` is DOUBLE division,
+            # which silently corrupts ids past 2^53 (a snowflake-scale
+            # event_id came back off by one) — seq math must stay in
+            # exact int64 like DuckDB's `//`.
+            F.expr("event_id div 8").alias("seq"),
         )
     )
     prev = F.lag("seq").over(Window.partitionBy("bucket").orderBy("seq"))
@@ -123,32 +127,49 @@ def q_seq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN round(var_samp(value), 6) > 0
                 THEN round(kurtosis_pop(value), 6) END AS kurt,
            -- corr carries the same residue problem in its sd terms:
-           -- gate on BOTH sides' variance rounding positive
+           -- gate on BOTH sides' variance rounding positive. user_id
+           -- is CENTERED on its per-group min before the double cast:
+           -- corr is translation-invariant in exact math, but at
+           -- snowflake-scale ids (~2^53) the co-moment accumulations
+           -- cancel catastrophically and the engines diverge in the
+           -- 4th decimal; centered offsets are small exact doubles.
            CASE WHEN round(var_samp(value), 6) > 0
-                 AND round(var_samp(CAST(user_id AS DOUBLE)), 6) > 0
-                THEN round(corr(value, CAST(user_id AS DOUBLE)), 6)
+                 AND round(var_samp(CAST(user_id - u0 AS DOUBLE)), 6) > 0
+                THEN round(corr(value, CAST(user_id - u0 AS DOUBLE)), 6)
            END AS corr_uid,
            round(regr_slope(value, epoch(ts)), 9) AS trend
-    FROM events GROUP BY event_type
+    FROM events
+    JOIN (SELECT event_type, min(user_id) AS u0
+          FROM events GROUP BY event_type) USING (event_type)
+    GROUP BY event_type
     """,
     tags=("agg", "stats"),
 )
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher statistical moments + correlation + linear trend per event
-    type — the feature-engineering aggregate set. All are single-pass
+    type — the feature-engineering aggregate set. All statistics are
     partial-aggregable (sum-of-powers decomposition), so one shuffle
-    carries 6 statistics; nothing materializes per-row.
+    over the events carries all 6; nothing materializes per-row. The
+    corr input is pre-centered on a per-type min(user_id) anchor —
+    a type-count-sized aggregate broadcast back onto the scan —
+    because correlation is translation-invariant in exact arithmetic
+    but NOT in floats: at snowflake-scale ids (~2^53) the co-moment
+    accumulations cancel catastrophically and Spark/DuckDB diverge in
+    the 4th decimal, while centered offsets are small exact doubles.
 
     Cross-engine gotcha pinned by the oracle: Spark's skewness()/
     kurtosis() are the POPULATION forms, DuckDB's the bias-corrected
     SAMPLE forms — the oracle uses kurtosis_pop() and de-corrects
     skewness by (n-2)/sqrt(n(n-1)) so both engines compute g1/g2."""
     ev = load_table(spark, sf_dir, "events")
+    u0 = ev.groupBy("event_type").agg(F.min("user_id").alias("u0"))
+    ev = ev.join(F.broadcast(u0), "event_type")
     # skew/kurt gated on round(var, 6) > 0 in BOTH engines: see the
     # oracle comment — DuckDB's sum-of-powers m2 keeps a cancellation
     # residue on constant non-representable values where Spark's
     # Welford m2 is exactly 0, so the raw moments disagree there.
     var_pos = F.round(F.var_samp("value"), 6) > 0
+    uc = (F.col("user_id") - F.col("u0")).cast("double")
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd"),
         F.round(F.var_samp("value"), 6).alias("var"),
@@ -161,13 +182,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Identical to the builtins wherever variance is nonzero
         # (same partial-aggregated co-moments, one extra division).
         F.when(
-            var_pos
-            & (F.round(F.var_samp(F.col("user_id").cast("double")), 6) > 0),
+            var_pos & (F.round(F.var_samp(uc), 6) > 0),
             F.round(
                 F.try_divide(
-                    F.covar_samp("value", F.col("user_id").cast("double")),
-                    F.stddev_samp("value")
-                    * F.stddev_samp(F.col("user_id").cast("double")),
+                    F.covar_samp("value", uc),
+                    F.stddev_samp("value") * F.stddev_samp(uc),
                 ),
                 6,
             ),

@@ -151,7 +151,9 @@ _ORACLE_CHANGED_RECHECK = {
     # row count changed from a hard-coded k to min(k, corpus-1)
     "q_ann_pq_topk",
     # round 4: skew/kurt gated on round(var, 6) > 0 in both engines
-    # (zero-variance cancellation garbage in the DuckDB moments)
+    # (zero-variance cancellation garbage in the DuckDB moments); then
+    # corr_uid re-derived on a per-type-min-centered user_id (float
+    # cancellation at snowflake-scale ids diverged the engines)
     "q_stats_moments",
 }
 

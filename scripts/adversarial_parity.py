@@ -536,6 +536,49 @@ def scenario_bimodal(rng):
     return t
 
 
+def scenario_snowflake(rng):
+    """Snowflake-scale ids: every id column sits just PAST 2^53 — the
+    largest integer a double can hold exactly — with odd strides so no
+    id is double-representable. Any builder or kernel that round-trips
+    an id through a double (a float64 pandas coercion, an implicit
+    cast) corrupts it and diverges from DuckDB's exact arithmetic;
+    id modulo/div bucketing, md5-of-id fingerprints, and seq math must
+    all stay exact. Ids are capped so SUM(event_id) over any audited
+    subset still fits int64 (~800 × 2^53 ≈ 7.2e18 < 2^63): the
+    sum-of-ids fingerprint columns saturate int64 at full 2^63-scale
+    ids by design — DECIMAL sums would widen the driver-checked dtype
+    for a bound the log's own monotone seq allocation never reaches.
+
+    Everything else (ts, values, text, vectors) stays fixture-normal so
+    any diff is attributable to id handling alone."""
+    t = _tpch(rng)
+    base = (1 << 53) + 1
+    rows = [
+        (
+            base + i * 101,
+            T0 + int(rng.integers(0, 5 * DAY_US)),
+            base + 7 + (i % 6) * 13,
+            EVENT_TYPES[int(rng.integers(0, 5))],
+            round(float(rng.uniform(0.1, 300.0)), 2),
+            '{"k": %d}' % int(rng.integers(0, 100)),
+        )
+        for i in range(800)
+    ]
+    t["events"] = _events(rows)
+    t["documents"] = _docs(
+        [
+            (base + i * 997,
+             " ".join(WORDS[(i * 7 + j) % len(WORDS)] for j in range(30)),
+             "en", f"src{1 + i % 3}")
+            for i in range(15)
+        ]
+    )
+    emb = _random_embeddings(rng, 25)
+    emb["vec_id"] = [base + i * 389 for i in range(25)]
+    t["embeddings"] = emb
+    return t
+
+
 SCENARIOS = {
     "ties": scenario_ties,
     "degenerate": scenario_degenerate,
@@ -546,6 +589,7 @@ SCENARIOS = {
     "skew": scenario_skew,
     "domains": scenario_domains,
     "bimodal": scenario_bimodal,
+    "snowflake": scenario_snowflake,
 }
 
 # (scenario, query) pairs excluded with a stated engine-semantics
