@@ -37,7 +37,11 @@ regimes and runs the EXACT driver-mirror comparator
 - bimodal     bursty time: ~790 events in ONE hour + 10 stragglers 30
               days later — 2-point hourly series, ~720-hour
               interpolation gaps, month-long session splits,
-              burst→quiet changepoint shapes.
+              burst→quiet changepoint shapes;
+- snowflake   every id just past 2^53 (the double-exact bound) with
+              odd strides — any id round-tripped through a double
+              corrupts; id mod/div bucketing, seq math and
+              md5-of-id fingerprints must stay exact int64.
 
 All scenario data stays inside the declared fixture contract (same
 schemas incl. physical types, n_chars == length(text), referential

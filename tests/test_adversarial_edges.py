@@ -281,3 +281,59 @@ def test_moving_avg_dense_frame_midpoint_rounds_engine_exact(spark, tmp_path):
     assert diff is None, diff
     last = {r["event_id"]: r["ma_1h"] for r in spec.builder(spark, sf_dir).collect()}
     assert last[31] == 0.000313  # half-up at the exact midpoint
+
+
+def test_seq_math_is_exact_past_double_precision(spark, tmp_path):
+    """Spark's `/` is DOUBLE division: event_id / 8 silently corrupts
+    ids past 2^53 (off-by-one seq values, phantom/shifted gap reports)
+    where DuckDB's integer `//` stays exact (sweep: snowflake). The
+    builder now uses integer `div`. Ids here straddle the double-exact
+    bound with a real 3-slot hole; both engines must report the same
+    exact gap."""
+    base = (1 << 53) + 1
+    rows = []
+    eid = base
+    for i in range(12):
+        if i == 6:
+            eid += 8 * 3  # a 3-seq hole in bucket space
+        rows.append((eid, BASE + dt.timedelta(minutes=i), 1, "click", 1.0, "{}"))
+        eid += 8  # same bucket, consecutive seq
+    sf_dir = str(tmp_path / "seq_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_seq_gap_detection"]
+    diff = compare_query(
+        spark, con, "q_seq_gap_detection", spec.builder, spec.oracle, sf_dir
+    )
+    assert diff is None, diff
+    got = spec.builder(spark, sf_dir).collect()
+    assert len(got) == 1 and got[0]["n_missing"] == 3
+    # the reported hole is exact int64 arithmetic, not a rounded double:
+    # the last pre-hole event is i=5 (seq = base//8 + 5), so the gap
+    # starts one past it
+    assert got[0]["gap_start"] == base // 8 + 6
+
+
+def test_correlation_is_stable_at_snowflake_id_magnitudes(spark, tmp_path):
+    """corr(value, user_id) at ~2^53-magnitude ids cancels
+    catastrophically in the co-moment sums and the engines diverged in
+    the 4th decimal (sweep: snowflake). user_id is now centered on a
+    per-type min anchor before the double cast; the centered offsets
+    are small exact doubles, so a perfectly linear value~user_id
+    relation must come back corr = 1.0 exactly-after-rounding on BOTH
+    engines."""
+    base = (1 << 53) + 7
+    rows = [
+        (i, BASE + dt.timedelta(minutes=i), base + i, "click", 1.0 + 0.25 * i, "{}")
+        for i in range(40)
+    ]
+    sf_dir = str(tmp_path / "corr_edge")
+    _write_events(spark, sf_dir, rows)
+    con = _con(sf_dir, ("events",))
+    spec = SPECS["q_stats_moments"]
+    diff = compare_query(
+        spark, con, "q_stats_moments", spec.builder, spec.oracle, sf_dir
+    )
+    assert diff is None, diff
+    row = spec.builder(spark, sf_dir).collect()[0]
+    assert row["corr_uid"] == 1.0
