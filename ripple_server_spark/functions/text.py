@@ -189,10 +189,37 @@ def spans_pandas(text: Column, width: int) -> Column:
     return _span_udfs[width](text)
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+# SQL fragment of :func:`content_fold` for DuckDB oracles — keep the
+# two in lock-step (format with the text column expression).
+CONTENT_FOLD_SQL = (
+    "translate(trim({expr}), "
+    f"'{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+)
+
+
+def content_fold(col: Column) -> Column:
+    """Canonical text form for content fingerprints: trim + ASCII-ONLY
+    case fold.
+
+    Deliberately NOT ``lower()``: full Unicode case mapping is
+    engine-divergent — DuckDB (utf8proc) folds 'İ' to 'i' and final
+    'Σ' to 'σ', while the JVM (and CPython) produce 'i̇' and 'ς' — so
+    an exact-dup fingerprint built on lower() disagrees across engines
+    on legal Unicode text. translate() over the 26 ASCII letters is
+    the same pure byte mapping everywhere, and Unicode-case-SENSITIVE
+    exact dedup is the conservative choice (near-dup stages catch
+    case-variant duplicates)."""
+    return F.translate(F.trim(col), _ASCII_UPPER, _ASCII_LOWER)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: whole-content hash + min-shingle hash.
 
-    ``content_fp`` = md5 of normalized text (exact-dup key);
+    ``content_fp`` = md5 of the canonical form (:func:`content_fold` —
+    trim + ASCII case fold, engine-portable) — the exact-dup key;
     ``min_shingle_fp`` = lexicographic-min md5 over the shingle set — a
     1-permutation MinHash, stable under small reorderings, the cheap
     near-dup prefilter.
@@ -208,7 +235,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
     return (
         docs.select(
-            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_fp")
+            "doc_id", F.md5(content_fold(F.col("text"))).alias("content_fp")
         )
         .join(mins, on="doc_id", how="left")
     )

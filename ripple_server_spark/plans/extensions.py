@@ -643,7 +643,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SH_CTE},
     mins AS (SELECT doc_id, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY doc_id)
     SELECT t.doc_id,
-           md5(lower(trim(d.text))) AS content_fp,
+           md5(translate(trim(d.text),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz')) AS content_fp,
            m.min_shingle_fp
     FROM t
     JOIN documents d USING (doc_id)

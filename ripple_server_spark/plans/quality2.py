@@ -34,11 +34,13 @@ def _split_bucket() -> F.Column:
     )
 
 
-_FP = "md5(lower(trim(text)))"
+# Exact-dup fingerprint: trim + ASCII-only case fold (full-Unicode
+# lower() is engine-divergent — see functions/text.content_fold).
+_FP = f"md5({tx.CONTENT_FOLD_SQL.format(expr='text')})"
 
 
 def _fp() -> F.Column:
-    return F.md5(F.lower(F.trim(F.col("text"))))
+    return F.md5(tx.content_fold(F.col("text")))
 
 
 @query(

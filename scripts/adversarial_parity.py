@@ -482,13 +482,20 @@ def scenario_domains(rng):
             )
         )
     t["events"] = _events(rows)
-    t["documents"] = _docs(
-        [
-            (i, " ".join(WORDS[(i * 3 + j) % len(WORDS)] for j in range(40)), "en",
-             f"src{1 + i % 3}")
-            for i in range(15)
-        ]
-    )
+    docs = [
+        (i, " ".join(WORDS[(i * 3 + j) % len(WORDS)] for j in range(40)), "en",
+         f"src{1 + i % 3}")
+        for i in range(12)
+    ]
+    # Unicode whose FULL case mapping is engine-divergent (DuckDB
+    # utf8proc vs JVM: 'İ'→'i' vs 'i̇', final 'Σ'→'σ' vs 'ς'): content
+    # fingerprints must use the ASCII-only fold, not lower().
+    docs += [
+        (12, "İstanbul Mixed CASE doc " + " ".join(WORDS[:20]), "tr", "src1"),
+        (13, "ΣΙΣΥΦΟΣ greek SIGMA doc " + " ".join(WORDS[5:25]), "el", "src2"),
+        (14, "ǅungla titlecase ǅ doc " + " ".join(WORDS[10:30]), "hr", "src3"),
+    ]
+    t["documents"] = _docs(docs)
     t["embeddings"] = _random_embeddings(rng, 25)
     return t
 

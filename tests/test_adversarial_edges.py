@@ -337,3 +337,34 @@ def test_correlation_is_stable_at_snowflake_id_magnitudes(spark, tmp_path):
     assert diff is None, diff
     row = spec.builder(spark, sf_dir).collect()[0]
     assert row["corr_uid"] == 1.0
+
+
+def test_content_fingerprint_is_engine_portable_on_unicode_case(spark, tmp_path):
+    """Full Unicode lower() is engine-divergent: DuckDB (utf8proc)
+    folds 'İ' to 'i' and final 'Σ' to 'σ' where the JVM produces 'i̇'
+    and 'ς' — so md5(lower(trim(text))) fingerprints disagreed across
+    engines on legal Unicode text (sweep: domains). Fingerprints now
+    use the ASCII-only translate() fold (functions/text.content_fold),
+    byte-identical everywhere; ASCII case variants still collapse to
+    one exact-dup cluster, Unicode case variants deliberately stay
+    distinct (conservative exact dedup)."""
+    docs = [
+        (0, "İstanbul ΣΙΣΥΦΟΣ Mixed CASE", "tr", "src1"),
+        (1, "istanbul σισυφος mixed case", "tr", "src1"),  # unicode-case variant
+        (2, "Hello WORLD again", "en", "src2"),
+        (3, "hello world AGAIN", "en", "src2"),  # ASCII-case duplicate of 2
+    ]
+    sf_dir = str(tmp_path / "fold_edge")
+    spark.createDataFrame(
+        [(d, t, l, s, len(t)) for d, t, l, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    con = _con(sf_dir, ("documents",))
+    spec = SPECS["q_doc_fingerprint"]
+    diff = compare_query(
+        spark, con, "q_doc_fingerprint", spec.builder, spec.oracle, sf_dir
+    )
+    assert diff is None, diff
+    fp = {r["doc_id"]: r["content_fp"] for r in spec.builder(spark, sf_dir).collect()}
+    assert fp[2] == fp[3]  # ASCII case variants collapse
+    assert fp[0] != fp[1]  # unicode case variants stay distinct (by contract)
