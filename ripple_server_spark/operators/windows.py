@@ -89,7 +89,7 @@ def topk_hot_users(events: DataFrame, k: int = 10) -> DataFrame:
 
 
 def global_rank(
-    df: DataFrame, order_cols: list[str], n_parts: int = 32
+    df: DataFrame, order_cols: list[str], n_parts: int | None = None
 ) -> DataFrame:
     """Total-order global rank WITHOUT the single-partition trap.
 
@@ -99,8 +99,17 @@ def global_rank(
     are balanced), rank within each partition, then add each
     partition's cumulative row offset (a tiny n_parts-row broadcast).
     Two passes over the data, every stage parallel, exact global rank.
+
+    ``n_parts`` defaults to the session's ``defaultParallelism`` so the
+    per-task sort stays ~1/cores of the table on ANY cluster size — a
+    fixed constant would pin task size to the dev box. The rank value
+    is independent of the stripe count (offsets are exact), so changing
+    ``n_parts`` never changes results, only task granularity.
     """
     from pyspark.sql import Window
+
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
 
     # persisted: the counts branch and the rank branch must see the SAME
     # physical partitioning — without this the range shuffle runs twice

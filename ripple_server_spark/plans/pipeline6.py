@@ -667,10 +667,14 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus: min/max are NULL — degrade to the same empty
         # curve the oracle produces instead of a driver TypeError
         n_docs, lo, hi = 1, 0, 0
-    # ~64 coarse buckets over the observed doc_id range; a production
-    # ANALYZE derives this from table stats. Correctness never depends
-    # on the width (one degenerate bucket just degrades locally).
-    width = max(1, (hi - lo + 1) // 64)
+    # Coarse buckets over the observed doc_id range, sized to 2x the
+    # session's parallelism (2x32=64 on the dev box) so every core gets
+    # stripes on any cluster; a production ANALYZE derives this from
+    # table stats. Correctness never depends on the width — the slice
+    # rank is exact for every stripe count; one degenerate bucket just
+    # degrades task balance locally.
+    n_stripes = 2 * spark.sparkContext.defaultParallelism
+    width = max(1, (hi - lo + 1) // n_stripes)
     striped = docs.withColumn(
         "_stripe", F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("bigint")
     )

@@ -295,6 +295,9 @@ class StreamingGate:
         gate = self
 
         class _Listener(StreamingQueryListener):
+            # onQueryStarted/onQueryIdle are required listener hooks
+            # with nothing to do for a metrics gate — the no-op bodies
+            # are event handlers, not swallowed errors.
             def onQueryStarted(self, event):  # noqa: N802
                 pass
 
@@ -308,7 +311,18 @@ class StreamingGate:
                 pass
 
             def onQueryTerminated(self, event):  # noqa: N802
-                pass
+                # A stream that dies with an exception must not vanish
+                # silently — the gate's consumer would otherwise see an
+                # empty batch list and no clue why.
+                if getattr(event, "exception", None):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "streaming query terminated with exception "
+                        "(gate=%s): %s",
+                        gate.name,
+                        event.exception,
+                    )
 
         self._listener = _Listener()
 
