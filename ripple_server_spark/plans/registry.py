@@ -143,18 +143,73 @@ _PRIORITY_PREFIXES = (
 # 50-query budget (unverified + recheck must stay <= 50). Remove a name
 # once a later CORRECTNESS round is green for it.
 _ORACLE_CHANGED_RECHECK = {
-    # round 4: single-probe LSH -> multi-probe (Hamming-1) LSH; oracle
-    # gained the probes CTE, builder broadcasts the exploded query side
-    "q_ann_lsh_topk",
-    # round 4: recall-audit contract made corpus-aware + with-ties
-    # (operators/similarity.ann_recall_audit); the oracle's expected
-    # row count changed from a hard-coded k to min(k, corpus-1)
-    "q_ann_pq_topk",
-    # round 4: skew/kurt gated on round(var, 6) > 0 in both engines
-    # (zero-variance cancellation garbage in the DuckDB moments); then
-    # corr_uid re-derived on a per-type-min-centered user_id (float
-    # cancellation at snowflake-scale ids diverged the engines)
-    "q_stats_moments",
+    # --- round-5 refresh pass 1: builders MODIFIED during round 4
+    # after their last green driver row (VERDICT r04 "What's missing"
+    # item 1 names all 26) — locally parity-proven on current code and
+    # fixtures, re-queued so the hard CORRECTNESS signal covers the
+    # live code. The three r04-recheck names (q_ann_lsh_topk,
+    # q_ann_pq_topk, q_stats_moments) are r04-green and removed per
+    # this list's own policy.
+    "q_token_budget_select",
+    "q_window_distribution",
+    "q_text_tfidf",
+    "q_pagerank_types",
+    "q_topic_time_travel",
+    "q_cdc_apply",
+    "q_upsample_by_weight",
+    "q_zipf_slope",
+    "q_user_zscore_pandas",
+    "q_agg_multi",
+    "q_date_trunc_day",
+    "q_json_props_extract",
+    "q_moving_avg_time",
+    "q_seq_gap_detection",
+    "q_dedup_containment",
+    "q_fanout_replicas",
+    "q_funnel_conversion",
+    "q_percentile_value",
+    "q_quality_filter_funnel",
+    "q_similarity_lsh_bucket",
+    "q_text_pii_flags",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_timeseries_profile_topk",
+    "q_topn_per_group",
+    "q_tpch_q11_important",
+    # round 5: stripe count now 2x defaultParallelism instead of the
+    # fixed 64 (value-identical by construction — slice rank is exact
+    # for any stripe count — but the builder changed, so re-earn the row)
+    "q_vocab_growth",
+    # --- round-5 refresh pass 2 (23 slots): oldest round-1-era rows —
+    # their green evidence predates the driver's fixture regeneration
+    # between r01 and r02 (VERDICT r04 item 2); rotate the relational
+    # core onto current fixtures, oldest/most-load-bearing first. The
+    # remaining 19 r01-era names rotate in round 6. q_global_rank is
+    # pulled forward because round 5 also re-derived its stripe count
+    # from defaultParallelism.
+    "q_scan_events",
+    "q_project_typed_columns",
+    "q_filter_topic_bucket",
+    "q_filter_compound",
+    "q_consume_offset_range",
+    "q_topk_hot_users",
+    "q_union_topics",
+    "q_scalar_md5_route",
+    "q_bucket_depth_counts",
+    "q_rollup_type_day",
+    "q_min_seq_leader",
+    "q_latest_event_per_user",
+    "q_running_value",
+    "q_enrich_broadcast_join",
+    "q_join_semi_anti",
+    "q_fact_join",
+    "q_tpch_q1",
+    "q_tpch_q3_topk",
+    "q_tpch_q5_region",
+    "q_set_intersect_except",
+    "q_cube_type_bucket",
+    "q_tpch_q6",
+    "q_global_rank",
 }
 
 
