@@ -70,28 +70,32 @@ def query(
     return deco
 
 
-def _driver_verified_names() -> set[str]:
-    """Query names already green in a prior round's CORRECTNESS_r*.json.
+def _green_rounds() -> dict[str, int]:
+    """Latest round with a GREEN driver row per query, from the
+    CORRECTNESS_r*.json the driver writes each round.
 
     The driver verifies queries in dict order and may cap how many it
     checks per round (round 1 stopped at 50 of 111).  Ordering the dict
     never-verified-first makes each round's budget cover new queries, so
     the whole registry converges to driver-verified across rounds.
 
-    A prior-round ``no_oracle`` row only counts as verified while the
-    spec STILL has no oracle: a query that has since gained a SQL
-    oracle (q_ann_ivf_topk grew a recall-audit oracle after its r02
-    rows-only check) re-sorts to the front so the driver exercises the
-    stronger contract.
+    A ``no_oracle`` row only counts as green while the spec STILL has
+    no oracle: a query that has since gained a SQL oracle
+    (q_ann_ivf_topk grew a recall-audit oracle after its r02 rows-only
+    check) re-sorts to the front so the driver exercises the stronger
+    contract.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    hash_seen: set[str] = set()
-    rows_only_seen: set[str] = set()
+    hash_seen: dict[str, int] = {}
+    rows_only_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -103,13 +107,19 @@ def _driver_verified_names() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match"):
-                hash_seen.add(name)
+                hash_seen[name] = max(hash_seen.get(name, 0), rnd)
             elif row.get("err") == "no_oracle":
-                rows_only_seen.add(name)
-    still_rows_only = {
-        n for n in rows_only_seen if n in SPECS and SPECS[n].oracle is None
-    }
-    return hash_seen | still_rows_only
+                rows_only_seen[name] = max(rows_only_seen.get(name, 0), rnd)
+    out = dict(hash_seen)
+    for n, rnd in rows_only_seen.items():
+        if n in SPECS and SPECS[n].oracle is None:
+            out[n] = max(out.get(n, 0), rnd)
+    return out
+
+
+def _driver_verified_names() -> set[str]:
+    """Query names green in ANY prior round (ignores staleness)."""
+    return set(_green_rounds())
 
 
 _PRIORITY_PREFIXES = (
@@ -135,86 +145,137 @@ _PRIORITY_PREFIXES = (
 )
 
 
-# Queries whose contract (oracle SQL and/or builder semantics) changed
-# AFTER a prior round hash-verified them: a stale green row no longer
-# covers the live code, so they re-sort with the never-verified names
-# and the driver re-exercises the NEW contract. Keep this set tiny —
-# every entry competes with the unverified backlog for the driver's
-# 50-query budget (unverified + recheck must stay <= 50). Remove a name
-# once a later CORRECTNESS round is green for it.
-_ORACLE_CHANGED_RECHECK = {
-    # --- round-5 refresh pass 1: builders MODIFIED during round 4
-    # after their last green driver row (VERDICT r04 "What's missing"
-    # item 1 names all 26) — locally parity-proven on current code and
+# Queries whose green driver row went STALE: the contract (oracle SQL
+# and/or builder semantics) changed after the row was earned, or the
+# row predates the current fixture generation. Each entry maps the
+# query to the round DURING WHICH it was queued — the name re-sorts
+# with the never-verified names until a CORRECTNESS round NEWER than
+# that queues-round is green for it, then expires automatically (no
+# manual removal; a forgotten removal used to re-burn the whole next
+# round's budget on already-green names).
+#
+# Activation is budget-aware: never-verified names always go first;
+# queued names activate oldest-since first only while the combined
+# count fits the driver's 50-query budget. Names queued for a FUTURE
+# pass (higher since) defer automatically until earlier passes clear.
+_DRIVER_BUDGET = 50
+
+_RECHECK_SINCE: dict[str, int] = {
+    # --- round-5 refresh pass 1 (since=4): builders MODIFIED during
+    # round 4 after their last green driver row (VERDICT r04 item 1
+    # names all 26) — locally parity-proven on current code and
     # fixtures, re-queued so the hard CORRECTNESS signal covers the
-    # live code. The three r04-recheck names (q_ann_lsh_topk,
-    # q_ann_pq_topk, q_stats_moments) are r04-green and removed per
-    # this list's own policy.
-    "q_token_budget_select",
-    "q_window_distribution",
-    "q_text_tfidf",
-    "q_pagerank_types",
-    "q_topic_time_travel",
-    "q_cdc_apply",
-    "q_upsample_by_weight",
-    "q_zipf_slope",
-    "q_user_zscore_pandas",
-    "q_agg_multi",
-    "q_date_trunc_day",
-    "q_json_props_extract",
-    "q_moving_avg_time",
-    "q_seq_gap_detection",
-    "q_dedup_containment",
-    "q_fanout_replicas",
-    "q_funnel_conversion",
-    "q_percentile_value",
-    "q_quality_filter_funnel",
-    "q_similarity_lsh_bucket",
-    "q_text_pii_flags",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_timeseries_profile_topk",
-    "q_topn_per_group",
-    "q_tpch_q11_important",
+    # live code. (The three r04 recheck names q_ann_lsh_topk,
+    # q_ann_pq_topk, q_stats_moments are r04-green -> expired.)
+    "q_token_budget_select": 4,
+    "q_window_distribution": 4,
+    "q_text_tfidf": 4,
+    "q_pagerank_types": 4,
+    "q_topic_time_travel": 4,
+    "q_cdc_apply": 4,
+    "q_upsample_by_weight": 4,
+    "q_zipf_slope": 4,
+    "q_user_zscore_pandas": 4,
+    "q_agg_multi": 4,
+    "q_date_trunc_day": 4,
+    "q_json_props_extract": 4,
+    "q_moving_avg_time": 4,
+    "q_seq_gap_detection": 4,
+    "q_dedup_containment": 4,
+    "q_fanout_replicas": 4,
+    "q_funnel_conversion": 4,
+    "q_percentile_value": 4,
+    "q_quality_filter_funnel": 4,
+    "q_similarity_lsh_bucket": 4,
+    "q_text_pii_flags": 4,
+    "q_text_quality": 4,
+    "q_text_repetition": 4,
+    "q_timeseries_profile_topk": 4,
+    "q_topn_per_group": 4,
+    "q_tpch_q11_important": 4,
     # round 5: stripe count now 2x defaultParallelism instead of the
     # fixed 64 (value-identical by construction — slice rank is exact
     # for any stripe count — but the builder changed, so re-earn the row)
-    "q_vocab_growth",
-    # --- round-5 refresh pass 2 (23 slots): oldest round-1-era rows —
-    # their green evidence predates the driver's fixture regeneration
-    # between r01 and r02 (VERDICT r04 item 2); rotate the relational
-    # core onto current fixtures, oldest/most-load-bearing first. The
-    # remaining 19 r01-era names rotate in round 6. q_global_rank is
+    "q_vocab_growth": 4,
+    # --- round-5 refresh pass 2 (since=4, 23 slots): oldest round-1-era
+    # rows — their green evidence predates the driver's fixture
+    # regeneration between r01 and r02 (VERDICT r04 item 2); rotate the
+    # relational core onto current fixtures first. q_global_rank is
     # pulled forward because round 5 also re-derived its stripe count
     # from defaultParallelism.
-    "q_scan_events",
-    "q_project_typed_columns",
-    "q_filter_topic_bucket",
-    "q_filter_compound",
-    "q_consume_offset_range",
-    "q_topk_hot_users",
-    "q_union_topics",
-    "q_scalar_md5_route",
-    "q_bucket_depth_counts",
-    "q_rollup_type_day",
-    "q_min_seq_leader",
-    "q_latest_event_per_user",
-    "q_running_value",
-    "q_enrich_broadcast_join",
-    "q_join_semi_anti",
-    "q_fact_join",
-    "q_tpch_q1",
-    "q_tpch_q3_topk",
-    "q_tpch_q5_region",
-    "q_set_intersect_except",
-    "q_cube_type_bucket",
-    "q_tpch_q6",
-    "q_global_rank",
+    "q_scan_events": 4,
+    "q_project_typed_columns": 4,
+    "q_filter_topic_bucket": 4,
+    "q_filter_compound": 4,
+    "q_consume_offset_range": 4,
+    "q_topk_hot_users": 4,
+    "q_union_topics": 4,
+    "q_scalar_md5_route": 4,
+    "q_bucket_depth_counts": 4,
+    "q_rollup_type_day": 4,
+    "q_min_seq_leader": 4,
+    "q_latest_event_per_user": 4,
+    "q_running_value": 4,
+    "q_enrich_broadcast_join": 4,
+    "q_join_semi_anti": 4,
+    "q_fact_join": 4,
+    "q_tpch_q1": 4,
+    "q_tpch_q3_topk": 4,
+    "q_tpch_q5_region": 4,
+    "q_set_intersect_except": 4,
+    "q_cube_type_bucket": 4,
+    "q_tpch_q6": 4,
+    "q_global_rank": 4,
+    # --- round-6 refresh pass 3 (since=5): the remaining 19 round-1-era
+    # rows. Deferred automatically while the since=4 pass occupies the
+    # budget; they activate the moment CORRECTNESS_r05 lands (expiring
+    # the pass above) with zero manual edits.
+    "q_sessionize_users": 5,
+    "q_window_lag_lead": 5,
+    "q_above_avg_value": 5,
+    "q_asof_join": 5,
+    "q_range_join_bands": 5,
+    "q_pivot_type_day": 5,
+    "q_histogram_value": 5,
+    "q_grouping_sets": 5,
+    "q_udaf_gmean": 5,
+    "q_udtf_tokenize": 5,
+    "q_salted_agg": 5,
+    "q_cohort_retention": 5,
+    "q_tpch_q4_priority": 5,
+    "q_tpch_q10_returns": 5,
+    "q_tpch_q13_custdist": 5,
+    "q_tpch_q14_promo": 5,
+    "q_tpch_q17_small_qty": 5,
+    "q_tpch_q18_large_orders": 5,
+    "q_tpch_q19_disjunct": 5,
 }
 
 
+def _active_recheck() -> set[str]:
+    """The queued names that should re-sort unverified THIS round.
+
+    A queued name is pending while its latest green round is <= its
+    queued-since round (a NEWER green row expires it). Pending names
+    activate oldest-since first (dict order within a pass), but only
+    while never-verified names + active rechecks fit the driver's
+    per-round budget — overflow names stay sorted as verified and
+    activate in a later round.
+    """
+    greens = _green_rounds()
+    never = [n for n in SPECS if n not in greens]
+    pending = [
+        n
+        for n, since in _RECHECK_SINCE.items()
+        if n in SPECS and n in greens and greens[n] <= since
+    ]
+    pending.sort(key=lambda n: _RECHECK_SINCE[n])  # stable: dict order within a pass
+    room = max(0, _DRIVER_BUDGET - len(never))
+    return set(pending[:room])
+
+
 def _ordered_names() -> list[str]:
-    verified = _driver_verified_names() - _ORACLE_CHANGED_RECHECK
+    verified = _driver_verified_names() - _active_recheck()
 
     def rank(name: str) -> tuple[bool, int]:
         for i, pfx in enumerate(_PRIORITY_PREFIXES):
