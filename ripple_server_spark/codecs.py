@@ -1,0 +1,167 @@
+"""Image codecs for the multimodal kernels: Pillow when installed,
+plus a pure-numpy netpbm (PPM ``P6`` / PGM ``P5``) codec that needs no
+media library at all.
+
+Why netpbm: the container ships no media libraries, so the kernels'
+real (``fake=False``) paths used to raise ``NotImplementedError``
+unconditionally here — the one part of the multimodal surface whose
+real branch never executed in CI. Netpbm is a public, uncompressed
+format (header ``P6\\n<width> <height>\\n<maxval>\\n`` followed by raw
+big-endian RGB samples; ``P5`` is single-channel; ``#`` comments are
+legal anywhere in the header whitespace) simple enough to decode with
+numpy alone. With it, decode -> resize -> embed -> re-encode runs REAL
+end-to-end in this environment — the same code shape a Pillow/JPEG
+deployment executes — while compressed formats still require Pillow.
+
+Both backends hide behind :func:`open_image`, which returns a uniform
+handle; kernels never branch on the backend. maxval > 255 (16-bit
+samples) is rejected rather than silently squashed.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+_GRAY_WEIGHTS = (0.299, 0.587, 0.114)  # ITU-R 601 luma, what PIL "L" uses
+
+
+class ImageHandle:
+    """Uniform decoded-image handle over the Pillow and numpy backends.
+
+    ``arr`` is always (height, width, channels) uint8 — normalizing at
+    the boundary keeps every kernel backend-agnostic.
+    """
+
+    def __init__(self, arr: np.ndarray, prefer_png: bool = False):
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        self.arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        self._prefer_png = prefer_png
+
+    @property
+    def width(self) -> int:
+        return self.arr.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.arr.shape[0]
+
+    @property
+    def channels(self) -> int:
+        return self.arr.shape[2]
+
+    def resize(self, w: int, h: int) -> "ImageHandle":
+        """Nearest-neighbor resample (pixel-center rule): deterministic,
+        allocation-bounded by the TARGET dims — the property that makes
+        thumbnailing at scale an output-bounded pass."""
+        if w <= 0 or h <= 0:
+            raise ValueError(f"resize target must be positive, got {w}x{h}")
+        src_h, src_w = self.arr.shape[:2]
+        rows = np.minimum(((np.arange(h) + 0.5) * src_h / h).astype(np.int64), src_h - 1)
+        cols = np.minimum(((np.arange(w) + 0.5) * src_w / w).astype(np.int64), src_w - 1)
+        return ImageHandle(self.arr[rows[:, None], cols[None, :]], self._prefer_png)
+
+    def gray_row(self, dim: int) -> list[float]:
+        """Model-free visual feature: luma grayscale, nearest-neighbor
+        downsample to ``dim`` horizontal samples, normalized to [0,1]."""
+        a = self.arr.astype(np.float64)
+        if self.channels >= 3:
+            gray = a[:, :, 0] * _GRAY_WEIGHTS[0] + a[:, :, 1] * _GRAY_WEIGHTS[1] + a[:, :, 2] * _GRAY_WEIGHTS[2]
+        else:
+            gray = a[:, :, 0]
+        h, w = gray.shape
+        rows = np.minimum(((np.arange(1) + 0.5) * h).astype(np.int64), h - 1)
+        cols = np.minimum(((np.arange(dim) + 0.5) * w / dim).astype(np.int64), w - 1)
+        return [float(v) / 255.0 for v in gray[rows[:, None], cols[None, :]].ravel()]
+
+    def to_bytes(self) -> bytes:
+        """Re-encode: PNG when the Pillow backend decoded this image
+        (keeps the historical real-path output format), netpbm raw
+        otherwise — always losslessly re-decodable by open_image."""
+        if self._prefer_png:
+            import PIL.Image  # noqa: PLC0415 - prefer_png implies Pillow present
+
+            arr = self.arr[:, :, 0] if self.channels == 1 else self.arr
+            sink = io.BytesIO()
+            PIL.Image.fromarray(arr).save(sink, format="PNG")
+            return sink.getvalue()
+        return encode_netpbm(self.arr)
+
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> P6 (c==3) or P5 (c==1) bytes per the public
+    netpbm spec; 2- or 4-channel arrays drop to luma/RGB first (netpbm
+    has no alpha)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c == 4:
+        arr, c = arr[:, :, :3], 3
+    elif c == 2:
+        arr, c = arr[:, :, :1], 1
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def parse_netpbm(b: bytes) -> ImageHandle | None:
+    """Decode P5/P6 bytes -> ImageHandle; None when the magic number
+    says this is not netpbm (lets callers fall through to their
+    not-decodable error); ValueError on malformed/truncated netpbm."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    channels = 3 if b[1:2] == b"6" else 1
+
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments (legal anywhere in the header)
+        while pos < len(b) and (b[pos : pos + 1].isspace() or b[pos : pos + 1] == b"#"):
+            if b[pos : pos + 1] == b"#":
+                nl = b.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("netpbm: unterminated header comment")
+                pos = nl
+            pos += 1
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("netpbm: malformed header")
+        fields.append(int(b[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"netpbm: bad dimensions {w}x{h}")
+    if maxval != 255:
+        raise ValueError(f"netpbm: only maxval=255 supported, got {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    n = w * h * channels
+    raster = b[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError(f"netpbm: truncated raster ({len(raster)} < {n} bytes)")
+    arr = np.frombuffer(raster, dtype=np.uint8, count=n).reshape(h, w, channels)
+    return ImageHandle(arr)
+
+
+def open_image(b: bytes) -> ImageHandle:
+    """Real decode with backend fallback: Pillow when installed (any
+    format it knows), else the numpy netpbm codec; anything else
+    raises the documented codec boundary."""
+    try:
+        import PIL.Image  # noqa: PLC0415
+
+        im = PIL.Image.open(io.BytesIO(b))
+        if im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGB")
+        return ImageHandle(np.asarray(im), prefer_png=True)
+    except ImportError:
+        pass
+    im = parse_netpbm(b)
+    if im is None:
+        raise NotImplementedError(
+            "payload is not netpbm (P5/P6) and no media library is "
+            "installed: compressed formats need Pillow (pip install pillow)"
+        )
+    return im

@@ -6,12 +6,20 @@ with typed metadata structs — the 100 TB pattern: bytes stay columnar
 decode/feature-extract runs as Arrow-batched ``mapInPandas`` so Python
 touches each batch once.
 
-The container has no media libraries, so the actual decoders are
-STUBBED (clearly marked below): `fake=True` (default) derives
-deterministic pseudo-metadata from the payload's md5 — making the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-fully real and testable — while `fake=False` raises NotImplementedError
-exactly where a real Pillow/ffmpeg call would go.
+Two payload paths:
+
+- `fake=True` (default, what the registry queries use) derives
+  deterministic pseudo-metadata from the payload's md5 — making the
+  Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+  fully real and oracle-checkable on the text fixtures (which carry no
+  media bytes);
+- `fake=False` is a REAL image path: Pillow when installed (any
+  format), else a pure-numpy netpbm (PPM/PGM) codec
+  (ripple_server_spark/codecs.py) — so decode/resize/embed run real
+  end-to-end even in this media-library-free container and are tested
+  un-skipped (tests/test_multimodal.py). Compressed formats without
+  Pillow, and the video frame-sampler (needs ffmpeg), raise
+  NotImplementedError at the documented codec boundary.
 """
 
 from __future__ import annotations
@@ -40,31 +48,14 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pil():
-    """Import the real image codec or raise the documented stub
-    boundary error. The fake=False paths below are REAL whenever
-    Pillow is installed (smoke-tested via RIPPLE_REAL_CODECS=1,
-    tests/test_multimodal.py); this container has no media libraries,
-    so there they raise."""
-    try:
-        import PIL.Image  # noqa: PLC0415
-
-        return PIL.Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "media codecs not available in this environment (pip install pillow)"
-        ) from e
-
-
 def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch in, one metadata frame out.
 
     Generator form means constant memory per task regardless of
     partition size — the shape that survives 100 TB inputs.
     """
-    import io
+    from ripple_server_spark.codecs import open_image
 
-    Image = None if fake else _pil()
     for pdf in pdf_iter:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -80,8 +71,8 @@ def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterato
                 d = hh.digest()
                 w, h, c = 64 + d[0], 64 + d[1], 1 + (d[2] % 3)
             else:
-                im = Image.open(io.BytesIO(b))
-                (w, h), c = im.size, len(im.getbands())
+                im = open_image(b)
+                w, h, c = im.width, im.height, im.channels
             rows.append(
                 {
                     "doc_id": doc_id,
@@ -127,9 +118,8 @@ def resize_batch(
     100 TB an output-bounded pass."""
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+        from ripple_server_spark.codecs import open_image
 
-        Image = None if fake else _pil()
         for pdf in pdf_iter:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -154,10 +144,9 @@ def resize_batch(
                         buf.extend(block)
                     resized = bytes(buf[:n_out])
                 else:
-                    im = Image.open(io.BytesIO(b)).resize((target_w, target_h))
-                    sink = io.BytesIO()
-                    im.save(sink, format="PNG")
-                    resized = sink.getvalue()
+                    # REAL resize: nearest-neighbor resample, re-encoded
+                    # PNG (Pillow) or netpbm (numpy backend).
+                    resized = open_image(b).resize(target_w, target_h).to_bytes()
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -250,9 +239,8 @@ def embed_batch(dim: int = 16, fake: bool = True):
     forward pass over the same Arrow batches."""
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+        from ripple_server_spark.codecs import open_image
 
-        Image = None if fake else _pil()
         for pdf in pdf_iter:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -271,12 +259,11 @@ def embed_batch(dim: int = 16, fake: bool = True):
                         hx += hashlib.md5(hx[-32:].encode()).hexdigest()
                     emb = [(ord(c) - 100.0) / 10.0 for c in hx[:dim]]
                 else:
-                    # Real (model-free) visual feature: grayscale
-                    # downsample to `dim` pixels, normalized to [0,1] —
-                    # a deployment swaps in a model forward pass over
-                    # the same Arrow batches.
-                    im = Image.open(io.BytesIO(b)).convert("L").resize((dim, 1))
-                    emb = [p / 255.0 for p in im.getdata()]
+                    # Real (model-free) visual feature: luma grayscale
+                    # downsampled to `dim` samples, normalized to
+                    # [0,1] — a deployment swaps in a model forward
+                    # pass over the same Arrow batches.
+                    emb = open_image(b).gray_row(dim)
                 out.append({"doc_id": doc_id, "embedding": emb})
             yield pd.DataFrame(out, columns=["doc_id", "embedding"])
 

@@ -249,6 +249,15 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_tpch_q17_small_qty": 5,
     "q_tpch_q18_large_orders": 5,
     "q_tpch_q19_disjunct": 5,
+    # round 5: the decode/resize/embed kernels gained a real numpy
+    # netpbm backend on their fake=False branch (codecs.py). The
+    # fake=True branch these queries run is byte-identical (pinned by
+    # determinism tests + sf0.01 parity), but the kernel closures
+    # changed, so re-earn the rows. (q_multimodal_frames' kernel is
+    # untouched — not queued.)
+    "q_multimodal_meta": 5,
+    "q_multimodal_resize": 5,
+    "q_multimodal_embed": 5,
 }
 
 
