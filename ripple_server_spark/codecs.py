@@ -102,6 +102,8 @@ def encode_netpbm(arr: np.ndarray) -> bytes:
         arr, c = arr[:, :, :3], 3
     elif c == 2:
         arr, c = arr[:, :, :1], 1
+    if c not in (1, 3):
+        raise ValueError(f"netpbm encodes 1 or 3 channels, got {c}")
     magic = b"P6" if c == 3 else b"P5"
     return magic + b"\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
@@ -136,7 +138,12 @@ def parse_netpbm(b: bytes) -> ImageHandle | None:
         raise ValueError(f"netpbm: bad dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"netpbm: only maxval=255 supported, got {maxval}")
-    pos += 1  # exactly ONE whitespace byte separates header from raster
+    # exactly ONE whitespace byte separates header from raster (spec);
+    # anything else means the raster offset is wrong — refuse rather
+    # than decode misaligned garbage pixels
+    if pos >= len(b) or not b[pos : pos + 1].isspace():
+        raise ValueError("netpbm: missing whitespace between header and raster")
+    pos += 1
     n = w * h * channels
     raster = b[pos : pos + n]
     if len(raster) < n:

@@ -225,6 +225,13 @@ def test_netpbm_codec_roundtrip_and_edges():
         parse_netpbm(b"P6\n4 4\n255\n" + b"\x00" * 10)
     with _pytest.raises(ValueError, match="maxval"):
         parse_netpbm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    # a non-whitespace byte after maxval means the raster offset is
+    # wrong: refuse rather than decode misaligned garbage pixels
+    with _pytest.raises(ValueError, match="whitespace"):
+        parse_netpbm(b"P6\n2 2\n255X" + bytes(13))
+    # the encoder only speaks 1- or 3-channel rasters
+    with _pytest.raises(ValueError, match="channels"):
+        encode_netpbm(np.zeros((2, 2, 5), dtype=np.uint8))
 
 
 def test_netpbm_nearest_neighbor_resize_exact():
