@@ -64,28 +64,42 @@ class ImageHandle:
         return ImageHandle(self.arr[rows[:, None], cols[None, :]], self._prefer_png)
 
     def gray_row(self, dim: int) -> list[float]:
-        """Model-free visual feature: luma grayscale, nearest-neighbor
-        downsample to ``dim`` horizontal samples, normalized to [0,1]."""
-        a = self.arr.astype(np.float64)
+        """Model-free visual feature: mean luma of ``dim`` vertical
+        column bands, normalized to [0,1] — every pixel contributes
+        (an image differing only off-center still embeds differently;
+        a center-row sample would be blind to it).
+
+        Memory shape: rows are reduced FIRST (``sum(axis=0)`` on the
+        uint8 array, output is one W x C row), so no full-image float
+        copy is ever allocated — O(W*H) reads, O(W) scratch.
+        """
+        sums = self.arr.sum(axis=0, dtype=np.float64)  # (w, c)
         if self.channels >= 3:
-            gray = a[:, :, 0] * _GRAY_WEIGHTS[0] + a[:, :, 1] * _GRAY_WEIGHTS[1] + a[:, :, 2] * _GRAY_WEIGHTS[2]
+            col_luma = sums[:, :3] @ np.asarray(_GRAY_WEIGHTS)
         else:
-            gray = a[:, :, 0]
-        h, w = gray.shape
-        rows = np.minimum(((np.arange(1) + 0.5) * h).astype(np.int64), h - 1)
-        cols = np.minimum(((np.arange(dim) + 0.5) * w / dim).astype(np.int64), w - 1)
-        return [float(v) / 255.0 for v in gray[rows[:, None], cols[None, :]].ravel()]
+            col_luma = sums[:, 0]
+        w = col_luma.shape[0]
+        # band b covers columns [floor(b*w/dim), floor((b+1)*w/dim));
+        # reduceat needs strictly valid starts, so clamp for dim > w
+        starts = np.minimum((np.arange(dim) * w) // dim, w - 1)
+        band_sums = np.add.reduceat(col_luma, starts)
+        ends = np.minimum(((np.arange(dim) + 1) * w) // dim, w)
+        widths = np.maximum(ends - starts, 1)
+        # reduceat folds equal adjacent starts (dim > w) into width-1
+        # bands automatically; duplicated starts re-read the same column
+        return [
+            float(s) / (wd * self.height * 255.0)
+            for s, wd in zip(band_sums, widths)
+        ]
 
     def to_bytes(self) -> bytes:
         """Re-encode: PNG when the Pillow backend decoded this image
         (keeps the historical real-path output format), netpbm raw
         otherwise — always losslessly re-decodable by open_image."""
         if self._prefer_png:
-            import PIL.Image  # noqa: PLC0415 - prefer_png implies Pillow present
-
             arr = self.arr[:, :, 0] if self.channels == 1 else self.arr
             sink = io.BytesIO()
-            PIL.Image.fromarray(arr).save(sink, format="PNG")
+            _PIL_IMAGE.fromarray(arr).save(sink, format="PNG")  # prefer_png implies Pillow present
             return sink.getvalue()
         return encode_netpbm(self.arr)
 
@@ -114,6 +128,11 @@ def parse_netpbm(b: bytes) -> ImageHandle | None:
     not-decodable error); ValueError on malformed/truncated netpbm."""
     if len(b) < 2 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
         return None
+    # the spec requires whitespace (or a comment) after the magic; a
+    # glued header like b"P63 3..." means a byte was dropped — width
+    # would silently mis-parse as 33, so refuse it
+    if len(b) < 3 or not (b[2:3].isspace() or b[2:3] == b"#"):
+        raise ValueError("netpbm: magic number not followed by whitespace")
     channels = 3 if b[1:2] == b"6" else 1
 
     pos = 2
@@ -152,19 +171,33 @@ def parse_netpbm(b: bytes) -> ImageHandle | None:
     return ImageHandle(arr)
 
 
+# Backend resolved ONCE at import: a failed `import PIL` is not cached
+# by Python, so retrying it per payload costs a sys.path scan per
+# image (~10x the netpbm decode itself for small payloads).
+try:
+    import PIL.Image as _PIL_IMAGE  # noqa: N812
+except ImportError:
+    _PIL_IMAGE = None
+
+
 def open_image(b: bytes) -> ImageHandle:
     """Real decode with backend fallback: Pillow when installed (any
-    format it knows), else the numpy netpbm codec; anything else
-    raises the documented codec boundary."""
-    try:
-        import PIL.Image  # noqa: PLC0415
-
-        im = PIL.Image.open(io.BytesIO(b))
-        if im.mode not in ("L", "RGB", "RGBA"):
-            im = im.convert("RGB")
-        return ImageHandle(np.asarray(im), prefer_png=True)
-    except ImportError:
-        pass
+    format it knows), else the numpy netpbm codec. A netpbm payload
+    that a given Pillow release refuses (ppm plugin strictness varies)
+    still falls back to the numpy codec, so installing Pillow never
+    breaks payloads that decoded without it. Anything else raises the
+    documented codec boundary."""
+    if _PIL_IMAGE is not None:
+        try:
+            im = _PIL_IMAGE.open(io.BytesIO(b))
+            if im.mode not in ("L", "RGB", "RGBA"):
+                im = im.convert("RGB")
+            return ImageHandle(np.asarray(im), prefer_png=True)
+        except Exception:
+            pbm = parse_netpbm(b)
+            if pbm is not None:
+                return pbm
+            raise
     im = parse_netpbm(b)
     if im is None:
         raise NotImplementedError(

@@ -90,8 +90,10 @@ def decode_batch(pdf_iter: Iterator[pd.DataFrame], fake: bool = True) -> Iterato
 
 def decode_payloads(payloads: DataFrame, fake: bool = True) -> DataFrame:
     """(doc_id, payload binary) -> typed metadata; the entry point for
-    REAL media bytes (fake=False + Pillow installed decodes actual
-    images; smoke-tested behind RIPPLE_REAL_CODECS=1)."""
+    REAL media bytes: fake=False decodes actual images — netpbm via
+    the numpy codec in any environment, every Pillow-known format when
+    Pillow is installed (tests/test_multimodal.py runs the netpbm path
+    un-skipped; RIPPLE_REAL_CODECS=1 adds the Pillow smoke)."""
     import functools
 
     return payloads.select("doc_id", "payload").mapInPandas(
@@ -166,8 +168,9 @@ def resize_batch(
 def resize_payloads(
     payloads: DataFrame, target_w: int = 32, target_h: int = 32, fake: bool = True
 ) -> DataFrame:
-    """(doc_id, payload) -> resized payload (real PNG re-encode when
-    fake=False and Pillow is installed)."""
+    """(doc_id, payload) -> resized payload. fake=False is a REAL
+    nearest-neighbor resample in any environment (netpbm re-encode via
+    the numpy codec; PNG re-encode when Pillow decoded the input)."""
     return payloads.select("doc_id", "payload").mapInPandas(
         resize_batch(target_w, target_h, fake=fake), schema=RESIZE_SCHEMA
     )
@@ -259,10 +262,10 @@ def embed_batch(dim: int = 16, fake: bool = True):
                         hx += hashlib.md5(hx[-32:].encode()).hexdigest()
                     emb = [(ord(c) - 100.0) / 10.0 for c in hx[:dim]]
                 else:
-                    # Real (model-free) visual feature: luma grayscale
-                    # downsampled to `dim` samples, normalized to
-                    # [0,1] — a deployment swaps in a model forward
-                    # pass over the same Arrow batches.
+                    # Real (model-free) visual feature: mean luma per
+                    # vertical column band (every pixel contributes),
+                    # normalized to [0,1] — a deployment swaps in a
+                    # model forward pass over the same Arrow batches.
                     emb = open_image(b).gray_row(dim)
                 out.append({"doc_id": doc_id, "embedding": emb})
             yield pd.DataFrame(out, columns=["doc_id", "embedding"])
@@ -271,8 +274,9 @@ def embed_batch(dim: int = 16, fake: bool = True):
 
 
 def embed_payloads(payloads: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
-    """(doc_id, payload) -> embedding (real grayscale-downsample
-    features when fake=False and Pillow is installed)."""
+    """(doc_id, payload) -> embedding. fake=False computes REAL
+    whole-image luma band-mean features in any environment (numpy
+    netpbm backend; Pillow extends the input formats)."""
     return payloads.select("doc_id", "payload").mapInPandas(
         embed_batch(dim, fake=fake), schema=EMBED_SCHEMA
     )

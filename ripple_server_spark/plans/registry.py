@@ -261,7 +261,7 @@ _RECHECK_SINCE: dict[str, int] = {
 }
 
 
-def _active_recheck() -> set[str]:
+def _active_recheck(greens: dict[str, int] | None = None) -> set[str]:
     """The queued names that should re-sort unverified THIS round.
 
     A queued name is pending while its latest green round is <= its
@@ -271,7 +271,8 @@ def _active_recheck() -> set[str]:
     per-round budget — overflow names stay sorted as verified and
     activate in a later round.
     """
-    greens = _green_rounds()
+    if greens is None:
+        greens = _green_rounds()
     never = [n for n in SPECS if n not in greens]
     pending = [
         n
@@ -284,7 +285,11 @@ def _active_recheck() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    verified = _driver_verified_names() - _active_recheck()
+    # one CORRECTNESS_r*.json parse serves both consumers — the glob
+    # + JSON pass grows with rounds and all_queries()/all_oracles()
+    # each order the registry at driver startup
+    greens = _green_rounds()
+    verified = set(greens) - _active_recheck(greens)
 
     def rank(name: str) -> tuple[bool, int]:
         for i, pfx in enumerate(_PRIORITY_PREFIXES):

@@ -283,3 +283,26 @@ def test_real_image_path_end_to_end_no_media_library(spark):
     assert embs[1][0] != embs[2][0]
     # red luma (0.299) > blue luma (0.114)
     assert embs[1][0] > embs[2][0]
+
+
+def test_embed_sees_whole_image_not_center_row():
+    """Review regression: the real embedding is a whole-image band
+    mean — two images identical along the center row but different
+    elsewhere must embed differently (a center-row sample was blind
+    to off-center content), and a magic glued to the width must be
+    rejected, not mis-parsed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ripple_server_spark.codecs import ImageHandle, parse_netpbm
+
+    base = np.full((9, 8, 3), 128, dtype=np.uint8)
+    blanked = base.copy()
+    blanked[:3], blanked[6:] = 0, 0  # center rows untouched
+    e_base = ImageHandle(base).gray_row(4)
+    e_blank = ImageHandle(blanked).gray_row(4)
+    assert e_base != e_blank
+    # band mean of the blanked image: 3 of 9 rows at 128 -> 128/3
+    assert all(abs(v - (128 / 3) / 255.0) < 1e-9 for v in e_blank)
+    with _pytest.raises(ValueError, match="magic"):
+        parse_netpbm(b"P63 3\n255\n" + bytes(27))

@@ -34,74 +34,3 @@ def test_every_oracle_nonempty_at_gate_sf():
     finally:
         con.close()
     assert not empty, f"vacuously-empty queries at sf0.01: {empty}"
-
-
-def test_driver_budget_covers_every_unverified_query():
-    """The driver checks at most 50 queries per round, in queries()
-    dict order. The registry sorts never-verified + active-recheck
-    names first and caps their combined count at the budget — an
-    oversized queue would push names out of the round's CORRECTNESS
-    evidence without any local failure."""
-    from ripple_server_spark.plans.registry import (
-        _DRIVER_BUDGET,
-        _RECHECK_SINCE,
-        _active_recheck,
-        _driver_verified_names,
-        _ordered_names,
-    )
-
-    stale = set(_RECHECK_SINCE) - set(SPECS)
-    assert not stale, f"recheck names not in the registry: {stale}"
-    unverified = set(SPECS) - (_driver_verified_names() - _active_recheck())
-    assert len(unverified) <= _DRIVER_BUDGET, (
-        f"{len(unverified)} unverified/recheck queries exceed the "
-        f"driver's {_DRIVER_BUDGET}-query budget"
-    )
-    order = _ordered_names()
-    assert set(order[: len(unverified)]) == unverified
-
-
-def test_recheck_queue_expires_and_defers_by_green_round():
-    """The recheck queue is self-maintaining: a name queued at round R
-    expires on any green row from a round > R (no manual removal — a
-    forgotten removal used to re-burn the next round's whole budget),
-    and names queued for a future pass defer while earlier passes fill
-    the budget, strictly oldest-since first."""
-    from ripple_server_spark.plans.registry import (
-        _RECHECK_SINCE,
-        _active_recheck,
-        _green_rounds,
-    )
-
-    greens = _green_rounds()
-    active = _active_recheck()
-    queued = {n for n, s in _RECHECK_SINCE.items() if n in SPECS}
-    for n in queued:
-        if n in greens and greens[n] > _RECHECK_SINCE[n]:
-            assert n not in active, f"{n} green at r{greens[n]} but still queued"
-    # activation is monotone in `since`: no deferred name may have an
-    # older since than an active one
-    pend = [n for n in queued if n in greens and greens[n] <= _RECHECK_SINCE[n]]
-    deferred = set(pend) - active
-    if deferred and active:
-        assert min(_RECHECK_SINCE[n] for n in deferred) >= max(
-            _RECHECK_SINCE[n] for n in active
-        )
-
-
-def test_recheck_round6_transition_simulated(monkeypatch):
-    """Simulate CORRECTNESS_r05 landing green for this round's 50
-    active names: they must expire and the 19 deferred round-6 names
-    must activate, with zero registry edits."""
-    from ripple_server_spark.plans import registry as reg
-
-    real = reg._green_rounds()
-    active_now = reg._active_recheck()
-    simulated = dict(real)
-    for n in active_now:
-        simulated[n] = 5
-    monkeypatch.setattr(reg, "_green_rounds", lambda: simulated)
-    nxt = reg._active_recheck()
-    assert not (nxt & active_now), "r05-green names must expire"
-    expected_r6 = {n for n, s in reg._RECHECK_SINCE.items() if s == 5}
-    assert nxt == expected_r6, (nxt ^ expected_r6)
