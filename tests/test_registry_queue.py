@@ -63,19 +63,33 @@ def test_recheck_queue_expires_and_defers_by_green_round():
         )
 
 
-def test_recheck_round6_transition_simulated(monkeypatch):
-    """Simulate CORRECTNESS_r05 landing green for this round's 50
-    active names: they must expire and the 19 deferred round-6 names
-    must activate, with zero registry edits."""
+def test_recheck_next_round_transition_simulated(monkeypatch):
+    """Simulate the driver landing a green row for every currently
+    active recheck name: the actives must expire and exactly the
+    next-oldest pending names must activate within the budget, with
+    zero registry edits. The simulated green round is derived PER NAME
+    (``_RECHECK_SINCE[n] + 1`` — expiry needs green > since) and the
+    expected next-active set from ``_RECHECK_SINCE``/``_DRIVER_BUDGET``,
+    so the test stays correct no matter which CORRECTNESS_r*.json files
+    the driver has written to the checkout."""
     from ripple_server_spark.plans import registry as reg
 
     real = reg._green_rounds()
     active_now = reg._active_recheck()
     simulated = dict(real)
     for n in active_now:
-        simulated[n] = 5
+        simulated[n] = reg._RECHECK_SINCE[n] + 1
     monkeypatch.setattr(reg, "_green_rounds", lambda: simulated)
     nxt = reg._active_recheck()
-    assert not (nxt & active_now), "r05-green names must expire"
-    expected_r6 = {n for n, s in reg._RECHECK_SINCE.items() if s == 5}
-    assert nxt == expected_r6, (nxt ^ expected_r6)
+    assert not (nxt & active_now), "newly-green names must expire"
+    remaining = [
+        n
+        for n, s in reg._RECHECK_SINCE.items()
+        if n in SPECS and n not in active_now and simulated.get(n, 0) <= s
+        and n in simulated
+    ]
+    remaining.sort(key=lambda n: reg._RECHECK_SINCE[n])
+    never = [n for n in SPECS if n not in simulated]
+    room = max(0, reg._DRIVER_BUDGET - len(never))
+    expected = set(remaining[:room])
+    assert nxt == expected, (nxt ^ expected)
