@@ -1,6 +1,6 @@
-"""Image codecs for the multimodal kernels: Pillow when installed,
-plus a pure-numpy netpbm (PPM ``P6`` / PGM ``P5``) codec that needs no
-media library at all.
+"""Image and video codecs for the multimodal kernels: Pillow / PyAV
+when installed, plus pure-numpy netpbm (PPM ``P6`` / PGM ``P5``) and
+YUV4MPEG2 (``y4m``) codecs that need no media library at all.
 
 Why netpbm: the container ships no media libraries, so the kernels'
 real (``fake=False``) paths used to raise ``NotImplementedError``
@@ -13,9 +13,23 @@ numpy alone. With it, decode -> resize -> embed -> re-encode runs REAL
 end-to-end in this environment — the same code shape a Pillow/JPEG
 deployment executes — while compressed formats still require Pillow.
 
-Both backends hide behind :func:`open_image`, which returns a uniform
-handle; kernels never branch on the backend. maxval > 255 (16-bit
-samples) is rejected rather than silently squashed.
+Why y4m: the same boundary existed for video — the frame sampler's
+real path raised unconditionally because frame extraction was assumed
+to need ffmpeg. YUV4MPEG2 is the public uncompressed interchange
+format ffmpeg itself emits (stream header ``YUV4MPEG2 W<w> H<h>
+F<num>:<den> ... C<colorspace>\\n`` followed by ``FRAME\\n`` + raw
+planar YCbCr per frame), simple enough to parse with numpy alone —
+so decode -> sample -> checksum runs REAL end-to-end in this
+ffmpeg-free container, while compressed containers still require
+PyAV.
+
+All backends hide behind :func:`open_image` / :func:`open_video`,
+which return uniform handles; kernels never branch on the backend,
+and every "no backend decodes this payload" failure surfaces as the
+one documented boundary type, ``NotImplementedError`` (malformed
+payloads of a RECOGNIZED format stay ``ValueError``). Samples deeper
+than 8 bits (netpbm maxval > 255, Pillow ``I``/``I;16``/``F`` modes,
+y4m 10-bit colorspaces) are rejected rather than silently squashed.
 """
 
 from __future__ import annotations
@@ -171,13 +185,18 @@ def parse_netpbm(b: bytes) -> ImageHandle | None:
     return ImageHandle(arr)
 
 
-# Backend resolved ONCE at import: a failed `import PIL` is not cached
-# by Python, so retrying it per payload costs a sys.path scan per
-# image (~10x the netpbm decode itself for small payloads).
+# Backends resolved ONCE at import: a failed `import PIL` is not
+# cached by Python, so retrying it per payload costs a sys.path scan
+# per image (~10x the netpbm decode itself for small payloads).
 try:
     import PIL.Image as _PIL_IMAGE  # noqa: N812
 except ImportError:
     _PIL_IMAGE = None
+
+try:
+    import av as _AV
+except ImportError:
+    _AV = None
 
 
 def open_image(b: bytes) -> ImageHandle:
@@ -185,19 +204,35 @@ def open_image(b: bytes) -> ImageHandle:
     format it knows), else the numpy netpbm codec. A netpbm payload
     that a given Pillow release refuses (ppm plugin strictness varies)
     still falls back to the numpy codec, so installing Pillow never
-    breaks payloads that decoded without it. Anything else raises the
-    documented codec boundary."""
+    breaks payloads that decoded without it.
+
+    The error contract is backend-independent: a payload NO installed
+    backend recognizes raises ``NotImplementedError`` (the documented
+    codec boundary — Pillow's ``UnidentifiedImageError`` is wrapped,
+    never surfaced); a malformed payload of a recognized format, and
+    samples deeper than 8 bits, raise ``ValueError``."""
     if _PIL_IMAGE is not None:
         try:
             im = _PIL_IMAGE.open(io.BytesIO(b))
-            if im.mode not in ("L", "RGB", "RGBA"):
-                im = im.convert("RGB")
-            return ImageHandle(np.asarray(im), prefer_png=True)
-        except Exception:
+            im.load()
+        except Exception as exc:
+            # may still be a netpbm flavor this Pillow refuses; a
+            # malformed-netpbm ValueError propagates from here
             pbm = parse_netpbm(b)
             if pbm is not None:
                 return pbm
-            raise
+            raise NotImplementedError(
+                f"no installed backend decodes this image payload: {exc}"
+            ) from exc
+        if im.mode in ("I", "F") or im.mode.startswith("I;16"):
+            # same precision policy as the netpbm maxval=255 check:
+            # refuse >8-bit samples instead of silently squashing them
+            raise ValueError(
+                f"only 8-bit samples supported, got Pillow mode {im.mode}"
+            )
+        if im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGB")
+        return ImageHandle(np.asarray(im), prefer_png=True)
     im = parse_netpbm(b)
     if im is None:
         raise NotImplementedError(
@@ -205,3 +240,214 @@ def open_image(b: bytes) -> ImageHandle:
             "installed: compressed formats need Pillow (pip install pillow)"
         )
     return im
+
+
+class VideoHandle:
+    """Uniform decoded-video handle over the y4m and PyAV backends.
+
+    ``frame(i)`` decodes on demand via per-frame thunks — the y4m
+    backend slices the source buffer lazily, so sampling k of N frames
+    reads only k rasters. Frames normalize to :class:`ImageHandle`
+    (uint8 ``(h, w, c)``), keeping every downstream kernel
+    backend-agnostic, same contract as images.
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        fps_num: int,
+        fps_den: int,
+        frame_fns: list,
+    ):
+        self.width = width
+        self.height = height
+        self.fps_num = fps_num
+        self.fps_den = fps_den
+        self._frame_fns = frame_fns
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frame_fns)
+
+    def frame(self, i: int) -> ImageHandle:
+        return ImageHandle(self._frame_fns[i]())
+
+    def ts_ms(self, i: int) -> int:
+        """Presentation timestamp of frame ``i`` in integer
+        milliseconds (frame i displays at i * den / num seconds)."""
+        return int(round(i * 1000 * self.fps_den / self.fps_num))
+
+
+_Y4M_CHROMA_DIVS = {
+    # colorspace tag -> (x_div, y_div) of each chroma plane; the three
+    # C420 siting variants differ only in chroma sample POSITION, not
+    # raster layout, so they parse identically
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+}
+
+
+def parse_y4m(b: bytes) -> VideoHandle | None:
+    """Decode YUV4MPEG2 bytes -> VideoHandle; None when the magic says
+    this is not y4m (callers fall through to their not-decodable
+    boundary); ValueError on malformed/truncated/unsupported y4m.
+
+    Only the luma plane is surfaced (frames decode as single-channel
+    grayscale ImageHandles): chroma planes are validated and skipped —
+    model-free frame features need luma, and a BT.601 color-convert
+    belongs in a model-preprocessing stage, not the codec. 8-bit
+    colorspaces only (C420*/C422/C444/Cmono), matching the image
+    codecs' precision policy.
+    """
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    # a glued header like b"YUV4MPEG2W16..." means a dropped byte —
+    # refuse rather than mis-parse parameters
+    if len(b) > 9 and b[9:10] not in (b" ", b"\n"):
+        raise ValueError("y4m: magic not followed by a parameter separator")
+    nl = b.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    w = h = None
+    num, den = 25, 1  # spec default when F is absent (lenient, like ffmpeg)
+    chroma = "420jpeg"  # the spec's default colorspace
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num_s, _, den_s = val.partition(b":")
+                num, den = int(num_s), int(den_s or b"1")
+            elif tag == b"C":
+                chroma = val.decode("ascii")
+            # I (interlacing), A (aspect), X (extension) don't affect
+            # raster layout — accepted and ignored
+        except (ValueError, UnicodeDecodeError):
+            raise ValueError(f"y4m: malformed header parameter {tok!r}") from None
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError(f"y4m: bad dimensions {w}x{h}")
+    if num <= 0 or den <= 0:
+        raise ValueError(f"y4m: bad frame rate {num}:{den}")
+    y_size = w * h
+    if chroma == "mono":
+        c_size = 0
+    elif chroma in _Y4M_CHROMA_DIVS:
+        xd, yd = _Y4M_CHROMA_DIVS[chroma]
+        if w % xd or h % yd:
+            raise ValueError(
+                f"y4m: C{chroma} requires dimensions divisible by {xd}x{yd}, got {w}x{h}"
+            )
+        c_size = 2 * (w // xd) * (h // yd)
+    else:
+        raise ValueError(
+            f"y4m: unsupported colorspace C{chroma} (8-bit 420/422/444/mono only)"
+        )
+    frame_size = y_size + c_size
+
+    pos = nl + 1
+    offsets: list[int] = []
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"y4m: expected FRAME marker at byte {pos}")
+        fnl = b.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("y4m: unterminated FRAME header")
+        if fnl > pos + 5 and b[pos + 5 : pos + 6] != b" ":
+            raise ValueError("y4m: FRAME marker not followed by a separator")
+        raster = fnl + 1
+        if raster + frame_size > len(b):
+            raise ValueError(
+                f"y4m: truncated frame raster at frame {len(offsets)} "
+                f"({len(b) - raster} < {frame_size} bytes)"
+            )
+        offsets.append(raster)
+        pos = raster + frame_size
+    if not offsets:
+        raise ValueError("y4m: stream has no frames")
+
+    def luma_at(off: int):
+        # lazy: one numpy view per SAMPLED frame, never the whole stream
+        return lambda: np.frombuffer(
+            b, dtype=np.uint8, count=y_size, offset=off
+        ).reshape(h, w)
+
+    return VideoHandle(w, h, num, den, [luma_at(o) for o in offsets])
+
+
+def encode_y4m(
+    frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Grayscale ``(h, w)``/``(h, w, 1)`` uint8 frames -> Cmono
+    YUV4MPEG2 bytes per the public spec — always losslessly
+    re-decodable by :func:`parse_y4m` (test/fixture counterpart of the
+    parser, same role encode_netpbm plays for images)."""
+    if not frames:
+        raise ValueError("y4m: need at least one frame")
+    arrs = []
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.ndim == 3:
+            if a.shape[2] != 1:
+                raise ValueError(f"y4m: Cmono encodes 1 channel, got {a.shape[2]}")
+            a = a[:, :, 0]
+        if a.ndim != 2 or a.shape != np.asarray(frames[0]).shape[:2]:
+            raise ValueError("y4m: frames must share one (h, w) shape")
+        arrs.append(a)
+    h, w = arrs[0].shape
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])
+    return head + b"".join(b"FRAME\n" + a.tobytes() for a in arrs)
+
+
+def _open_video_av(b: bytes) -> VideoHandle:
+    """Compressed-container decode via PyAV (the ffmpeg bindings).
+    Never executes in this container (no PyAV); kept to the image
+    path's Pillow shape: preferred when installed, failures wrapped in
+    the unified boundary. Frames buffer decoded (PyAV streams don't
+    seek in BytesIO reliably) — a production deployment seeks
+    keyframes instead; the y4m backend is the lazy path."""
+    try:
+        frames: list[np.ndarray] = []
+        num, den = 25, 1
+        with _AV.open(io.BytesIO(b)) as container:
+            stream = container.streams.video[0]
+            if stream.average_rate:
+                num = stream.average_rate.numerator
+                den = stream.average_rate.denominator
+            for fr in container.decode(stream):
+                frames.append(np.ascontiguousarray(fr.to_ndarray(format="rgb24")))
+    except Exception as exc:
+        raise NotImplementedError(
+            f"no installed backend decodes this video payload: {exc}"
+        ) from exc
+    if not frames:
+        raise ValueError("video stream contains no frames")
+    h, w = frames[0].shape[:2]
+    return VideoHandle(w, h, num, den, [(lambda a=a: a) for a in frames])
+
+
+def open_video(b: bytes) -> VideoHandle:
+    """Real video decode with backend fallback: the numpy YUV4MPEG2
+    parser for y4m payloads (any environment), PyAV for every
+    compressed container when installed. Same error contract as
+    :func:`open_image`: unrecognized payload -> ``NotImplementedError``
+    (the documented codec boundary), malformed/unsupported y4m ->
+    ``ValueError``."""
+    vid = parse_y4m(b)
+    if vid is not None:
+        return vid
+    if _AV is not None:
+        return _open_video_av(b)
+    raise NotImplementedError(
+        "payload is not YUV4MPEG2 and no video library is installed: "
+        "compressed containers need PyAV/ffmpeg (pip install av)"
+    )

@@ -13,13 +13,14 @@ Two payload paths:
   Spark-side plumbing (schema, batching, partitioning, UDF signatures)
   fully real and oracle-checkable on the text fixtures (which carry no
   media bytes);
-- `fake=False` is a REAL image path: Pillow when installed (any
-  format), else a pure-numpy netpbm (PPM/PGM) codec
-  (ripple_server_spark/codecs.py) — so decode/resize/embed run real
-  end-to-end even in this media-library-free container and are tested
-  un-skipped (tests/test_multimodal.py). Compressed formats without
-  Pillow, and the video frame-sampler (needs ffmpeg), raise
-  NotImplementedError at the documented codec boundary.
+- `fake=False` is a REAL media path: Pillow when installed (any image
+  format), else a pure-numpy netpbm (PPM/PGM) codec; video frames via
+  PyAV when installed, else a pure-numpy YUV4MPEG2 (y4m) parser
+  (ripple_server_spark/codecs.py) — so decode/resize/embed/
+  frame-sample all run real end-to-end even in this media-library-free
+  container and are tested un-skipped (tests/test_multimodal.py).
+  Compressed formats without Pillow/PyAV raise NotImplementedError at
+  the documented codec boundary.
 """
 
 from __future__ import annotations
@@ -186,16 +187,25 @@ FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum string, ts_ms long"
 
 def frame_sample_batch(n_frames: int, fake: bool = True):
     """mapInPandas kernel factory for video frame sampling: the 1->N
-    row shape (each payload emits ``n_frames`` frame rows). Generator
-    form keeps memory at one Arrow batch regardless of fan-out."""
+    row shape (each payload emits up to ``n_frames`` frame rows).
+    Generator form keeps memory at one Arrow batch regardless of
+    fan-out.
+
+    fake=False is a REAL video path: uncompressed YUV4MPEG2 via the
+    pure-numpy parser (codecs.py) in any environment, every
+    PyAV-known container when PyAV/ffmpeg is installed. Frames are
+    sampled evenly strided across the stream (``min(n_frames, total)``
+    distinct indices); ``frame_checksum`` is the md5 of the decoded
+    frame raster and ``ts_ms`` the frame's presentation time from the
+    stream's frame rate. The y4m backend decodes ONLY the sampled
+    rasters (lazy buffer slices), so sampling k of N frames reads k
+    lumas — the output-bounded property the 100 TB pass needs.
+    """
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ripple_server_spark.codecs import open_video
+
         for pdf in pdf_iter:
-            if not fake:
-                # Real path: pyav / ffmpeg keyframe extraction.
-                raise NotImplementedError(
-                    "media codecs not available in this environment"
-                )
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
@@ -204,17 +214,35 @@ def frame_sample_batch(n_frames: int, fake: bool = True):
                     # natural empty case).
                     continue
                 b = bytes(payload)
-                for k in range(n_frames):
-                    # STUB frame: digest of (payload, frame index) — the
-                    # DuckDB oracle reproduces md5(text || ':' || k).
+                if fake:
+                    for k in range(n_frames):
+                        # STUB frame: digest of (payload, frame index) —
+                        # the DuckDB oracle reproduces md5(text||':'||k).
+                        out.append(
+                            {
+                                "doc_id": doc_id,
+                                "frame_idx": k,
+                                "frame_checksum": hashlib.md5(
+                                    b + b":" + str(k).encode()
+                                ).hexdigest(),
+                                "ts_ms": k * 1000,
+                            }
+                        )
+                    continue
+                vid = open_video(b)
+                total = vid.n_frames
+                m = min(n_frames, total)
+                for k in range(m):
+                    idx = (k * total) // m  # even stride, distinct for m<=total
+                    fr = vid.frame(idx)
                     out.append(
                         {
                             "doc_id": doc_id,
-                            "frame_idx": k,
+                            "frame_idx": idx,
                             "frame_checksum": hashlib.md5(
-                                b + b":" + str(k).encode()
+                                fr.arr.tobytes()
                             ).hexdigest(),
-                            "ts_ms": k * 1000,
+                            "ts_ms": vid.ts_ms(idx),
                         }
                     )
             yield pd.DataFrame(
@@ -224,10 +252,12 @@ def frame_sample_batch(n_frames: int, fake: bool = True):
     return kernel
 
 
-def sample_frames(docs: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame-sampling pipeline: binary payload -> n frame rows."""
+def sample_frames(docs: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame-sampling pipeline: binary payload -> n frame rows.
+    fake=False samples REAL frames in any environment (numpy y4m
+    backend; PyAV extends the input containers)."""
     return attach_binary_payload(docs).select("doc_id", "payload").mapInPandas(
-        frame_sample_batch(n_frames), schema=FRAME_SCHEMA
+        frame_sample_batch(n_frames, fake=fake), schema=FRAME_SCHEMA
     )
 
 

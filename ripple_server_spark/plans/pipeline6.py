@@ -609,6 +609,20 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stripe_width(lo: int, hi: int, parallelism: int) -> int:
+    """Coarse doc_id-bucket width for the striped two-pass rank: the
+    observed id range split into 2x ``parallelism`` stripes (2x32=64 on
+    the dev box) so every core gets stripes on any cluster size — a
+    fixed constant would pin task granularity to the dev box; a
+    production ANALYZE derives this from table stats. Correctness
+    never depends on the width — the slice rank is exact for every
+    stripe count; one degenerate bucket just degrades task balance
+    locally. Factored out so the parallelism-scaling contract is
+    behavior-testable (tests/test_kernels.py) instead of source-text
+    grepped."""
+    return max(1, (hi - lo + 1) // (2 * parallelism))
+
+
 @query(
     "q_vocab_growth",
     oracle="""
@@ -667,14 +681,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus: min/max are NULL — degrade to the same empty
         # curve the oracle produces instead of a driver TypeError
         n_docs, lo, hi = 1, 0, 0
-    # Coarse buckets over the observed doc_id range, sized to 2x the
-    # session's parallelism (2x32=64 on the dev box) so every core gets
-    # stripes on any cluster; a production ANALYZE derives this from
-    # table stats. Correctness never depends on the width — the slice
-    # rank is exact for every stripe count; one degenerate bucket just
-    # degrades task balance locally.
-    n_stripes = 2 * spark.sparkContext.defaultParallelism
-    width = max(1, (hi - lo + 1) // n_stripes)
+    width = stripe_width(lo, hi, spark.sparkContext.defaultParallelism)
     striped = docs.withColumn(
         "_stripe", F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("bigint")
     )

@@ -193,10 +193,9 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_timeseries_profile_topk": 4,
     "q_topn_per_group": 4,
     "q_tpch_q11_important": 4,
-    # round 5: stripe count now 2x defaultParallelism instead of the
-    # fixed 64 (value-identical by construction — slice rank is exact
-    # for any stripe count — but the builder changed, so re-earn the row)
-    "q_vocab_growth": 4,
+    # (q_vocab_growth's round-5 since=4 entry — stripe count re-derived
+    # from defaultParallelism — went green r05 and expired; it re-queues
+    # below at since=6 for the round-6 stripe_width refactor.)
     # --- round-5 refresh pass 2 (since=4, 23 slots): oldest round-1-era
     # rows — their green evidence predates the driver's fixture
     # regeneration between r01 and r02 (VERDICT r04 item 2); rotate the
@@ -258,6 +257,17 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_multimodal_meta": 5,
     "q_multimodal_resize": 5,
     "q_multimodal_embed": 5,
+    # --- queued during round 6 (since=6): the frame-sampling kernel
+    # gained a real numpy YUV4MPEG2 backend on its fake=False branch
+    # (codecs.py parse_y4m); the fake=True branch the query runs is
+    # byte-identical (pinned by determinism + parity tests), but the
+    # kernel closure changed, so re-earn the row.
+    "q_multimodal_frames": 6,
+    # round 6: stripe-width computation factored into a pure helper
+    # (pipeline6.stripe_width) so the parallelism-scaling contract is
+    # behavior-tested instead of source-grepped (ADVICE r05) —
+    # value-identical, but the builder changed.
+    "q_vocab_growth": 6,
 }
 
 

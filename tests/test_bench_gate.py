@@ -1,0 +1,72 @@
+"""The bench-anchor gate (scripts/bench_gate.py) must be mechanical:
+trip on a synthetic 2x+ entry, pass on the recorded BENCH rounds, and
+void itself when the fixture fingerprint changes (VERDICT r05 item 4).
+No Spark needed — the gate is pure file diffing."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+import bench_gate  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def anchors():
+    return bench_gate.parse_anchors(open(bench_gate.BASELINE).read())
+
+
+def test_anchor_table_parses_completely(anchors):
+    """Every §C row must parse — including rows whose value cell
+    carries re-base prose (q_ann_ivf_topk) and the renamed pubsub
+    consume row — or the gate silently stops covering that query."""
+    assert len(anchors) >= 25
+    assert anchors["q_scan_events"] == 0.243
+    assert anchors["q_ann_ivf_topk"] == 1.169  # prose after the number
+    assert anchors["pubsub_consume_8x5k"] == 1.443  # alias mapping
+    assert anchors["pubsub_produce"] == 1.206
+    assert "headline" not in anchors  # the total row is not a query
+
+
+def test_gate_trips_on_synthetic_2x_and_passes_below(anchors):
+    bad, warns = bench_gate.gate({"q_scan_events": anchors["q_scan_events"] * 2.1}, anchors)
+    assert len(bad) == 1 and "2.10x" in bad[0]
+    ok, _ = bench_gate.gate({"q_scan_events": anchors["q_scan_events"] * 1.9}, anchors)
+    assert ok == []
+    # un-anchored queries warn (new queries must add a §C row)
+    _, warns = bench_gate.gate({"q_brand_new": 1.0}, anchors)
+    assert len(warns) == 1 and "NO anchor" in warns[0]
+    # pubsub_rows is an output count, not a timing
+    none, nwarn = bench_gate.gate({"pubsub_rows": 1e9}, anchors)
+    assert none == [] and nwarn == []
+
+
+def test_gate_passes_on_every_recorded_bench(anchors):
+    """All shipped BENCH_r*.json rounds are within 2x of their anchors
+    (the standing §C claim, now asserted mechanically)."""
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    assert paths, "no recorded bench rounds found"
+    for p in paths:
+        timings = bench_gate.load_bench(p)
+        violations, _ = bench_gate.gate(timings, anchors)
+        assert violations == [], (p, violations)
+
+
+def test_fingerprint_check_validates_and_trips():
+    fps = bench_gate.parse_fingerprints(open(bench_gate.BASELINE).read())
+    assert len(fps) == 10 and "lineitem.parquet" in fps
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 fixtures not present")
+    assert bench_gate.check_fingerprints(sf_dir, fps) == []
+    tampered = dict(fps)
+    nbytes, _ = tampered["lineitem.parquet"]
+    tampered["lineitem.parquet"] = (nbytes, "0" * 32)
+    bad = bench_gate.check_fingerprints(sf_dir, tampered)
+    assert len(bad) == 1 and "lineitem" in bad[0]

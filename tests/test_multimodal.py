@@ -25,13 +25,14 @@ def test_decode_pipeline_schema_and_determinism(spark, sf_dir):
 
 
 def test_real_decode_non_image_raises_codec_boundary():
-    """fake=False on bytes that are neither netpbm nor (when Pillow is
-    installed) any format it knows must raise the documented codec
-    boundary, not emit garbage metadata."""
+    """fake=False on bytes no backend recognizes must raise the ONE
+    documented codec boundary type (NotImplementedError) regardless of
+    which backends are installed — Pillow's UnidentifiedImageError is
+    wrapped, never surfaced — not emit garbage metadata."""
     import pandas as pd
 
     gen = decode_batch(iter([pd.DataFrame({"doc_id": [1], "payload": [b"xx"]})]), fake=False)
-    with pytest.raises((NotImplementedError, OSError)):
+    with pytest.raises(NotImplementedError):
         next(gen)
 
 
@@ -70,27 +71,24 @@ def test_embed_feeds_similarity_surface(spark, sf_dir):
 
 def test_every_codec_kernel_declares_its_stub_boundary():
     """Every kernel must raise NotImplementedError the moment
-    fake=False meets bytes it cannot really decode — the documented
-    boundary between tested plumbing and absent codecs. Image kernels
-    ARE real for netpbm payloads (any environment) and for any
-    Pillow-known format (when installed) — see
-    test_real_image_path_end_to_end_no_media_library — so the image
-    boundaries only apply to non-netpbm bytes without Pillow, and only
-    the video kernel's boundary is unconditional (needs ffmpeg)."""
+    fake=False meets bytes NO installed backend recognizes — the
+    documented boundary between tested plumbing and absent codecs.
+    Since the boundary type is backend-independent (installed Pillow /
+    PyAV failures are wrapped), this holds in every environment: image
+    kernels ARE real for netpbm payloads and the frame sampler for
+    y4m payloads; b'xx' is neither and no optional backend decodes
+    it."""
     import pandas as pd
 
     from ripple_server_spark import multimodal as mm
 
     pdf = pd.DataFrame({"doc_id": [1], "payload": [b"xx"]})
-    boundaries = [mm.frame_sample_batch(2, fake=False)(iter([pdf]))]
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        boundaries += [
-            mm.decode_batch(iter([pdf]), fake=False),
-            mm.resize_batch(8, 8, fake=False)(iter([pdf])),
-            mm.embed_batch(4, fake=False)(iter([pdf])),
-        ]
+    boundaries = [
+        mm.frame_sample_batch(2, fake=False)(iter([pdf])),
+        mm.decode_batch(iter([pdf]), fake=False),
+        mm.resize_batch(8, 8, fake=False)(iter([pdf])),
+        mm.embed_batch(4, fake=False)(iter([pdf])),
+    ]
     for gen in boundaries:
         with pytest.raises(NotImplementedError):
             next(gen)
@@ -306,3 +304,111 @@ def test_embed_sees_whole_image_not_center_row():
     assert all(abs(v - (128 / 3) / 255.0) < 1e-9 for v in e_blank)
     with _pytest.raises(ValueError, match="magic"):
         parse_netpbm(b"P63 3\n255\n" + bytes(27))
+
+
+def _y4m(n_frames, w=4, h=2, fps=(25, 1)):
+    """Cmono y4m bytes with frame k filled with value 10*k."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_y4m
+
+    return encode_y4m(
+        [np.full((h, w), 10 * k, dtype=np.uint8) for k in range(n_frames)], fps=fps
+    )
+
+
+def test_y4m_codec_roundtrip_and_edges():
+    """The numpy YUV4MPEG2 codec is a real codec: encode->parse is
+    lossless per frame, C420/C422/C444 rasters lay out per the public
+    spec (chroma validated and skipped — luma-only decode), non-y4m
+    magic returns None, and truncated/glued/10-bit/odd-dim streams
+    raise instead of yielding garbage frames."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ripple_server_spark.codecs import encode_y4m, parse_y4m
+
+    vid = parse_y4m(_y4m(3, w=6, h=4, fps=(30000, 1001)))
+    assert (vid.width, vid.height, vid.n_frames) == (6, 4, 3)
+    for k in range(3):
+        fr = vid.frame(k)
+        assert (fr.width, fr.height, fr.channels) == (6, 4, 1)
+        assert (fr.arr == 10 * k).all()
+    # NTSC 29.97 fps: frame 2 displays at 2*1001/30000 s = 66.73.. ms
+    assert (vid.ts_ms(0), vid.ts_ms(1), vid.ts_ms(2)) == (0, 33, 67)
+
+    # C420: each chroma plane is (w/2)x(h/2); luma plane decodes, the
+    # frame raster advances past the chroma bytes to the next FRAME
+    head = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    y0, y1 = bytes(range(8)), bytes(range(100, 108))
+    chroma = b"\x80" * 4  # 2x1 Cb + 2x1 Cr
+    v420 = parse_y4m(head + b"FRAME\n" + y0 + chroma + b"FRAME\n" + y1 + chroma)
+    assert v420.n_frames == 2
+    assert v420.frame(0).arr.ravel().tolist() == list(range(8))
+    assert v420.frame(1).arr.ravel().tolist() == list(range(100, 108))
+    # C422 / C444 raster sizes
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C422\n" + b"FRAME\n" + bytes(16)).n_frames == 1
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C444\n" + b"FRAME\n" + bytes(24)).n_frames == 1
+    # FRAME parameters after a separator are legal
+    assert parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\n" + b"FRAME Xfoo\n" + bytes(4)).n_frames == 1
+
+    assert parse_y4m(b"\x00\x00\x01\xba mpeg") is None
+    with _pytest.raises(ValueError, match="separator"):
+        parse_y4m(b"YUV4MPEG2W4 H2 Cmono\nFRAME\n" + bytes(8))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_y4m(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(4))
+    with _pytest.raises(ValueError, match="colorspace"):
+        parse_y4m(b"YUV4MPEG2 W4 H2 C420p10\nFRAME\n" + bytes(16))
+    with _pytest.raises(ValueError, match="divisible"):
+        parse_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
+    with _pytest.raises(ValueError, match="FRAME"):
+        parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(4) + b"JUNK")
+    with _pytest.raises(ValueError, match="no frames"):
+        parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\n")
+    with _pytest.raises(ValueError, match="dimensions"):
+        parse_y4m(b"YUV4MPEG2 W0 H2 Cmono\nFRAME\n")
+    with _pytest.raises(ValueError, match="frames must share"):
+        encode_y4m([np.zeros((2, 2), np.uint8), np.zeros((2, 3), np.uint8)])
+
+
+def test_real_video_frame_path_end_to_end_no_media_library(spark):
+    """The REAL (fake=False) frame-sampling path runs end-to-end
+    through Spark in THIS container — y4m payloads need no ffmpeg —
+    closing the last 'real branch never executes anywhere' gap
+    (VERDICT r05 item 5). Sampling is evenly strided: 10 frames
+    sampled at n_frames=4 yields indices 0/2/5/7; a 2-frame video
+    yields only its 2 real frames (no fabricated rows)."""
+    import hashlib
+
+    import numpy as np
+
+    from ripple_server_spark import multimodal as mm
+
+    payloads = spark.createDataFrame(
+        [(1, _y4m(10)), (2, _y4m(2, fps=(10, 1)))], "doc_id long, payload binary"
+    )
+    rows = (
+        payloads.mapInPandas(
+            mm.frame_sample_batch(4, fake=False), schema=mm.FRAME_SCHEMA
+        )
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["frame_idx"] for r in by_doc[1]] == [0, 2, 5, 7]
+    assert [r["ts_ms"] for r in by_doc[1]] == [0, 80, 200, 280]
+    # sampling never fabricates frames: 2-frame video -> 2 rows
+    assert [r["frame_idx"] for r in by_doc[2]] == [0, 1]
+    assert [r["ts_ms"] for r in by_doc[2]] == [0, 100]
+    # checksums are of the DECODED luma raster (backend-independent)
+    want = hashlib.md5(np.full((2, 4), 20, dtype=np.uint8).tobytes()).hexdigest()
+    assert by_doc[1][1]["frame_checksum"] == want
+    # deterministic across runs
+    again = (
+        payloads.mapInPandas(
+            mm.frame_sample_batch(4, fake=False), schema=mm.FRAME_SCHEMA
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
