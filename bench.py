@@ -103,6 +103,47 @@ def main() -> None:
                 prev = timings.get("pubsub_consume_8x5k", dt)
                 timings["pubsub_consume_8x5k"] = min(prev, dt)
         timings["pubsub_rows"] = float(n)
+
+        # Streaming surface: drain the produced topic (the full events
+        # table; 100k rows at sf0.1) through the `ripple_topic`
+        # Structured-Streaming source at a fixed per-bucket admission
+        # cap (batch_size=2500/bucket, the maxOffsetsPerTrigger analog
+        # -> 5 micro-batches of <=8x2500 rows at sf0.1) into the noop
+        # sink. This times the ACTUAL streaming
+        # path — driver-side manifest-pinned prefetch, per-batch
+        # offset-log commit, Arrow hand-off — which the batch
+        # produce/consume rows above never touch. Same methodology:
+        # one untimed warmup drain (source registration + python
+        # worker spin-up), then best-of-2, each from a fresh
+        # checkpoint so every timed drain replays the full log.
+        from ripple_server_spark.sources.datasource import (  # noqa: PLC0415
+            RippleTopicDataSource,
+        )
+
+        spark.dataSource.register(RippleTopicDataSource)
+        for i, tag in enumerate(("warm", "t1", "t2")):
+            t0 = time.time()
+            sq = (
+                spark.readStream.format("ripple_topic")
+                .option("root", tmp)
+                .option("topic", "bench_t2")
+                .option("batch_size", 2500)
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(tmp, f"_ckpt_{tag}"))
+                .start()
+            )
+            sq.processAllAvailable()
+            dt = round(time.time() - t0, 3)
+            sq.stop()
+            if i > 0:
+                prev = timings.get("pubsub_stream_drain", dt)
+                timings["pubsub_stream_drain"] = min(prev, dt)
+        # rows/s companion (derived, excluded from the total like
+        # pubsub_rows — it is a rate, not a duration)
+        timings["pubsub_stream_rows_per_s"] = round(
+            n / timings["pubsub_stream_drain"], 1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -114,7 +155,14 @@ def main() -> None:
         except ValueError:
             sf = None
 
-    total = round(sum(v for k, v in timings.items() if k != "pubsub_rows"), 3)
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in ("pubsub_rows", "pubsub_stream_rows_per_s")
+        ),
+        3,
+    )
     print(
         json.dumps(
             {

@@ -503,3 +503,240 @@ def q_topic_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("sum_ids"),
         )
     )
+
+
+@query(
+    "q_session_window_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events,
+           CAST(sum(span_us) AS BIGINT) AS active_us
+    FROM per_session GROUP BY user_id
+    """,
+    tags=("streaming", "session-window", "window-time"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via the NATIVE ``session_window``
+    operator (30 min gap) — the same expression the live streaming job
+    uses with a watermark (streaming/api.py sessionized), here in
+    batch where it is oracle-checkable. Complements q_sessionize_users
+    (the lag/islands formulation): this one exercises Spark's built-in
+    session merge (a new event extends the session while it starts
+    strictly inside the previous event's [ts, ts+gap) window, so a gap
+    of exactly 30:00 opens a NEW session — the oracle's ``>=`` islands
+    rule).
+
+    Scale: session_window aggregates partially before the shuffle like
+    any groupBy (Spark merges per-key session state in the
+    ObjectHashAggregate path); the per-user rollup reuses the same
+    user_id hash partitioning, so the second aggregate is shuffle-free
+    under AQE. Nothing is per-row Python.
+
+    Reference parity: sessions over a per-user event stream are the
+    per-consumer fan-out of consumer/server/core.go:77-85 with
+    event-time gaps, a capability the count-based reference lacks
+    (SURVEY.md §2 Table B, session windows row).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    per_session = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            "n",
+            # session_window.end = last event ts + gap, so the active
+            # span (last - first) is end - start - gap: exact BIGINT
+            # microseconds, no float rounding to disagree with the
+            # oracle's epoch_us subtraction
+            (
+                F.unix_micros(F.col("w.end"))
+                - F.unix_micros(F.col("w.start"))
+                - F.lit(gap_us)
+            ).alias("span_us"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+        F.sum("span_us").cast("bigint").alias("active_us"),
+    )
+
+
+@query(
+    "q_late_data_accounting",
+    oracle="""
+    WITH arr AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+               max(epoch_us(ts)) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        FROM events
+    )
+    SELECT ws_us,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN wm_us - 600000000 > ws_us + 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN wm_us - 600000000 > ws_us + 3600000000
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM arr GROUP BY ws_us
+    """,
+    tags=("streaming", "watermark", "late-data"),
+)
+def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, batch-exact: for each 1-hour
+    event-time window, how many rows a streaming aggregation with a
+    10-minute watermark would have DROPPED because they arrived (in
+    event_id arrival order) after the watermark — max event time seen
+    over all PRIOR arrivals minus the delay — had passed the window's
+    end. This gives the watermark/late-data surface (previously
+    pytest-only: tests/test_streaming.py pins the live drop behavior)
+    a driver-checkable oracle row modeling the same eviction rule.
+
+    Scale shape: the arrival-order running max is the global-window
+    scale killer done right — the striped two-pass pattern
+    (operators/windows.py global_rank): stripe by event_id range
+    (width from pipeline6.stripe_width, 2x parallelism stripes),
+    running-max WITHIN each stripe in parallel, then one tiny
+    stripes-row prefix-max broadcast back. No task ever orders the
+    whole table; the O(n) single-task ORDER BY the naive form needs is
+    gone. Reference parity: arrival order is the bucket append order
+    (internal/broker/queue.go seq assignment); the watermark rule is
+    Spark's windowed-aggregation eviction.
+    """
+    from ripple_server_spark.plans.pipeline6 import stripe_width
+
+    delay_us = 10 * 60 * 1_000_000
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    stats = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        lo, hi = 0, 0
+    width = stripe_width(lo, hi, spark.sparkContext.defaultParallelism)
+    striped = ev.withColumn(
+        "_stripe", F.expr(f"(event_id - {lo}) div {width}").cast("bigint")
+    )
+    # stripes-row table: max event time per stripe, then the EXCLUSIVE
+    # prefix max (everything in strictly earlier stripes) — broadcast
+    # back, so the cross-stripe dependency costs one tiny join
+    smax = striped.groupBy("_stripe").agg(F.max("us").alias("_smax"))
+    w_pre = Window.orderBy("_stripe").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = smax.select("_stripe", F.max("_smax").over(w_pre).alias("_pmax"))
+    # within-stripe running max over arrival order, EXCLUSIVE of the
+    # current row (the watermark at arrival is from prior rows only)
+    w_in = (
+        Window.partitionBy("_stripe")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = F.greatest(
+        F.max("us").over(w_in), F.col("_pmax")
+    )  # greatest ignores NULLs unless both are NULL (first row overall)
+    ws_expr = F.expr(f"us div {hour_us}") * F.lit(hour_us)
+    late = (
+        F.when(wm - F.lit(delay_us) > ws_expr + F.lit(hour_us), 1)
+        .otherwise(0)
+        .alias("is_late")
+    )
+    flagged = striped.join(F.broadcast(prefix), "_stripe").select(
+        ws_expr.alias("ws_us"), late
+    )
+    return flagged.groupBy("ws_us").agg(
+        F.count("*").alias("n_total"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        (F.count("*") - F.sum("is_late")).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("pubsub", "rollup", "incremental", "materialized-view"),
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained continuous aggregate under concurrent
+    produce: produce half the events into a topic, refresh the
+    HourlyRollup, produce the other half (the concurrent writer),
+    refresh AGAIN — the second refresh reads only ``seq > hwm`` (the
+    log tail) yet the folded table must equal a full recompute over
+    everything, which is exactly what the oracle computes from the
+    base events table. This is the materialized-view-maintenance
+    surface (sources/rollup.py — the reference's never-implemented
+    broker cron TODO, internal/broker/broker.go:51,79) earning a
+    driver-checked row instead of pytest-only evidence.
+
+    The two batches split by TIME (before/after Jan 16), the realistic
+    append pattern — so refresh #2's dynamic partition overwrite
+    rewrites ONLY the hours the new slice lands in (~half the month),
+    not every hour twice (an id-parity split interleaves every hour
+    into both batches and doubles the partition writes; measured 1.5x
+    slower at sf0.01's 720 one-row-group hour partitions).
+
+    Scale: refresh #2's cost is bounded by the new slice (seq > hwm
+    pushes to row-group stats) x affected hours, never a full log
+    rescan; the rewrite touches only the partitions whose hours appear
+    in the tail (dynamic partition overwrite)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_rollup_inc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("ri", n_buckets=4)
+    roll = HourlyRollup(spark, store, "ri", os.path.join(root, "rollup"))
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    store.produce(ev.filter(F.col("ts") < cutoff), "ri", key_col="user_id")
+    roll.refresh()
+    store.produce(ev.filter(F.col("ts") >= cutoff), "ri", key_col="user_id")
+    roll.refresh()  # incremental: folds only the tail past the HWM
+    return roll.read().select(
+        "hour_key",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -161,9 +161,15 @@ class HourlyRollup:
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            rolled.write.mode("overwrite").partitionBy("hour_key").parquet(
-                os.path.join(self.dest, "data")
-            )
+            # One task per hour partition: without this, every shuffle
+            # task holding rows for H hours opens H writers, leaving
+            # tasks x hours few-row files in a table that is rewritten
+            # on every refresh and read by every dashboard query. The
+            # rollup output is aggregate-sized (hours x event types),
+            # so the extra shuffle is trivial.
+            rolled.repartition("hour_key").write.mode("overwrite").partitionBy(
+                "hour_key"
+            ).parquet(os.path.join(self.dest, "data"))
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode

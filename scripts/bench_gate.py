@@ -37,8 +37,9 @@ BASELINE = os.path.join(ROOT, "BASELINE.md")
 
 # bench.py emits pubsub_consume_8x5k; §C's row is titled pubsub_consume
 _NAME_ALIASES = {"pubsub_consume": "pubsub_consume_8x5k"}
-# informational outputs, not timings
-_NON_TIMINGS = {"pubsub_rows"}
+# informational outputs, not timings (counts and rates; gating a
+# rows/s RATE against a seconds threshold would invert the comparison)
+_NON_TIMINGS = {"pubsub_rows", "pubsub_stream_rows_per_s"}
 
 
 def parse_anchors(text: str) -> dict[str, float]:
