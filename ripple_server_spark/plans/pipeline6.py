@@ -713,3 +713,92 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("new_words", F.lit(0))).over(wc).cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+from ripple_server_spark.functions.text import CONTENT_FOLD_SQL, content_fold  # noqa: E402
+
+_FOLD_FP = f"md5({CONTENT_FOLD_SQL.format(expr='text')})"
+
+
+@query(
+    "q_dedup_incremental_ingest",
+    oracle=f"""
+    WITH corpus_fps AS (
+        SELECT DISTINCT {_FOLD_FP} AS fp
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, {_FOLD_FP} AS fp,
+               row_number() OVER (PARTITION BY {_FOLD_FP} ORDER BY doc_id)
+                   AS rn
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    flagged AS (
+        SELECT b.source, b.rn,
+               CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS in_corpus
+        FROM batch b LEFT JOIN corpus_fps c ON c.fp = b.fp
+    )
+    SELECT source,
+           count(*) AS n_batch,
+           CAST(sum(in_corpus) AS BIGINT) AS n_rejected_corpus,
+           CAST(sum(CASE WHEN in_corpus = 0 AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rejected_within,
+           CAST(sum(CASE WHEN in_corpus = 0 AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM flagged GROUP BY source
+    """,
+    tags=("dedup", "incremental", "ingest", "pipeline"),
+)
+def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the operator a CONTINUOUSLY-ingesting
+    training pipeline runs on every new crawl batch, distinct from the
+    full-corpus dedups: check the incoming batch (doc_id % 3 == 0)
+    against the frozen already-deduped corpus (the other two thirds)
+    and against itself, never corpus-vs-corpus. A batch doc is
+    rejected-as-corpus-dup when its content fingerprint (md5 of the
+    shared ASCII fold — functions/text.content_fold, the
+    engine-portable canonical form) already exists in the corpus;
+    otherwise rejected-as-within-batch-dup unless it is the batch's
+    first (min doc_id) holder of that fingerprint. Report admission
+    accounting per source.
+
+    Scale shape: the corpus contributes ONLY its distinct fingerprint
+    column (no text leaves the scan), and the batch->corpus check is
+    one fp-keyed shuffle hash join — the corpus fingerprint set at
+    100 TB is far too big to broadcast, but both sides hash-partition
+    on fp, and the within-batch row_number window uses the SAME fp
+    partitioning, so the join's exchange is reused and the whole
+    classification costs one shuffle of each side. The corpus is never
+    self-joined (incremental ingest is O(batch + corpus-fingerprints),
+    not O(corpus^2)).
+
+    Reference parity: none (message queue); this is the LLM-pipeline
+    extension surface (SURVEY.md north-star: dedup family).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(content_fold(F.col("text")))
+    corpus_fps = (
+        docs.filter(F.expr("doc_id % 3 <> 0"))
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    batch = docs.filter(F.expr("doc_id % 3 = 0")).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        batch.join(corpus_fps, "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    in_c = F.col("_in_corpus").isNotNull()
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(in_c, 1).otherwise(0)).cast("bigint").alias("n_rejected_corpus"),
+        F.sum(F.when(~in_c & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rejected_within"),
+        F.sum(F.when(~in_c & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_admitted"),
+    )
