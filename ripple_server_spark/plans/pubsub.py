@@ -740,3 +740,61 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "q_topic_increment_read",
+    oracle="""
+    SELECT 'increment' AS slice,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM events WHERE event_id % 2 = 1
+    """,
+    tags=("pubsub", "cdf", "incremental", "manifest"),
+)
+def q_topic_increment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read on the topic log: produce two batches with
+    a manifest version pinned between them, COMPACT (which rewrites the
+    physical file layout), then ``read_increment(since_version)`` must
+    return EXACTLY the second batch — content-fingerprinted against the
+    oracle's recomputation of that batch from the base table. This is
+    the Delta-CDF / Iceberg-incremental-scan analog the manifest log's
+    seq invariant makes exact (topics.py read_increment: the increment
+    is precisely ``seq > maxima[since][bucket]`` per bucket, invariant
+    under compaction because compaction rewrites content-identically),
+    previously pytest-only (tests/test_topics.py).
+
+    Scale: an incremental consumer reads O(increment) — the seq bound
+    pushes to row-group stats on the pinned snapshot's files — never
+    O(log); the version pin is one manifest read.
+
+    Reference parity: the consumer cursor resume
+    (consumer/server/core.go:46-63) done as a table-format contract
+    instead of a ZK offset."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_increment_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("ci", n_buckets=4)
+    store.produce(ev.filter(F.col("event_id") % 2 == 0), "ci", key_col="user_id")
+    v1, _ = store.latest_manifest("ci")
+    store.produce(ev.filter(F.col("event_id") % 2 == 1), "ci", key_col="user_id")
+    store.compact("ci")  # rewrites layout; the increment must not notice
+    inc = store.read_increment("ci", since_version=v1)
+    return inc.agg(
+        F.lit("increment").alias("slice"),
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
+    )
