@@ -1,6 +1,7 @@
 """Image and video codecs for the multimodal kernels: Pillow / PyAV
-when installed, plus pure-numpy netpbm (PPM ``P6`` / PGM ``P5``) and
-YUV4MPEG2 (``y4m``) codecs that need no media library at all.
+when installed, plus zero-dependency codecs — pure-numpy netpbm (PPM
+``P6`` / PGM ``P5``), baseline PNG (stdlib zlib + numpy), and
+YUV4MPEG2 (``y4m``) — that need no media library at all.
 
 Why netpbm: the container ships no media libraries, so the kernels'
 real (``fake=False``) paths used to raise ``NotImplementedError``
@@ -11,7 +12,15 @@ big-endian RGB samples; ``P5`` is single-channel; ``#`` comments are
 legal anywhere in the header whitespace) simple enough to decode with
 numpy alone. With it, decode -> resize -> embed -> re-encode runs REAL
 end-to-end in this environment — the same code shape a Pillow/JPEG
-deployment executes — while compressed formats still require Pillow.
+deployment executes.
+
+Why PNG: "compressed formats need Pillow" stopped being true the
+moment the compression in question is zlib, which ships in the
+standard library. parse_png covers the baseline still-image profile
+(8-bit gray/RGB/palette/alpha, all five scanline filters,
+non-interlaced) from the public PNG specification, so a COMPRESSED
+real-world format decodes in-container too; JPEG and friends still
+require Pillow.
 
 Why y4m: the same boundary existed for video — the frame sampler's
 real path raised unconditionally because frame extraction was assumed
@@ -107,14 +116,14 @@ class ImageHandle:
         ]
 
     def to_bytes(self) -> bytes:
-        """Re-encode: PNG when the Pillow backend decoded this image
-        (keeps the historical real-path output format), netpbm raw
-        otherwise — always losslessly re-decodable by open_image."""
+        """Re-encode: PNG when the source payload was PNG-family
+        (keeps the input's format family), netpbm raw otherwise —
+        always losslessly re-decodable by open_image. Both encoders
+        are the repo's own deterministic ones (encode_png is stdlib
+        zlib), so output bytes never vary with the installed Pillow
+        version."""
         if self._prefer_png:
-            arr = self.arr[:, :, 0] if self.channels == 1 else self.arr
-            sink = io.BytesIO()
-            _PIL_IMAGE.fromarray(arr).save(sink, format="PNG")  # prefer_png implies Pillow present
-            return sink.getvalue()
+            return encode_png(self.arr)
         return encode_netpbm(self.arr)
 
 
@@ -185,6 +194,168 @@ def parse_netpbm(b: bytes) -> ImageHandle | None:
     return ImageHandle(arr)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit samples): gray, RGB, palette->RGB,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png(b: bytes) -> ImageHandle | None:
+    """Decode PNG bytes -> ImageHandle with stdlib zlib + numpy; None
+    when the magic says this is not PNG; ValueError on
+    malformed/truncated/unsupported PNG.
+
+    Covers the baseline still-image profile: 8-bit samples, color
+    types 0/2/3/4/6 (palette via PLTE lookup), all five scanline
+    filters, non-interlaced. Rejected with ValueError: 16-bit samples
+    (the codecs' uniform >8-bit precision policy), sub-byte depths,
+    Adam7 interlace (a progressive-rendering layout irrelevant to
+    pipeline payloads), missing PLTE. Chunk CRCs are not verified
+    (lenient, like most decoders — zlib's own checksum still guards
+    the pixel data). Filters Sub/Up are vectorized; Average/Paeth
+    carry a per-pixel left dependency and run as per-row loops — fine
+    for the thumbnail-sized images this in-container path exists for;
+    Pillow remains the preferred bulk backend when installed.
+    """
+    import zlib
+
+    if not b.startswith(_PNG_MAGIC[:4]):
+        return None
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("png: corrupt signature")
+    pos = 8
+    w = h = None
+    depth = ctype = interlace = None
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError(f"png: truncated {typ!r} chunk")
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("png: bad IHDR length")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("png: bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("png: missing IHDR")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"png: bad dimensions {w}x{h}")
+    if depth == 16:
+        raise ValueError("png: only 8-bit samples supported, got 16-bit")
+    if depth != 8:
+        raise ValueError(f"png: only 8-bit samples supported, got depth {depth}")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"png: unsupported color type {ctype}")
+    if interlace:
+        raise ValueError("png: Adam7 interlace not supported")
+    if not idat:
+        raise ValueError("png: missing IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        # recognized format, malformed payload -> ValueError like every
+        # other codec here, never a backend-specific exception type
+        raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError(
+            f"png: raster size {raw.size} != {h}x(1+{stride}) expected"
+        )
+    rows = raw.reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft, line = int(filters[y]), lines[y]
+        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            recon[y] = line
+        elif ft == 1:  # Sub: prefix sum per byte lane, mod 256
+            lanes = line.reshape(w, ch).astype(np.int64)
+            recon[y] = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            recon[y] = line + prior  # uint8 wraps mod 256
+        elif ft == 3:  # Average (left dependency: per-pixel loop)
+            out = recon[y]
+            for x in range(stride):
+                left = int(out[x - ch]) if x >= ch else 0
+                out[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth (left dependency: per-pixel loop)
+            out = recon[y]
+            for x in range(stride):
+                a = int(out[x - ch]) if x >= ch else 0
+                up = int(prior[x])
+                c = int(recon[y - 1][x - ch]) if (x >= ch and y) else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                out[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {ft} at row {y}")
+    arr = recon.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("png: palette index out of range")
+        arr = plte[idx]
+    return ImageHandle(arr, prefer_png=True)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> PNG bytes (stdlib zlib, filter None, one
+    IDAT): deterministic across environments — the test/fixture and
+    re-encode counterpart of :func:`parse_png`, same role encode_netpbm
+    plays for the raw formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"png encodes 1-4 channels, got {c}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 # Backends resolved ONCE at import: a failed `import PIL` is not
 # cached by Python, so retrying it per payload costs a sys.path scan
 # per image (~10x the netpbm decode itself for small payloads).
@@ -216,11 +387,14 @@ def open_image(b: bytes) -> ImageHandle:
             im = _PIL_IMAGE.open(io.BytesIO(b))
             im.load()
         except Exception as exc:
-            # may still be a netpbm flavor this Pillow refuses; a
-            # malformed-netpbm ValueError propagates from here
+            # may still be a flavor this Pillow refuses; a malformed-
+            # netpbm/png ValueError propagates from the numpy codecs
             pbm = parse_netpbm(b)
             if pbm is not None:
                 return pbm
+            png = parse_png(b)
+            if png is not None:
+                return png
             raise NotImplementedError(
                 f"no installed backend decodes this image payload: {exc}"
             ) from exc
@@ -235,9 +409,12 @@ def open_image(b: bytes) -> ImageHandle:
         return ImageHandle(np.asarray(im), prefer_png=True)
     im = parse_netpbm(b)
     if im is None:
+        im = parse_png(b)
+    if im is None:
         raise NotImplementedError(
-            "payload is not netpbm (P5/P6) and no media library is "
-            "installed: compressed formats need Pillow (pip install pillow)"
+            "payload is not netpbm (P5/P6) or baseline PNG and no media "
+            "library is installed: other formats need Pillow "
+            "(pip install pillow)"
         )
     return im
 

@@ -306,6 +306,121 @@ def test_embed_sees_whole_image_not_center_row():
         parse_netpbm(b"P63 3\n255\n" + bytes(27))
 
 
+def _filtered_png(arr, row_filters):
+    """Assemble PNG bytes for ``arr`` using a CHOSEN filter type per
+    row, via an independent forward implementation of the spec's five
+    filters — so the decoder's unfiltering is checked against the
+    public definition, not against our own encoder (which always emits
+    filter None)."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = arr.reshape(h, w * c).astype(np.int64)
+    out = bytearray()
+    for y, ft in enumerate(row_filters):
+        line = flat[y]
+        prior = flat[y - 1] if y else np.zeros(w * c, dtype=np.int64)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), line[:-c]])
+        up_left = np.concatenate([np.zeros(c, dtype=np.int64), prior[:-c]])
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prior
+        elif ft == 3:
+            filt = line - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = line - pred
+        out += bytes([ft]) + (filt % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_filters_and_edges():
+    """The zlib+numpy PNG codec is a real codec: encode->parse is
+    lossless for gray/LA/RGB/RGBA, every one of the spec's five
+    scanline filters unfilters correctly (checked against an
+    independent forward-filter implementation), palette images resolve
+    through PLTE, and 16-bit/interlaced/corrupt streams raise instead
+    of yielding garbage pixels."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ripple_server_spark.codecs import encode_png, open_image, parse_png
+
+    rng = (np.arange(9 * 7 * 3, dtype=np.int64) * 37 % 251).astype(np.uint8)
+    for c in (1, 2, 3, 4):
+        arr = (np.arange(9 * 7 * c, dtype=np.int64) * 31 % 256).astype(np.uint8).reshape(9, 7, c)
+        im = parse_png(encode_png(arr))
+        assert (im.height, im.width, im.channels) == (9, 7, c)
+        assert (im.arr == arr).all()
+    # every filter type, including mixed per-row choices
+    arr = rng.reshape(9, 7, 3)
+    for ft in (0, 1, 2, 3, 4):
+        assert (parse_png(_filtered_png(arr, [ft] * 9)).arr == arr).all(), ft
+    assert (parse_png(_filtered_png(arr, [0, 1, 2, 3, 4, 4, 3, 2, 1])).arr == arr).all()
+    # palette: PLTE lookup to RGB
+    plte = bytes(range(12))  # 4 entries
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    pal_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0]))
+               + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    assert parse_png(pal_png).arr.ravel().tolist() == list(range(12))
+    # open_image reaches the PNG path with no media library installed
+    assert (open_image(encode_png(arr)).arr == arr).all()
+    # resize->to_bytes stays in the PNG family and re-decodes losslessly
+    rz = open_image(encode_png(arr)).resize(4, 4)
+    again = parse_png(rz.to_bytes())
+    assert (again.arr == rz.arr).all()
+
+    assert parse_png(b"P6\n1 1\n255\n\x00\x00\x00") is None
+    with _pytest.raises(ValueError, match="16-bit"):
+        parse_png(_filtered_png(arr, [0] * 9).replace(bytes([8, 2]), bytes([16, 2]), 1))
+    with _pytest.raises(ValueError, match="interlace"):
+        bad = bytearray(_filtered_png(arr, [0] * 9))
+        bad[28] = 1  # IHDR interlace byte (8 sig + 8 hdr + 13th data byte)
+        # CRC not checked, so the tampered header is what the parser sees
+        parse_png(bytes(bad))
+    with _pytest.raises(ValueError, match="corrupt IDAT"):
+        # zero 8 bytes INSIDE the zlib stream (IDAT data starts at
+        # offset 41: 8 sig + 25 IHDR chunk + 8 len/type), leaving the
+        # chunk framing intact — the adler mismatch must surface as
+        # the codec's uniform ValueError, not zlib.error
+        good = _filtered_png(arr, [0] * 9)
+        parse_png(good[:45] + b"\x00" * 8 + good[53:])
+    with _pytest.raises(ValueError, match="signature"):
+        parse_png(b"\x89PNGxxxx")
+    with _pytest.raises(ValueError, match="raster size"):
+        parse_png(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0]))
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raster + b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+
 def _y4m(n_frames, w=4, h=2, fps=(25, 1)):
     """Cmono y4m bytes with frame k filled with value 10*k."""
     import numpy as np
