@@ -25,14 +25,24 @@ Semantics mapped from the reference:
 - ``batch_size`` bounds rows per micro-batch like AskQuery.Count.
 
 Implementation notes: partition readers use pyarrow directly (executor-
-side, no SparkSession there); the streaming reader is a
-SimpleDataSourceStreamReader (driver-side prefetch), the right tier for
-control-plane-small topics — the parquet/file-stream source in
-streaming/api.py remains the bulk path. File lists come from the
-topic's MANIFEST (latest committed version), so both batch and
-streaming reads are snapshot-consistent with TopicStore's commit
-protocol: crashed-produce orphans and mid-compaction files are never
-served.
+side, no SparkSession there). The STREAMING source has two tiers,
+selected by ``reader_tier`` (default ``partitioned``):
+
+- ``partitioned`` — a full :class:`DataSourceStreamReader`: the driver
+  plans offsets from the manifest's per-bucket seq bounds (O(manifest),
+  no data read), and every micro-batch's rows are read EXECUTOR-side,
+  one task per bucket (catch-up ranges split into batch_size-row
+  chunks), yielded as Arrow RecordBatches. This is the scale tier: the
+  reader parallelism IS the bucket layout, same as the reference's
+  one-queue-per-bucket broker (internal/broker/server/server.go:25).
+- ``simple`` — the SimpleDataSourceStreamReader tier (driver-side
+  prefetch), the right shape for control-plane-small topics where a
+  task round-trip per bucket costs more than the rows.
+
+File lists come from the topic's MANIFEST (latest committed version),
+so both batch and streaming reads are snapshot-consistent with
+TopicStore's commit protocol: crashed-produce orphans and
+mid-compaction files are never served.
 """
 
 from __future__ import annotations
@@ -41,9 +51,11 @@ import json
 import os
 from collections.abc import Iterator
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -175,6 +187,76 @@ def _read_bucket(part: BucketPartition):
             yield tuple(conv(d[name][i]) for name in names) + (part.bucket,)
 
 
+def _read_bucket_arrow(part: BucketPartition):
+    """Executor-side Arrow path: same scan/pushdown/order contract as
+    :func:`_read_bucket`, but yields ``pyarrow.RecordBatch`` directly —
+    no per-row Python tuple materialization, so the worker hands the
+    batches straight to the JVM Arrow stream. Columns are normalized to
+    the exact Arrow schema Spark derives from TOPIC_SCHEMA_DDL
+    (timestamps: stored naive-UTC; the engine session is pinned to UTC,
+    session.py, so attaching tz=UTC is a reinterpretation, not a shift).
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(part.files, format="parquet")
+    flt = ds.field("seq") >= part.offset
+    if part.upto is not None:
+        flt = flt & (ds.field("seq") < part.upto)
+    tbl = dataset.to_table(filter=flt)
+    tbl = tbl.sort_by("seq")
+    if part.limit is not None:
+        tbl = tbl.slice(0, part.limit)
+    target = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+            ("seq", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    )
+    cols = [tbl.column(name) for name in _SCHEMA_FIELD_ORDER]
+    cols.append(pa.repeat(pa.scalar(part.bucket, pa.int32()), tbl.num_rows))
+    out = pa.table(cols, names=[f.name for f in target]).cast(target)
+    yield from out.to_batches()
+
+
+def _log_bounds(
+    root: str, topic: str
+) -> tuple[int | None, dict[str, int], dict[str, int]]:
+    """(version, {bucket: max seq}, {bucket: first retained seq}) from
+    the latest committed manifest — O(manifest bytes), never a data
+    scan, exactly the metadata TopicStore's cold path keeps to avoid
+    log scans. Manifest-less legacy layouts fall back to a footer scan
+    of the seq column (compat shim; real topics always have manifests).
+    """
+    version = _latest_version(root, topic)
+    if version is not None:
+        m = _load_manifest(root, topic, version)
+        maxima = {str(b): int(x) for b, x in m.get("maxima", {}).items()}
+        floors = {str(b): int(x) for b, x in m.get("floors", {}).items()}
+        return version, maxima, floors
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    maxima: dict[str, int] = {}
+    for b, files in _bucket_files(root, topic):
+        tbl = ds.dataset(files, format="parquet").to_table(columns=["seq"])
+        if tbl.num_rows:
+            maxima[str(b)] = pc.max(tbl.column("seq")).as_py()
+    return None, maxima, {}
+
+
+def _latest_cursors(root: str, topic: str) -> dict[str, int]:
+    """Per-bucket high-water-mark cursors ({bucket: max seq + 1})."""
+    _, maxima, _ = _log_bounds(root, topic)
+    return {b: mx + 1 for b, mx in maxima.items()}
+
+
 class RippleTopicReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["root"]
@@ -228,24 +310,7 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             # O(1) in topic size; scanning the seq column of every
             # retained file (the thing "latest" exists to skip) would
             # make startup O(backlog) in driver I/O.
-            version = _latest_version(self.root, self.topic)
-            if version is not None:
-                maxima = _load_manifest(self.root, self.topic, version).get(
-                    "maxima", {}
-                )
-                cursors = {str(b): mx + 1 for b, mx in maxima.items()}
-                return {"cursors": json.dumps(cursors)}
-            # manifest-less legacy layout: fall back to a parquet scan
-            import pyarrow.dataset as ds
-
-            cursors = {}
-            for b, files in _bucket_files(self.root, self.topic):
-                tbl = ds.dataset(files, format="parquet").to_table(columns=["seq"])
-                if tbl.num_rows:
-                    import pyarrow.compute as pc
-
-                    cursors[str(b)] = pc.max(tbl.column("seq")).as_py() + 1
-            return {"cursors": json.dumps(cursors)}
+            return {"cursors": json.dumps(_latest_cursors(self.root, self.topic))}
         return {"cursors": json.dumps({})}
 
     def _read_range(self, start: dict, max_rows: int | None):
@@ -309,6 +374,144 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         pass  # Spark's checkpoint owns committed offsets
 
 
+class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel micro-batch source — the scale tier.
+
+    Offsets carry the same state as the Simple tier ({bucket: next_seq}
+    cursors + the manifest version the batch was planned against), but
+    the division of labor matches a real cluster:
+
+    - ``latestOffset`` (driver) plans admission from the manifest's
+      per-bucket ``maxima``/``floors`` — O(manifest), zero data read.
+      Each trigger advances every bucket's cursor by at most
+      ``batch_size`` seqs (AskQuery.Count, consumer/server/core.go:52);
+      retention holes below a bucket's floor are skipped in one step
+      instead of crawled through in empty batches.
+    - ``partitions`` (driver) resolves the END offset's pinned manifest
+      version to per-bucket file lists: one task per bucket, and
+      catch-up ranges wider than ``batch_size`` seqs split into chunks
+      so a backlog drain parallelizes WITHIN a bucket too (the chunk
+      bounds push into the parquet scan as seq row-group filters).
+    - ``read`` (EXECUTOR) scans its bucket's files with pyarrow and
+      yields Arrow RecordBatches — rows never pass through the driver,
+      which is the whole point of this tier (the Simple tier funnels
+      every row through driver prefetch; measured ~21.5k rows/s at
+      sf0.1 — fine for control-plane topics, a bottleneck at 100×).
+
+    Per-bucket seq is contiguous above the floor (produce assigns
+    dense seqs; compaction preserves them; truncate only raises the
+    floor), so seq-space admission equals row-count admission except
+    where compaction dropped overwritten keys — there a batch simply
+    carries fewer rows, never more.
+
+    Rate limiting is planned against the reader's last planned offset
+    (``latestOffset`` has no start argument in the Python API, and the
+    engine calls it BEFORE ``initialOffset`` on a fresh query). The
+    FIRST trigger of a reader's life is therefore an uncapped catch-up
+    batch — deliberately: any smaller first offer risks regressing
+    below a checkpointed cursor this reader cannot see (a regressed
+    offset in the WAL re-serves rows after a second restart — a
+    correctness bug, not a tuning knob), and the HWM is the one value
+    that is monotone-safe by log construction. The catch-up batch
+    stays executor-parallel via chunking; every later trigger is
+    capped at ``batch_size`` seqs per bucket (``partitions``/``commit``
+    anchor the admission cursor). Crash-mid-batch replay takes the
+    ordinary partitions() path with the END offset's pinned version,
+    so a truncate committed between crash and recovery cannot shrink
+    the replayed batch (same contract as the Simple tier's
+    readBetweenOffsets).
+    """
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        self.batch_size = int(options.get("batch_size", 10_000))
+        self.start_at = options.get("start_at", "earliest")
+        if self.start_at not in ("earliest", "latest"):
+            raise ValueError(f"start_at must be earliest|latest, got {self.start_at!r}")
+        # Last planned/committed per-bucket cursors — the admission
+        # anchor. None until initialOffset/partitions/commit runs
+        # (i.e. until the first offset state of this reader's life).
+        self._last_cursors: dict[str, int] | None = None
+
+    @staticmethod
+    def _pack(cursors: dict[str, int], version: int | None) -> dict:
+        off = {"cursors": json.dumps(cursors, sort_keys=True)}
+        if version is not None:
+            off["version"] = str(version)
+        return off
+
+    def _note(self, cursors: dict[str, int]) -> None:
+        """Advance the admission anchor (cursors only ever rise; a
+        restore() rewind manifests as new produce past the old HWM)."""
+        last = self._last_cursors or {}
+        merged = dict(last)
+        for b, c in cursors.items():
+            merged[b] = max(int(c), last.get(b, 0))
+        self._last_cursors = merged
+
+    def initialOffset(self) -> dict:
+        cursors = (
+            _latest_cursors(self.root, self.topic)
+            if self.start_at == "latest"
+            else {}
+        )
+        self._note(cursors)
+        return self._pack(cursors, None)
+
+    def latestOffset(self) -> dict:
+        version, maxima, floors = _log_bounds(self.root, self.topic)
+        last = self._last_cursors
+        cursors = dict(last) if last is not None else {}
+        for b, mx in maxima.items():
+            hwm = mx + 1
+            if last is None:
+                # post-restart catch-up: the checkpointed start cursor
+                # is invisible here, so offer everything retained; the
+                # batch stays executor-parallel via chunked partitions
+                cursors[b] = max(hwm, cursors.get(b, 0))
+                continue
+            lb = last.get(b, 0)
+            eff = max(lb, floors.get(b, 0))  # skip the retention hole
+            cursors[b] = max(lb, min(hwm, eff + self.batch_size))
+        self._note(cursors)
+        return self._pack(cursors, version)
+
+    def partitions(self, start: dict, end: dict) -> list[BucketPartition]:
+        s = json.loads(start.get("cursors", "{}"))
+        e = json.loads(end.get("cursors", "{}"))
+        version = int(end["version"]) if "version" in end else None
+        try:
+            buckets = _bucket_files(self.root, self.topic, version)
+        except ValueError:
+            # pinned snapshot vacuumed away (keep vacuum grace above
+            # checkpoint-recovery lag); serve from the latest manifest
+            buckets = _bucket_files(self.root, self.topic)
+        parts: list[BucketPartition] = []
+        for b, files in buckets:
+            off = int(s.get(str(b), 0))
+            upto = int(e.get(str(b), 0))
+            while off < upto:
+                hi = min(upto, off + self.batch_size)
+                parts.append(BucketPartition(files, b, off, None, upto=hi))
+                off = hi
+        # replay after a crash lands here without a commit() first, and
+        # a post-restart batch may start from a checkpointed cursor this
+        # reader never saw — anchor on BOTH ends so the next trigger is
+        # capped from the true cursor
+        self._note({b: int(c) for b, c in s.items()})
+        self._note({b: int(c) for b, c in e.items()})
+        return parts
+
+    def read(self, partition: BucketPartition | None) -> Iterator:
+        if partition is None:
+            return iter(())
+        return _read_bucket_arrow(partition)
+
+    def commit(self, end: dict) -> None:
+        self._note({b: int(c) for b, c in json.loads(end.get("cursors", "{}")).items()})
+
+
 class RippleTopicDataSource(DataSource):
     """DataSource entry point (batch + streaming)."""
 
@@ -321,6 +524,17 @@ class RippleTopicDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RippleTopicReader:
         return RippleTopicReader(self.options)
+
+    def streamReader(self, schema: StructType) -> RippleTopicPartitionedStreamReader:
+        if self.options.get("reader_tier", "partitioned") == "simple":
+            # raising the not-implemented marker makes Spark fall back
+            # to simpleStreamReader (datasource_internal._streamReader)
+            # — the documented tier-selection seam, not an error
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (reader_tier=simple)"},
+            )
+        return RippleTopicPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> RippleTopicStreamReader:
         return RippleTopicStreamReader(self.options)

@@ -83,36 +83,54 @@ def test_read_bucket_pushes_upto_bound_into_scan(spark, store):
     assert seqs == list(range(3, 9))
 
 
-def test_stream_reader_delivers_and_resumes(spark, store, tmp_path):
+@pytest.mark.parametrize("tier", ["partitioned", "simple"])
+def test_stream_reader_delivers_and_resumes(spark, store, tmp_path, tier):
     q = (
         spark.readStream.format("ripple_topic")
         .option("root", store.root)
         .option("topic", "d1")
         .option("batch_size", 50)
+        .option("reader_tier", tier)
         .load()
         .writeStream.format("memory")
-        .queryName("ds_stream")
-        .option("checkpointLocation", str(tmp_path / "ck"))
+        .queryName(f"ds_stream_{tier}")
+        .option("checkpointLocation", str(tmp_path / f"ck_{tier}"))
         .start()
     )
-    # batch_size=50/bucket -> multiple micro-batches; drain them all
     q.processAllAvailable()
     q.stop()
-    got = spark.sql("SELECT count(*) c FROM ds_stream").collect()[0]["c"]
+    got = spark.sql(f"SELECT count(*) c FROM ds_stream_{tier}").collect()[0]["c"]
     assert got == 300
     # per-bucket FIFO: seqs arrive gap-free from 0
     per = spark.sql(
-        "SELECT bucket, count(*) n, max(seq) mx FROM ds_stream GROUP BY bucket"
+        f"SELECT bucket, count(*) n, max(seq) mx FROM ds_stream_{tier} GROUP BY bucket"
     ).collect()
     for r in per:
         assert r["mx"] == r["n"] - 1
+    # full-row fidelity across the tier's transfer path (the partitioned
+    # tier ships Arrow RecordBatches; ts/value must round-trip exactly)
+    streamed = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT bucket, seq, event_id, ts, value FROM ds_stream_{tier}"
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in store.read_topic("d1").select(
+            "bucket", "seq", "event_id", "ts", "value"
+        ).collect()
+    }
+    assert streamed == direct
 
 
-def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("tier", ["partitioned", "simple"])
+def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path, tier):
     """After truncate() raises a bucket's floor, the stream cursor must
-    advance from the max served seq (not offset + row count) — a
-    count-based cursor would lag behind the gap and re-deliver the tail
-    of every bucket forever."""
+    advance past the gap (simple tier: from the max served seq;
+    partitioned tier: latestOffset clamps the cursor to the manifest
+    floor) — a count-based cursor would lag behind the gap and
+    re-deliver the tail of every bucket forever."""
     spark.dataSource.register(RippleTopicDataSource)
     st = TopicStore(spark, str(tmp_path / "gap_topics"))
     st.create_topic("g1", n_buckets=2)
@@ -136,10 +154,11 @@ def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path):
         .option("root", st.root)
         .option("topic", "g1")
         .option("batch_size", 7)  # force many micro-batches across the gap
+        .option("reader_tier", tier)
         .load()
         .writeStream.format("memory")
-        .queryName("ds_gap")
-        .option("checkpointLocation", str(tmp_path / "ck_gap"))
+        .queryName(f"ds_gap_{tier}")
+        .option("checkpointLocation", str(tmp_path / f"ck_gap_{tier}"))
         .start()
     )
     q.processAllAvailable()
@@ -149,7 +168,9 @@ def test_stream_cursor_survives_retention_gap(spark, sf_dir, tmp_path):
         (r["bucket"], r["seq"])
         for r in st.read_topic("g1").select("bucket", "seq").collect()
     }
-    got = spark.sql("SELECT bucket, seq, count(*) c FROM ds_gap GROUP BY 1, 2").collect()
+    got = spark.sql(
+        f"SELECT bucket, seq, count(*) c FROM ds_gap_{tier} GROUP BY 1, 2"
+    ).collect()
     assert all(r["c"] == 1 for r in got), "row delivered more than once"
     assert {(r["bucket"], r["seq"]) for r in got} == live
 
@@ -178,7 +199,10 @@ def test_stream_crash_mid_batch_replays_uncommitted(spark, sf_dir, tmp_path):
     commits the offset AFTER the sink, so a sink that dies mid-batch
     (its output lost) must be replayed on restart with exactly the same
     [start, end) range via readBetweenOffsets: every surviving row is
-    delivered, and none twice."""
+    delivered, and none twice. (Pinned to the simple tier, whose
+    batch_size splits a static backlog into multiple micro-batches;
+    the partitioned tier's crash replay is covered by
+    test_partitioned_crash_mid_batch_replays_exactly_once.)"""
     spark.dataSource.register(RippleTopicDataSource)
     st = TopicStore(spark, str(tmp_path / "crash_topics"))
     st.create_topic("c1", n_buckets=2)
@@ -202,6 +226,7 @@ def test_stream_crash_mid_batch_replays_uncommitted(spark, sf_dir, tmp_path):
             .option("root", st.root)
             .option("topic", "c1")
             .option("batch_size", 25)
+            .option("reader_tier", "simple")
             .load()
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", str(tmp_path / "ck_crash"))
@@ -279,13 +304,14 @@ def test_batch_read_version_as_of(spark, sf_dir, tmp_path):
         )
 
 
-def test_stream_start_at_latest_tails_only_new_rows(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("tier", ["partitioned", "simple"])
+def test_stream_start_at_latest_tails_only_new_rows(spark, sf_dir, tmp_path, tier):
     """start_at=latest snapshots the high watermarks at query start:
     the backlog is skipped, rows produced after the first batch are
     delivered, and a restart resumes from the checkpoint (not a fresh
     'latest' snapshot)."""
     spark.dataSource.register(RippleTopicDataSource)
-    st = TopicStore(spark, str(tmp_path / "tail_topics"))
+    st = TopicStore(spark, str(tmp_path / f"tail_topics_{tier}"))
     st.create_topic("tl", n_buckets=2)
     ev = load_table(spark, sf_dir, "events")
     st.produce(ev.limit(80), "tl")  # backlog that must be skipped
@@ -303,9 +329,10 @@ def test_stream_start_at_latest_tails_only_new_rows(spark, sf_dir, tmp_path):
             .option("root", st.root)
             .option("topic", "tl")
             .option("start_at", "latest")
+            .option("reader_tier", tier)
             .load()
             .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", str(tmp_path / "ck_tail"))
+            .option("checkpointLocation", str(tmp_path / f"ck_tail_{tier}"))
             .start()
         )
 
@@ -330,7 +357,8 @@ def test_replay_survives_truncate_between_crash_and_restart(spark, sf_dir, tmp_p
     shrink the replayed batch: the end offset pins the manifest version
     the batch originally read, so readBetweenOffsets resolves the SAME
     file set (still on disk until vacuum) instead of the truncated
-    latest manifest."""
+    latest manifest. (Simple tier; the partitioned tier's version-pin
+    replay is covered by test_partitioned_replay_survives_truncate.)"""
     spark.dataSource.register(RippleTopicDataSource)
     st = TopicStore(spark, str(tmp_path / "trunc_topics"))
     st.create_topic("t1", n_buckets=2)
@@ -353,6 +381,7 @@ def test_replay_survives_truncate_between_crash_and_restart(spark, sf_dir, tmp_p
             .option("root", st.root)
             .option("topic", "t1")
             .option("batch_size", 25)
+            .option("reader_tier", "simple")
             .load()
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", str(tmp_path / "ck_trunc"))
@@ -388,3 +417,310 @@ def test_replay_survives_truncate_between_crash_and_restart(spark, sf_dir, tmp_p
     # nothing beyond the crashed batch exists to deliver (retention ate
     # the rest), so delivered = pre-crash + the replayed batch
     assert set(delivered) == seen_before_crash | set(state["lost"])
+
+
+# -- partitioned stream reader (the scale tier) --------------------------
+
+
+def _wave(ev, lo, hi):
+    return ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+
+
+def test_partitioned_crash_mid_batch_replays_exactly_once(spark, sf_dir, tmp_path):
+    """Crash-mid-batch resume on the executor-parallel tier: a sink
+    that dies mid-batch (output lost, offset uncommitted) is replayed
+    on restart through the ordinary partitions(start, end) path —
+    every row delivered exactly once across the crash. Batches are
+    driven by produce waves (the partitioned tier's first trigger is
+    an uncapped catch-up by design, so a static backlog can't split)."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "pcrash_topics"))
+    st.create_topic("pc", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 40), "pc")
+
+    delivered: list[tuple[int, int]] = []
+    state = {"data_batches": 0}
+
+    def sink_crash(df, _epoch):
+        rows = [(r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()]
+        if not rows:
+            return
+        state["data_batches"] += 1
+        if state["data_batches"] == 2:
+            raise RuntimeError("injected crash mid-batch")
+        delivered.extend(rows)
+
+    def start(sink):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "pc")
+            .option("batch_size", 1000)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_pcrash"))
+            .start()
+        )
+
+    q = start(sink_crash)
+    q.processAllAvailable()  # wave 1 drains clean (data batch 1)
+    assert state["data_batches"] == 1
+    st.produce(_wave(ev, 40, 80), "pc")  # wave 2: its batch crashes
+    crash_exc = None
+    try:
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    except Exception as e:  # noqa: BLE001 — StreamingQueryException wrapper
+        crash_exc = e
+    q.stop()
+    assert crash_exc is not None and "crash" in str(crash_exc), (
+        f"query did not fail with the injected crash: {crash_exc!r}"
+    )
+
+    def sink_ok(df, _epoch):
+        delivered.extend(
+            (r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()
+        )
+
+    q2 = start(sink_ok)
+    q2.processAllAvailable()  # replays the crashed wave-2 batch
+    st.produce(_wave(ev, 80, 120), "pc")  # wave 3: post-recovery batches
+    q2.processAllAvailable()
+    q2.stop()
+
+    live = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("pc").select("bucket", "seq").collect()
+    }
+    assert set(delivered) == live, "rows skipped across the crash"
+    assert len(delivered) == len(live), "rows double-delivered across the crash"
+
+
+def test_partitioned_replay_survives_truncate(spark, sf_dir, tmp_path):
+    """Retention committed between a crash and its recovery must not
+    shrink the replayed batch on the partitioned tier: the end offset
+    pins the manifest version the batch was planned against, so
+    partitions() resolves the SAME file set (still on disk until
+    vacuum) instead of the truncated latest manifest."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "ptrunc_topics"))
+    st.create_topic("pt", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 60), "pt")
+
+    delivered: list[tuple[int, int]] = []
+    state = {"data_batches": 0, "lost": []}
+
+    def sink_crash(df, _epoch):
+        rows = [(r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()]
+        if not rows:
+            return
+        state["data_batches"] += 1
+        if state["data_batches"] == 2:
+            state["lost"] = rows  # this output is "lost" with the crash
+            raise RuntimeError("injected crash mid-batch")
+        delivered.extend(rows)
+
+    def start(sink):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "pt")
+            .option("batch_size", 1000)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_ptrunc"))
+            .start()
+        )
+
+    q = start(sink_crash)
+    q.processAllAvailable()  # wave 1 drains clean
+    st.produce(_wave(ev, 60, 120), "pt")  # wave 2: its batch crashes
+    try:
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    except Exception:  # noqa: BLE001
+        pass
+    q.stop()
+    assert state["data_batches"] == 2 and state["lost"]
+    seen_before_crash = set(delivered)
+
+    # retention lands while the query is down: every row ages out of
+    # the LATEST manifest (files stay on disk — no vacuum)
+    hi = max(st._bucket_maxima("pt").values())
+    assert st.truncate("pt", before_seq=hi + 1) >= 1
+
+    def sink_ok(df, _epoch):
+        delivered.extend(
+            (r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()
+        )
+
+    q2 = start(sink_ok)
+    q2.processAllAvailable()
+    q2.stop()
+
+    # the crashed batch replayed IN FULL from its pinned snapshot
+    assert set(state["lost"]) <= set(delivered)
+    # and no pre-crash row was delivered twice
+    assert len(delivered) == len(set(delivered))
+    # nothing beyond the crashed batch exists to deliver (retention ate
+    # the rest), so delivered = pre-crash + the replayed batch
+    assert set(delivered) == seen_before_crash | set(state["lost"])
+
+
+# -- partitioned offset planner unit tests (no streaming query) ----------
+
+
+@pytest.fixture(scope="module")
+def planner_store(spark, sf_dir, tmp_path_factory):
+    """A 2-bucket topic with 100 rows for direct offset-planner calls."""
+    st = TopicStore(spark, str(tmp_path_factory.mktemp("plan_topics")))
+    st.create_topic("pl", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(100), "pl")
+    return st
+
+
+def _planner(st, topic="pl", **opts):
+    from ripple_server_spark.sources.datasource import (
+        RippleTopicPartitionedStreamReader,
+    )
+
+    return RippleTopicPartitionedStreamReader(
+        {"root": st.root, "topic": topic, **{k: str(v) for k, v in opts.items()}}
+    )
+
+
+def test_partitioned_offsets_cap_and_converge(spark, planner_store):
+    """After initialOffset anchors the cursor, every latestOffset
+    advances each bucket by at most batch_size seqs (AskQuery.Count),
+    monotonically, converging to the HWM and then holding stable."""
+    import json as _json
+
+    from ripple_server_spark.sources.datasource import _log_bounds
+
+    r = _planner(planner_store, batch_size=10)
+    prev = _json.loads(r.initialOffset()["cursors"])
+    assert prev == {}
+    _, maxima, _ = _log_bounds(planner_store.root, "pl")
+    hwm = {b: mx + 1 for b, mx in maxima.items()}
+    for _ in range(200):
+        cur = _json.loads(r.latestOffset()["cursors"])
+        for b, c in cur.items():
+            assert c - prev.get(b, 0) <= 10, "admission cap exceeded"
+            assert c >= prev.get(b, 0), "cursor regressed"
+        prev = cur
+        if cur == hwm:
+            break
+    assert prev == hwm
+    assert _json.loads(r.latestOffset()["cursors"]) == hwm  # stable at HWM
+
+
+def test_partitioned_latest_offset_skips_floor_hole(spark, sf_dir, tmp_path):
+    """A retention hole below the floor is skipped in ONE trigger (the
+    cursor clamps to the manifest floor), not crawled through in
+    batch_size-seq empty hops."""
+    import json as _json
+
+    st = TopicStore(spark, str(tmp_path / "floor_topics"))
+    st.create_topic("fl", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    # two produces -> two files per bucket, so the first can age out
+    st.produce(_wave(ev, 0, 100), "fl")
+    st.produce(_wave(ev, 100, 200), "fl")
+    maxima = st._bucket_maxima("fl")
+    floor_target = min(maxima.values()) - 5
+    assert st.truncate("fl", before_seq=floor_target) >= 1
+    floors = st._bucket_floors("fl")
+    assert any(f > 0 for f in floors.values())
+
+    r = _planner(st, topic="fl", batch_size=3)
+    r.initialOffset()  # anchor at earliest (cursor 0)
+    cur = _json.loads(r.latestOffset()["cursors"])
+    for b, fl in floors.items():
+        if fl > 3:  # a hole wider than one batch
+            assert cur[str(b)] >= fl, "cursor crawled instead of clamping to floor"
+
+
+def test_partitioned_catchup_chunks_split_within_bucket(spark, planner_store):
+    """A catch-up range wider than batch_size splits into multiple
+    partitions per bucket — contiguous, disjoint, each at most
+    batch_size seqs wide — so a backlog drain parallelizes beyond the
+    bucket count."""
+    r = _planner(planner_store, batch_size=10)
+    start = r.initialOffset()
+    end = r.latestOffset()  # anchor-fresh reader... anchored by initialOffset
+    # force the full-range case explicitly: plan [0, hwm) per bucket
+    import json as _json
+
+    from ripple_server_spark.sources.datasource import _log_bounds
+
+    _, maxima, _ = _log_bounds(planner_store.root, "pl")
+    full_end = {"cursors": _json.dumps({b: mx + 1 for b, mx in maxima.items()})}
+    parts = r.partitions(start, full_end)
+    assert len(parts) > len(maxima), "catch-up did not chunk within buckets"
+    by_bucket: dict[int, list] = {}
+    for p in parts:
+        assert p.upto - p.offset <= 10
+        by_bucket.setdefault(p.bucket, []).append((p.offset, p.upto))
+    for b, spans in by_bucket.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert spans[-1][1] == maxima[str(b)] + 1
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 == lo2, "chunks not contiguous/disjoint"
+
+
+def test_partitioned_read_yields_sorted_arrow_batches(spark, planner_store):
+    """read() ships Arrow RecordBatches (no per-row driver funnel) with
+    the declared schema order and rows seq-sorted within the task."""
+    import pyarrow as pa
+
+    r = _planner(planner_store, batch_size=1000)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert parts, "expected at least one partition"
+    batches = list(r.read(parts[0]))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    names = [f.name for f in batches[0].schema]
+    assert names == [
+        "event_id", "ts", "user_id", "event_type", "value", "props", "seq", "bucket",
+    ]
+    seqs = [s for b in batches for s in b.column("seq").to_pylist()]
+    assert seqs == sorted(seqs)
+    assert set(
+        s for b in batches for s in b.column("bucket").to_pylist()
+    ) == {parts[0].bucket}
+
+
+def test_partitioned_fresh_reader_never_offers_below_hwm(spark, planner_store):
+    """A reader that has seen NO offset state (clean restart: Spark
+    resumes from the checkpoint without calling initialOffset) must
+    offer exactly the HWM — any smaller offer could regress below a
+    checkpointed cursor it cannot see, and a regressed offset in the
+    WAL re-serves rows after a second restart."""
+    import json as _json
+
+    from ripple_server_spark.sources.datasource import _log_bounds
+
+    r = _planner(planner_store, batch_size=1)  # cap tiny: must NOT apply here
+    cur = _json.loads(r.latestOffset()["cursors"])
+    _, maxima, _ = _log_bounds(planner_store.root, "pl")
+    assert cur == {b: mx + 1 for b, mx in maxima.items()}
+
+
+def test_partitioned_partitions_pinned_version_fallback(spark, planner_store):
+    """partitions() with a vacuumed-away pinned version falls back to
+    the latest manifest instead of failing the replay."""
+    import json as _json
+
+    r = _planner(planner_store, batch_size=1000)
+    start = r.initialOffset()
+    end = dict(r.latestOffset())
+    end["version"] = "99999"  # simulate a vacuumed-away pinned manifest
+    parts = r.partitions(start, end)
+    got = sum(p.upto - p.offset for p in parts)
+    assert got == sum(
+        int(c) for c in _json.loads(end["cursors"]).values()
+    ), "fallback did not serve the full range"
