@@ -404,7 +404,13 @@ def open_image(b: bytes) -> ImageHandle:
             raise ValueError(
                 f"only 8-bit samples supported, got Pillow mode {im.mode}"
             )
-        if im.mode not in ("L", "RGB", "RGBA"):
+        if im.mode not in ("L", "LA", "RGB", "RGBA"):
+            # LA passes through as 2 channels: parse_png decodes
+            # gray+alpha PNGs (color type 4) to (h, w, 2), and the
+            # n_channels/resize/embed outputs must be backend-
+            # independent — converting to RGB here would make the same
+            # payload report 3 channels only when Pillow is installed
+            # (ADVICE r06)
             im = im.convert("RGB")
         return ImageHandle(np.asarray(im), prefer_png=True)
     im = parse_netpbm(b)

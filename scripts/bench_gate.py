@@ -45,7 +45,19 @@ _NON_TIMINGS = {"pubsub_rows", "pubsub_stream_rows_per_s"}
 def parse_anchors(text: str) -> dict[str, float]:
     """§C anchor table -> {query: anchor_sec}. A row's key is the first
     token of its first cell; the anchor is the first float in its
-    second cell (prose after the number — re-base notes — is legal)."""
+    second cell (prose after the number — re-base notes — is legal).
+
+    Parsing is SCOPED to the §C anchor table proper: from the "## C."
+    heading to the next heading. Other tables in BASELINE.md (the drift
+    adjudication table lists the same query names with per-round
+    columns) would otherwise match the row pattern and silently
+    overwrite anchors with whatever their second column holds (ADVICE
+    r06: q_asof_join 0.599 -> the r04 outlier 0.450)."""
+    m = re.search(r"^## C\..*$", text, re.M)
+    if m:
+        section = text[m.end():]
+        nxt = re.search(r"^#{2,3} ", section, re.M)
+        text = section[: nxt.start()] if nxt else section
     anchors: dict[str, float] = {}
     for m in re.finditer(r"^\|\s*([A-Za-z]\w+)[^|]*\|\s*\**([0-9]+\.[0-9]+)", text, re.M):
         name, val = m.group(1), float(m.group(2))

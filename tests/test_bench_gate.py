@@ -34,6 +34,18 @@ def test_anchor_table_parses_completely(anchors):
     assert "headline" not in anchors  # the total row is not a query
 
 
+def test_anchor_parse_scoped_to_section_c(anchors):
+    """Rows outside the §C anchor table must not shadow anchors: the
+    drift-adjudication table lists the same query names with an r04
+    column that would otherwise overwrite five anchors (ADVICE r06).
+    These five values are exactly the §C rows, not the r04 outliers."""
+    assert anchors["q_asof_join"] == 0.599  # not the 0.450 r04 outlier
+    assert anchors["q_bloom_decontaminate"] == 2.630  # not 1.817
+    assert anchors["q_dedup_clusters"] == 3.891  # not 3.329
+    assert anchors["q_tpch_q3_topk"] == 0.902  # not 0.639
+    assert anchors["q_running_value"] == 0.407  # not 0.345
+
+
 def test_gate_trips_on_synthetic_2x_and_passes_below(anchors):
     bad, warns = bench_gate.gate({"q_scan_events": anchors["q_scan_events"] * 2.1}, anchors)
     assert len(bad) == 1 and "2.10x" in bad[0]

@@ -122,6 +122,18 @@ def test_real_codecs_smoke(spark):
     assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) == (40, 30, 3)
     assert (meta[2]["width"], meta[2]["height"]) == (8, 8)
 
+    # backend-independence for gray+alpha (ADVICE r06): the Pillow path
+    # must pass LA through as 2 channels, exactly like parse_png's
+    # ctype-4 output — NOT convert('RGB') to 3
+    la = Image.new("LA", (6, 4), (128, 255))
+    la_sink = io.BytesIO()
+    la.save(la_sink, format="PNG")
+    la_df = spark.createDataFrame(
+        [(3, la_sink.getvalue())], "doc_id long, payload binary"
+    )
+    la_meta = mm.decode_payloads(la_df, fake=False).collect()[0]
+    assert (la_meta["width"], la_meta["height"], la_meta["n_channels"]) == (6, 4, 2)
+
     resized = mm.resize_payloads(payloads, 16, 16, fake=False).collect()
     for r in resized:
         im = Image.open(io.BytesIO(bytes(r["payload"])))
