@@ -161,102 +161,11 @@ _PRIORITY_PREFIXES = (
 _DRIVER_BUDGET = 50
 
 _RECHECK_SINCE: dict[str, int] = {
-    # --- round-5 refresh pass 1 (since=4): builders MODIFIED during
-    # round 4 after their last green driver row (VERDICT r04 item 1
-    # names all 26) — locally parity-proven on current code and
-    # fixtures, re-queued so the hard CORRECTNESS signal covers the
-    # live code. (The three r04 recheck names q_ann_lsh_topk,
-    # q_ann_pq_topk, q_stats_moments are r04-green -> expired.)
-    "q_token_budget_select": 4,
-    "q_window_distribution": 4,
-    "q_text_tfidf": 4,
-    "q_pagerank_types": 4,
-    "q_topic_time_travel": 4,
-    "q_cdc_apply": 4,
-    "q_upsample_by_weight": 4,
-    "q_zipf_slope": 4,
-    "q_user_zscore_pandas": 4,
-    "q_agg_multi": 4,
-    "q_date_trunc_day": 4,
-    "q_json_props_extract": 4,
-    "q_moving_avg_time": 4,
-    "q_seq_gap_detection": 4,
-    "q_dedup_containment": 4,
-    "q_fanout_replicas": 4,
-    "q_funnel_conversion": 4,
-    "q_percentile_value": 4,
-    "q_quality_filter_funnel": 4,
-    "q_similarity_lsh_bucket": 4,
-    "q_text_pii_flags": 4,
-    "q_text_quality": 4,
-    "q_text_repetition": 4,
-    "q_timeseries_profile_topk": 4,
-    "q_topn_per_group": 4,
-    "q_tpch_q11_important": 4,
-    # (q_vocab_growth's round-5 since=4 entry — stripe count re-derived
-    # from defaultParallelism — went green r05 and expired; it re-queues
-    # below at since=6 for the round-6 stripe_width refactor.)
-    # --- round-5 refresh pass 2 (since=4, 23 slots): oldest round-1-era
-    # rows — their green evidence predates the driver's fixture
-    # regeneration between r01 and r02 (VERDICT r04 item 2); rotate the
-    # relational core onto current fixtures first. q_global_rank is
-    # pulled forward because round 5 also re-derived its stripe count
-    # from defaultParallelism.
-    "q_scan_events": 4,
-    "q_project_typed_columns": 4,
-    "q_filter_topic_bucket": 4,
-    "q_filter_compound": 4,
-    "q_consume_offset_range": 4,
-    "q_topk_hot_users": 4,
-    "q_union_topics": 4,
-    "q_scalar_md5_route": 4,
-    "q_bucket_depth_counts": 4,
-    "q_rollup_type_day": 4,
-    "q_min_seq_leader": 4,
-    "q_latest_event_per_user": 4,
-    "q_running_value": 4,
-    "q_enrich_broadcast_join": 4,
-    "q_join_semi_anti": 4,
-    "q_fact_join": 4,
-    "q_tpch_q1": 4,
-    "q_tpch_q3_topk": 4,
-    "q_tpch_q5_region": 4,
-    "q_set_intersect_except": 4,
-    "q_cube_type_bucket": 4,
-    "q_tpch_q6": 4,
-    "q_global_rank": 4,
-    # --- round-6 refresh pass 3 (since=5): the remaining 19 round-1-era
-    # rows. Deferred automatically while the since=4 pass occupies the
-    # budget; they activate the moment CORRECTNESS_r05 lands (expiring
-    # the pass above) with zero manual edits.
-    "q_sessionize_users": 5,
-    "q_window_lag_lead": 5,
-    "q_above_avg_value": 5,
-    "q_asof_join": 5,
-    "q_range_join_bands": 5,
-    "q_pivot_type_day": 5,
-    "q_histogram_value": 5,
-    "q_grouping_sets": 5,
-    "q_udaf_gmean": 5,
-    "q_udtf_tokenize": 5,
-    "q_salted_agg": 5,
-    "q_cohort_retention": 5,
-    "q_tpch_q4_priority": 5,
-    "q_tpch_q10_returns": 5,
-    "q_tpch_q13_custdist": 5,
-    "q_tpch_q14_promo": 5,
-    "q_tpch_q17_small_qty": 5,
-    "q_tpch_q18_large_orders": 5,
-    "q_tpch_q19_disjunct": 5,
-    # round 5: the decode/resize/embed kernels gained a real numpy
-    # netpbm backend on their fake=False branch (codecs.py). The
-    # fake=True branch these queries run is byte-identical (pinned by
-    # determinism tests + sf0.01 parity), but the kernel closures
-    # changed, so re-earn the rows. (q_multimodal_frames' kernel is
-    # untouched — not queued.)
-    "q_multimodal_meta": 5,
-    "q_multimodal_resize": 5,
-    "q_multimodal_embed": 5,
+    # (Rounds 5-6 ran three refresh passes — 26 round-4-modified
+    # builders + all 42 round-1-era rows + the netpbm-kernel trio — at
+    # since=4/5; every entry expired on green r05/r06 rows and was
+    # trimmed per VERDICT r06 item 5. The queue below is live-only.)
+    #
     # --- queued during round 6 (since=6): the frame-sampling kernel
     # gained a real numpy YUV4MPEG2 backend on its fake=False branch
     # (codecs.py parse_y4m); the fake=True branch the query runs is
@@ -268,6 +177,69 @@ _RECHECK_SINCE: dict[str, int] = {
     # behavior-tested instead of source-grepped (ADVICE r05) —
     # value-identical, but the builder changed.
     "q_vocab_growth": 6,
+    # --- round-7 evidence rotation (since=6, VERDICT r06 item 2): the
+    # oldest standing rows — 20 last-green r02 and 35 last-green r03 —
+    # re-earn current-round evidence while the budget is wide open.
+    # Code is UNCHANGED for all of these (pure rotation); since=6 gives
+    # exactly one recheck in r07, then a green r07 row (>6) expires the
+    # entry. Overflow past the 50-query budget defers automatically.
+    # r02 cohort:
+    "q_decontaminate": 6,
+    "q_event_transitions": 6,
+    "q_join_full_outer": 6,
+    "q_ohlc_hourly": 6,
+    "q_payload_roundtrip": 6,
+    "q_profile_columns": 6,
+    "q_stratified_sample_hash": 6,
+    "q_text_chunking": 6,
+    "q_text_sentiment": 6,
+    "q_tpch_q12_priority_class": 6,
+    "q_tpch_q15_top_supplier": 6,
+    "q_tpch_q16_supplier_cnt": 6,
+    "q_tpch_q20_excess": 6,
+    "q_tpch_q21_waiting": 6,
+    "q_tpch_q22_no_orders": 6,
+    "q_tpch_q2_mincost": 6,
+    "q_tpch_q7_volume": 6,
+    "q_tpch_q8_share": 6,
+    "q_tpch_q9_profit": 6,
+    "q_train_val_test_split": 6,
+    # r03 cohort:
+    "q_array_embedding_norm": 6,
+    "q_bloom_decontaminate": 6,
+    "q_consumer_lag": 6,
+    "q_corpus_pipeline_e2e": 6,
+    "q_dense_grid_zerofill": 6,
+    "q_doc_fingerprint": 6,
+    "q_embedding_centroids": 6,
+    "q_embedding_decontaminate": 6,
+    "q_embedding_quantize": 6,
+    "q_fact_join_bucketed": 6,
+    "q_fuzzy_decontaminate": 6,
+    "q_graph_triangles": 6,
+    "q_heavy_hitters_cms": 6,
+    "q_interarrival_histogram": 6,
+    "q_join_null_safe": 6,
+    "q_journey_similarity": 6,
+    "q_kmv_distinct_sketch": 6,
+    "q_mix_weights": 6,
+    "q_offsets_fanout": 6,
+    "q_robust_stats": 6,
+    "q_seeded_shuffle": 6,
+    "q_seq_packing": 6,
+    "q_setsim_prefix_join": 6,
+    "q_sliding_counts": 6,
+    "q_source_quota_cap": 6,
+    "q_span_dedup": 6,
+    "q_text_collocations": 6,
+    "q_text_entropy": 6,
+    "q_text_rare_token_ratio": 6,
+    "q_topic_schema_evolution": 6,
+    "q_tumbling_hourly": 6,
+    "q_unigram_logprob": 6,
+    "q_user_active_streaks": 6,
+    "q_weighted_median": 6,
+    "q_weighted_sample": 6,
 }
 
 
