@@ -126,6 +126,128 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minimum duplicate run length (words) for variable-length substring
+# dedup: a position is removed iff it lies inside a substring of >= this
+# many words that occurs at least twice corpus-wide (ExactSubstr
+# semantics, Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" — gram-anchored: every position of a
+# duplicated run of length >= L is covered by some duplicated L-gram
+# window, and conversely, so L-gram coverage IS the exact variable-
+# length answer, no suffix array needed).
+SUBSTR_GRAM = 6
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(w[(i + 1):(i + {SUBSTR_GRAM})], ' ')) AS gh
+        FROM t, unnest(range(0, GREATEST(len(w) - {SUBSTR_GRAM - 1}, 0))) AS u(i)
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS p
+        FROM grams g JOIN dup USING (gh),
+             unnest(range(0, {SUBSTR_GRAM})) AS v(j)
+    ),
+    posd AS (
+        SELECT doc_id, source, len(w) AS n_words, i AS p, w[i + 1] AS word
+        FROM t, unnest(range(0, len(w))) AS u(i)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.source,
+               max(p.n_words) AS n_words,
+               count(c.p) AS n_dropped,
+               coalesce(string_agg(p.word, ' ' ORDER BY p.p) FILTER (c.p IS NULL),
+                        '') AS kept_text
+        FROM posd p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.p
+        GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_dropped) AS BIGINT) AS n_positions_dropped,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || kept_text),
+                                   1, 12))::BIGINT) AS kept_hash
+    FROM kept GROUP BY source
+    """,
+    tags=("pipeline", "dedup", "text", "substring"),
+    bench=True,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length repeated-substring dedup (ExactSubstr): remove
+    every word position that lies inside a substring of >=
+    6 words occurring at least twice anywhere in the
+    corpus (across docs OR repeated within one doc), then reassemble
+    the survivors in order. Unlike q_span_dedup's fixed non-overlapping
+    spans, matches here are stride-1 and variable-length: consecutive
+    duplicated 6-gram windows merge into arbitrarily long removed runs,
+    which is exactly the suffix-array ExactSubstr answer (a duplicated
+    run of length >= L covers a position iff some duplicated L-gram
+    window does). Per-source report fingerprints the reassembled text
+    (bit_xor over doc-keyed md5-48) so the oracle verifies WHICH bytes
+    survive.
+
+    Scale shape: gram hashing is a narrow map-side fan-out (md5 inside
+    a codegen'd transform(), ~n_words rows per doc, 16-byte keys — the
+    raw gram text never shuffles); duplicate detection is one
+    partial-agg count on gh. The candidate join (grams x dup-grams) is
+    key-partitioned, NOT forced broadcast — the duplicated-gram set
+    grows with corpus redundancy and AQE picks broadcast/skew handling
+    from actual sizes. Coverage expansion multiplies candidate rows by
+    only L=6 and collapses in the same per-doc
+    collect_set (dedup inside the aggregate — no separate DISTINCT
+    shuffle). Reassembly is doc-local array filtering, never a global
+    sort. No cartesian anywhere (plan-gated)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    # stride-1 gram hashes with positions; docs shorter than L emit none
+    gram_arr = F.expr(
+        f"CASE WHEN size(w) >= {SUBSTR_GRAM} THEN "
+        f"transform(sequence(0, size(w) - {SUBSTR_GRAM}), "
+        f"i -> md5(array_join(slice(w, i + 1, {SUBSTR_GRAM}), ' '))) "
+        f"ELSE array() END"
+    )
+    grams = docs.select("doc_id", F.posexplode(gram_arr).alias("pos", "gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    cov = (
+        grams.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {SUBSTR_GRAM - 1})")).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+    kept = docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.size("w").alias("n_words"),
+        F.coalesce(F.size("cov"), F.lit(0)).alias("n_dropped"),
+        F.expr(
+            "array_join(transform(filter("
+            "transform(w, (x, i) -> struct(i AS idx, x AS word)), "
+            "s -> cov IS NULL OR NOT array_contains(cov, s.idx)), "
+            "s -> s.word), ' ')"
+        ).alias("kept_text"),
+    )
+    fp = _H48.format(expr="concat(cast(doc_id as string), ':', kept_text)")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_dropped").cast("bigint").alias("n_positions_dropped"),
+        F.expr(f"bit_xor({fp})").alias("kept_hash"),
+    )
+
+
 @query(
     "q_unigram_logprob",
     oracle="""

@@ -177,6 +177,20 @@ def test_edit_distance_blocking_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_substring_dedup_gram_keyed_no_cartesian(spark):
+    """Variable-length substring dedup generates candidates from the
+    duplicated-gram index: the candidate join keys on the gram hash
+    (gh), never doc pairs; coverage collapses inside the per-doc
+    aggregate (ObjectHashAggregate over collect_set) rather than a
+    separate DISTINCT exchange; and no cartesian anywhere."""
+    p = plan(build(spark, "q_substring_dedup"))
+    assert "CartesianProduct" not in p
+    assert "gh" in p  # the gram-hash join key is in the plan
+    # one dedup exchange only: the collect_set aggregate owns coverage
+    # dedup, so no standalone HashAggregate-distinct over (doc_id, p)
+    assert "ObjectHashAggregate" in p
+
+
 def test_tpch_q13_outer_join_keeps_condition_inside(spark):
     """The priority filter must live in the join (outer semantics), not
     be pushed below as a WHERE on orders output rows -> plan shows the
