@@ -144,6 +144,28 @@ def main() -> None:
         timings["pubsub_stream_rows_per_s"] = round(
             n / timings["pubsub_stream_drain"], 1
         )
+        # Control-plane tier (reader_tier=simple, driver-side prefetch):
+        # kept regression-gated separately — the row above times the
+        # DEFAULT executor-parallel tier since round 7.
+        for i, tag in enumerate(("warm", "t1", "t2")):
+            t0 = time.time()
+            sq = (
+                spark.readStream.format("ripple_topic")
+                .option("root", tmp)
+                .option("topic", "bench_t2")
+                .option("batch_size", 2500)
+                .option("reader_tier", "simple")
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(tmp, f"_ckpt_s_{tag}"))
+                .start()
+            )
+            sq.processAllAvailable()
+            dt = round(time.time() - t0, 3)
+            sq.stop()
+            if i > 0:
+                prev = timings.get("pubsub_stream_drain_simple", dt)
+                timings["pubsub_stream_drain_simple"] = min(prev, dt)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -722,6 +722,7 @@ _FOLD_FP = f"md5({CONTENT_FOLD_SQL.format(expr='text')})"
 
 @query(
     "q_dedup_incremental_ingest",
+    bench=True,
     oracle=f"""
     WITH corpus_fps AS (
         SELECT DISTINCT {_FOLD_FP} AS fp

@@ -507,6 +507,7 @@ def q_topic_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_session_window_agg",
+    bench=True,
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
@@ -677,6 +678,7 @@ def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rollup_incremental",
+    bench=True,
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
            event_type,
@@ -744,6 +746,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_topic_increment_read",
+    bench=True,
     oracle="""
     SELECT 'increment' AS slice,
            count(*) AS n_rows,

@@ -1,15 +1,25 @@
 #!/usr/bin/env python
 """Streaming-source throughput sweep: rows/s through the
-`ripple_topic` Structured-Streaming source as a function of the
-per-bucket admission cap (``batch_size``, the maxOffsetsPerTrigger
-analog).
+`ripple_topic` Structured-Streaming source as a function of reader
+tier and per-bucket admission cap (``batch_size``, the
+maxOffsetsPerTrigger analog).
 
-The cap trades end-to-end latency against per-micro-batch overhead
-(offset-log commit + driver-side prefetch + Arrow hand-off are paid
-once per batch): small caps approximate per-record streaming, large
-caps approach the batch reader's throughput. This sweep measures that
-amortization curve so the cap is a measured choice, not folklore —
-the SCALE.md streaming table records the curve.
+Tier semantics differ by design (sources/datasource.py):
+
+- ``partitioned`` (default since round 7): a fresh-checkpoint drain is
+  ONE executor-parallel catch-up batch — the cap sets the per-task
+  chunk width, not the batch count — so the sweep measures task
+  granularity: tiny chunks pay per-task Python-worker overhead, huge
+  chunks under-parallelize. Steady-state tailing (capped triggers) has
+  the same per-batch machinery cost as the simple tier but
+  executor-side reads.
+- ``simple``: the cap splits the drain into ceil(rows/cap) driver-side
+  micro-batches, so the sweep measures the per-micro-batch fixed cost
+  (offset-log commit + driver prefetch + Arrow hand-off) amortization
+  curve; large caps approach (driver-funneled) batch throughput.
+
+The SCALE.md streaming table records both curves so the tier/cap
+choice is measured, not folklore.
 
 Usage:
   python scripts/stream_bench.py [sf_dir] [batch_size ...]
@@ -17,7 +27,7 @@ Usage:
 
 Each drain replays the FULL produced topic from a fresh checkpoint
 through the noop sink (same methodology as bench.py's
-pubsub_stream_drain row, which pins cap=2500).
+pubsub_stream_drain rows, which pin cap=2500).
 """
 
 from __future__ import annotations
@@ -49,13 +59,14 @@ def main() -> None:
         store.create_topic("sb", n_buckets=8)
         n = store.produce(load_table(spark, sf_dir, "events"), "sb")
 
-        def drain(cap: int, tag: str) -> tuple[float, int]:
+        def drain(tier: str, cap: int, tag: str) -> tuple[float, int]:
             t0 = time.time()
             q = (
                 spark.readStream.format("ripple_topic")
                 .option("root", tmp)
                 .option("topic", "sb")
                 .option("batch_size", cap)
+                .option("reader_tier", tier)
                 .load()
                 .writeStream.format("noop")
                 .option("checkpointLocation", os.path.join(tmp, f"ck_{tag}"))
@@ -69,17 +80,19 @@ def main() -> None:
             q.stop()
             return dt, batches
 
-        drain(caps[0], "warm")  # session/python-worker spin-up, untimed
+        drain("partitioned", caps[0], "warm")  # worker spin-up, untimed
+        drain("simple", caps[0], "warm_s")
         print(f"rows={n} buckets=8 sf_dir={sf_dir}")
-        print("| batch_size/bucket | micro-batches | drain s | rows/s |")
-        print("|---|---|---|---|")
-        for cap in caps:
-            best, nb = None, 0
-            for r in range(2):  # best-of-2, fresh checkpoint each
-                dt, batches = drain(cap, f"{cap}_{r}")
-                if best is None or dt < best:
-                    best, nb = dt, batches
-            print(f"| {cap} | {nb} | {best:.2f} | {n / best:,.0f} |")
+        print("| tier | batch_size/bucket | micro-batches | drain s | rows/s |")
+        print("|---|---|---|---|---|")
+        for tier in ("partitioned", "simple"):
+            for cap in caps:
+                best, nb = None, 0
+                for r in range(2):  # best-of-2, fresh checkpoint each
+                    dt, batches = drain(tier, cap, f"{tier}_{cap}_{r}")
+                    if best is None or dt < best:
+                        best, nb = dt, batches
+                print(f"| {tier} | {cap} | {nb} | {best:.2f} | {n / best:,.0f} |")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
