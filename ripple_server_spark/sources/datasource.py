@@ -272,7 +272,7 @@ class RippleTopicReader(DataSourceReader):
             for b, files in _bucket_files(self.root, self.topic, self.version)
         ]
 
-    def read(self, partition: BucketPartition) -> Iterator[tuple]:
+    def read(self, partition: BucketPartition) -> Iterator:
         if partition is None:
             # partitions() returned [] (created-but-empty topic, or all
             # files aged out): Spark substitutes a single None partition
@@ -280,7 +280,11 @@ class RippleTopicReader(DataSourceReader):
             # broker state, serve zero rows (same contract as
             # TopicStore.read_topic), not an AttributeError
             return
-        yield from _read_bucket(partition)
+        # Arrow RecordBatch transfer, same kernel as the partitioned
+        # stream tier — no per-row Python tuples on the batch path
+        # either (the tuple kernel _read_bucket remains for the simple
+        # stream tier's driver-side prefetch, which slices row lists).
+        yield from _read_bucket_arrow(partition)
 
 
 class RippleTopicStreamReader(SimpleDataSourceStreamReader):
