@@ -311,6 +311,141 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    e AS (SELECT b.bucket, emb.* FROM embeddings emb JOIN buckets b USING (vec_id)),
+    cent AS (
+        SELECT label, bucket, list(mv ORDER BY pos) AS c
+        FROM (
+            SELECT label, bucket, i AS pos,
+                   avg(CAST(embedding[i] AS DOUBLE)) AS mv
+            FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+            GROUP BY label, bucket, i
+        ) GROUP BY label, bucket
+    ),
+    scored AS (
+        SELECT e.label, e.bucket, e.vec_id, e.embedding,
+               row_number() OVER (
+                   PARTITION BY e.label, e.bucket
+                   ORDER BY round(
+                       list_sum(list_transform(range(1, 65),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * c[i]))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c, x -> x * x)))), 6) ASC,
+                       e.vec_id ASC) AS rnk
+        FROM e JOIN cent USING (label, bucket)
+    ),
+    removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM scored a JOIN scored b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.rnk < b.rnk
+        WHERE {_COS} >= 0.2
+    )
+    SELECT CAST(e.label AS BIGINT) AS label,
+           count(*) AS n_vecs,
+           CAST(count(DISTINCT e.bucket) AS BIGINT) AS n_clusters,
+           CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+           round(count(r.vec_id) / count(*), 4) AS prune_rate,
+           bit_xor(CASE WHEN r.vec_id IS NULL
+                   THEN ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 12))::BIGINT
+                   END) AS keep_hash
+    FROM e LEFT JOIN removed r USING (vec_id)
+    GROUP BY e.label
+    """,
+    tags=("dedup", "vectors", "semantic"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embedding space, and within each cluster remove the more-redundant
+    member of every pair whose cosine exceeds the threshold, keeping
+    the member FARTHEST from the cluster centroid (low
+    centroid-similarity = the informative outlier). Differs from
+    q_dedup_embedding (which REPORTS nearest-neighbor pairs): this is
+    the pruning POLICY — output is the per-label keep-list fingerprint
+    and prune rate of the corpus that survives. Removal is the
+    dominance form of the paper's rule: v is removed iff some
+    keep-worthier u in its cluster (rank = centroid-cos ascending,
+    vec_id tiebreak; ranks are integers so the pair join never
+    compares floats cross-engine) is >= tau-similar to v.
+
+    Scale shape: clusters are (label x LSH bucket) — the granularity
+    knob that bounds the quadratic exactly like SemDeDup's k-means k
+    (pairs = sum over clusters of |cluster|^2, never corpus^2; the
+    plan gate asserts no cartesian). Centroids are a posexplode +
+    partial-agg mean (|clusters| x 64 rows), broadcast back; the rank
+    window partitions per cluster; the pair join keys on the cluster.
+    At 100 TB: raise LSH planes / use finer IVF cells to keep clusters
+    task-sized — policy and plan shape unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket_pandas(F.col("embedding"), EMB_DIM)
+    )
+    cent = (
+        emb.select("label", "bucket", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "bucket", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+        .groupBy("label", "bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("c")
+        )
+    )
+    cosc = dot(F.col("embedding"), F.col("c")) / (
+        l2_norm(F.col("embedding")) * l2_norm(F.col("c"))
+    )
+    w = Window.partitionBy("label", "bucket").orderBy(
+        F.round(cosc, 6).asc(), F.col("vec_id").asc()
+    )
+    scored = (
+        emb.join(F.broadcast(cent), ["label", "bucket"])
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "label",
+            "bucket",
+            "vec_id",
+            "embedding",
+            "rnk",
+            l2_norm(F.col("embedding")).alias("nn"),
+        )
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nn") * F.col("b.nn")
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rnk") < F.col("b.rnk")),
+        )
+        .filter(sim >= 0.2)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    from ripple_server_spark.functions.scalar import H48_SQL
+
+    keep_fp = H48_SQL.format(expr="cast(vec_id as string)")
+    return (
+        emb.join(removed, "vec_id", "left")
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("bucket").cast("bigint").alias("n_clusters"),
+            F.count("is_removed").alias("n_removed"),
+            F.round(F.count("is_removed") / F.count(F.lit(1)), 4).alias("prune_rate"),
+            F.expr(f"bit_xor(CASE WHEN is_removed IS NULL THEN {keep_fp} END)").alias(
+                "keep_hash"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
