@@ -248,6 +248,134 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-feature space: 48-bit md5 prefixes folded into this many
+# buckets (the paper hashes n-grams into 10^4 buckets; 1024 keeps the
+# count tables trivially broadcastable at any corpus size).
+DSIR_BUCKETS = 1024
+DSIR_TOPK = 100
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 12))::BIGINT
+                   % {DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    src AS (SELECT b, count(*) AS cs FROM toks GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM toks) AS ts,
+               (SELECT count(*) FROM toks WHERE lang = 'en') AS tt
+    ),
+    doc_lw AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_tokens,
+               round(sum(ln((coalesce(g.ct, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+                       - ln((s.cs + 1.0) / (tot.ts + {DSIR_BUCKETS}))), 6) AS lw
+        FROM toks t
+        JOIN src s USING (b)
+        LEFT JOIN tgt g USING (b)
+        CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang
+    ),
+    sel AS (
+        SELECT doc_id FROM doc_lw
+        QUALIFY row_number() OVER (ORDER BY lw DESC, doc_id ASC) <= {DSIR_TOPK}
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+           round(avg(lw), 4) AS mean_logw,
+           bit_xor(CASE WHEN sel.doc_id IS NOT NULL
+                   THEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   END) AS sel_hash
+    FROM doc_lw d LEFT JOIN sel ON sel.doc_id = d.doc_id
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling", "importance", "mixture"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw-corpus document by how
+    target-like its hashed unigram features are — log weight =
+    sum over tokens of ln p_target(bucket) - ln p_raw(bucket), with
+    add-one smoothing over 1024 md5-hashed buckets —
+    then select the top-100 weighted docs as the
+    resampled set. Target distribution here = the English slice
+    (lang='en'), the standard 'quality proxy' setup. Report per lang:
+    corpus size, selected count, mean log weight, and a selected-set
+    fingerprint so the oracle verifies WHICH docs are chosen.
+
+    Scale shape: both bucket-count tables are fixed-size
+    (1024 rows — broadcast regardless of corpus
+    size), so the scoring pass is two broadcast joins on the token
+    stream with no corpus shuffle until the per-doc aggregate; the
+    top-k select is TakeOrdered (never a global sort); totals ride a
+    1-row broadcast cross join. At 100 TB the whole plan is one
+    corpus-keyed shuffle (the per-doc groupBy) — identical to the
+    unigram-LM scorer's layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.expr(
+            f"pmod(cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint), "
+            f"{DSIR_BUCKETS})"
+        ),
+    )
+    src = toks.groupBy("b").agg(F.count("*").alias("cs"))
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    tot = toks.agg(
+        F.count("*").alias("ts"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    doc_lw = (
+        toks.join(F.broadcast(src), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + DSIR_BUCKETS)
+                    )
+                    - F.log((F.col("cs") + 1.0) / (F.col("ts") + DSIR_BUCKETS))
+                ),
+                6,
+            ).alias("lw"),
+        )
+    )
+    sel = (
+        doc_lw.orderBy(F.desc("lw"), F.asc("doc_id"))
+        .limit(DSIR_TOPK)
+        .select("doc_id", F.lit(1).alias("is_sel"))
+    )
+    fp = _H48.format(expr="cast(doc_id as string)")
+    return (
+        doc_lw.join(F.broadcast(sel), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_sel").alias("n_selected"),
+            F.round(F.avg("lw"), 4).alias("mean_logw"),
+            F.expr(f"bit_xor(CASE WHEN is_sel IS NOT NULL THEN {fp} END)").alias(
+                "sel_hash"
+            ),
+        )
+    )
+
+
 @query(
     "q_unigram_logprob",
     oracle="""
