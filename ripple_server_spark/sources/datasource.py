@@ -132,10 +132,7 @@ def _bucket_files(
                 f"topic {topic!r} has no committed manifest version {version}"
             ) from None
     if version is not None:
-        m = _load_manifest(root, topic, version)
-        for rel in m["files"]:
-            b = int(rel.split("/", 1)[0].split("=", 1)[1])
-            by_bucket.setdefault(b, []).append(os.path.join(data_dir, rel))
+        return _files_from_manifest(root, topic, _load_manifest(root, topic, version))
     else:
         for e in sorted(os.listdir(data_dir)):
             if e.startswith("bucket="):
@@ -146,6 +143,18 @@ def _bucket_files(
                     for fn in sorted(os.listdir(bdir))
                     if fn.endswith(".parquet")
                 ]
+    return sorted((b, sorted(fs)) for b, fs in by_bucket.items())
+
+
+def _files_from_manifest(
+    root: str, topic: str, m: dict
+) -> list[tuple[int, list[str]]]:
+    """Per-bucket absolute file paths from one parsed manifest dict."""
+    data_dir = os.path.join(root, "topics", topic, "data")
+    by_bucket: dict[int, list[str]] = {}
+    for rel in m["files"]:
+        b = int(rel.split("/", 1)[0].split("=", 1)[1])
+        by_bucket.setdefault(b, []).append(os.path.join(data_dir, rel))
     return sorted((b, sorted(fs)) for b, fs in by_bucket.items())
 
 
@@ -437,6 +446,49 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         # anchor. None until initialOffset/partitions/commit runs
         # (i.e. until the first offset state of this reader's life).
         self._last_cursors: dict[str, int] | None = None
+        # Per-version manifest caches: a steady-state tail triggers
+        # every few seconds and would otherwise re-parse the FULL
+        # manifest (file list included) twice per trigger
+        # (latestOffset + partitions). Version-stamped, so a commit
+        # invalidates naturally; the files cache keeps the last few
+        # versions because crash replay pins an older one. Legacy
+        # manifest-less layouts (version None) are never cached — the
+        # directory can change without a version bump.
+        self._bounds_cache: tuple[int, dict[str, int], dict[str, int]] | None = None
+        self._files_cache: dict[int, list[tuple[int, list[str]]]] = {}
+
+    def _cached_log_bounds(self):
+        version = _latest_version(self.root, self.topic)
+        if version is None:
+            return _log_bounds(self.root, self.topic)  # legacy: never cache
+        if self._bounds_cache is not None and self._bounds_cache[0] == version:
+            return self._bounds_cache
+        # ONE manifest parse primes both caches (bounds for admission,
+        # file lists for the partitions() call of the same trigger)
+        m = _load_manifest(self.root, self.topic, version)
+        self._bounds_cache = (
+            version,
+            {str(b): int(x) for b, x in m.get("maxima", {}).items()},
+            {str(b): int(x) for b, x in m.get("floors", {}).items()},
+        )
+        self._files_cache[version] = _files_from_manifest(self.root, self.topic, m)
+        self._trim_files_cache()
+        return self._bounds_cache
+
+    def _cached_bucket_files(self, version: int | None):
+        if version is None:
+            return _bucket_files(self.root, self.topic)
+        hit = self._files_cache.get(version)
+        if hit is not None:
+            return hit
+        files = _bucket_files(self.root, self.topic, version)
+        self._files_cache[version] = files
+        self._trim_files_cache()
+        return files
+
+    def _trim_files_cache(self) -> None:
+        while len(self._files_cache) > 4:  # replay keeps a pinned version warm
+            self._files_cache.pop(next(iter(self._files_cache)))
 
     @staticmethod
     def _pack(cursors: dict[str, int], version: int | None) -> dict:
@@ -464,7 +516,7 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         return self._pack(cursors, None)
 
     def latestOffset(self) -> dict:
-        version, maxima, floors = _log_bounds(self.root, self.topic)
+        version, maxima, floors = self._cached_log_bounds()
         last = self._last_cursors
         cursors = dict(last) if last is not None else {}
         for b, mx in maxima.items():
@@ -486,7 +538,7 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         e = json.loads(end.get("cursors", "{}"))
         version = int(end["version"]) if "version" in end else None
         try:
-            buckets = _bucket_files(self.root, self.topic, version)
+            buckets = self._cached_bucket_files(version)
         except ValueError:
             # pinned snapshot vacuumed away (keep vacuum grace above
             # checkpoint-recovery lag); serve from the latest manifest

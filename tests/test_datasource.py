@@ -724,3 +724,39 @@ def test_partitioned_partitions_pinned_version_fallback(spark, planner_store):
     assert got == sum(
         int(c) for c in _json.loads(end["cursors"]).values()
     ), "fallback did not serve the full range"
+
+
+def test_partitioned_manifest_parse_cached_per_version(spark, planner_store, monkeypatch):
+    """Steady-state tailing must not re-parse the full manifest every
+    trigger: bounds and file lists are cached per committed version,
+    and a new commit (version bump) invalidates naturally."""
+    import ripple_server_spark.sources.datasource as dsmod
+
+    r = _planner(planner_store, batch_size=50)
+    r.initialOffset()
+
+    calls = {"n": 0}
+    real_load = dsmod._load_manifest
+
+    def counting_load(root, topic, version):
+        calls["n"] += 1
+        return real_load(root, topic, version)
+
+    monkeypatch.setattr(dsmod, "_load_manifest", counting_load)
+    start = r.latestOffset()
+    first = calls["n"]
+    assert first >= 1
+    end = r.latestOffset()
+    r.partitions(start, end)
+    r.latestOffset()
+    # same version throughout: everything after the first parse is served
+    # from the version-stamped caches
+    assert calls["n"] == first
+    # a commit bumps the version and invalidates the cache
+    from ripple_server_spark.catalog import load_table
+
+    planner_store.produce(
+        load_table(spark, "/root/testdata/sf0.001", "events").limit(10), "pl"
+    )
+    r.latestOffset()
+    assert calls["n"] > first
