@@ -519,7 +519,7 @@ def test_registry_wide_no_cartesian_product(spark):
     Whole-partition frames (unboundedPreceding → unboundedFollowing)
     are exempt: Spark computes those once per partition. The equivalent
     DESC-ordered running frame is O(rows); q_ts_resample_linear is the
-    pattern. Also doubles as a builds-clean smoke for all 192 builders."""
+    pattern. Also doubles as a builds-clean smoke for every registered builder."""
     import re
 
     frame_re = re.compile(
