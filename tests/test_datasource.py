@@ -760,3 +760,77 @@ def test_partitioned_manifest_parse_cached_per_version(spark, planner_store, mon
     )
     r.latestOffset()
     assert calls["n"] > first
+
+
+def test_partitioned_source_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time integration over the partitioned ripple_topic source:
+    windowed append-mode aggregation with a watermark on one long-lived
+    query, draining one produce wave per processAllAvailable. The
+    watermark advances between micro-batches (no-data batches finalize
+    windows), a too-late row is dropped from an already-finalized
+    window, and an on-time row counts — proving the source's Arrow ts
+    column drives real event-time semantics, not just row transfer.
+    (Per-run availableNow restarts are deliberately NOT used here: the
+    Python-DataSource wrapper applies the restored watermark to
+    eviction but not to late-input filtering on the first post-restart
+    batch — verified identical on BOTH tiers, an engine-wrapper
+    behavior, not a tier property.)"""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "wm_topics"))
+    st.create_topic("wm", n_buckets=2)
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m), 1, "click", 1.0, "{}") for i, m in rows],
+            schema,
+        )
+
+    st.produce(mk([(0, 1), (1, 2), (2, 60)]), "wm", key_col="user_id")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "wm")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_wm"))
+        .start()
+    )
+    # wave 1: [0,5) gets 2 rows; t=60 pushes the watermark to 00:50 on
+    # the next trigger, so the no-data batch finalizes [0,5)
+    q.processAllAvailable()
+    # wave 2: a too-late row for the finalized [0,5) (dropped by the
+    # watermark) and an on-time t=61 row for [60,65)
+    st.produce(mk([(3, 3), (4, 61)]), "wm", key_col="user_id")
+    q.processAllAvailable()
+    # wave 3: t=120 pushes the watermark past [60,65) to finalize it
+    st.produce(mk([(5, 120)]), "wm", key_col="user_id")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["ws"].minute + r["ws"].hour * 60: r["n"]
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    assert rows[0] == 2, rows  # the too-late event_id=3 was dropped
+    assert rows[60] == 2, rows  # both on-time rows of [60,65) counted
