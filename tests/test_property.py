@@ -502,3 +502,50 @@ def test_star_cc_handles_long_chains_in_log_rounds(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components_star(df, max_iter=15).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+from hypothesis.extra import numpy as hnp  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arr=st.integers(1, 4).flatmap(
+        lambda c: hnp.arrays(
+            dtype="uint8",
+            shape=st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(c)),
+        )
+    )
+)
+def test_png_roundtrip_property(arr):
+    """encode_png -> parse_png is byte-lossless for every channel count
+    (gray/LA/RGB/RGBA) on arbitrary uint8 rasters — the property the
+    deterministic filter-matrix tests sample, fuzzed."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    out = parse_png(encode_png(arr))
+    got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
+    assert got.shape == arr.shape
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arr=st.sampled_from([1, 3]).flatmap(
+        lambda c: hnp.arrays(
+            dtype="uint8",
+            shape=st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(c)),
+        )
+    )
+)
+def test_netpbm_roundtrip_property(arr):
+    """encode_netpbm -> parse_netpbm is byte-lossless for P5/P6."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_netpbm, parse_netpbm
+
+    out = parse_netpbm(encode_netpbm(arr))
+    got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
+    assert got.shape == arr.shape
+    assert np.array_equal(got, arr)
