@@ -266,6 +266,39 @@ def _latest_cursors(root: str, topic: str) -> dict[str, int]:
     return {b: mx + 1 for b, mx in maxima.items()}
 
 
+_START_AT_DOC = "start_at must be earliest|latest|consumer:<id>, got "
+
+
+def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
+    """First-checkpoint cursors for a streaming reader (evaluated ONCE;
+    restarts resume from the checkpoint): ``earliest`` replays the
+    whole retained log, ``latest`` tails from the manifest high-water
+    marks, and ``consumer:<id>`` bridges the batch consumer-group
+    surface (A7/A8) into streaming — the stream picks up exactly where
+    that consumer's committed offsets point (TopicStore.commit writes
+    next-seq cursors, the same unit as stream offsets; an unregistered
+    or never-committed consumer starts at 0 per bucket, matching
+    register_consumer's contract)."""
+    if start_at == "latest":
+        return _latest_cursors(root, topic)
+    if start_at.startswith("consumer:"):
+        consumer_id = start_at.split(":", 1)[1]
+        path = os.path.join(root, "offsets", f"{consumer_id}--{topic}.json")
+        if not os.path.isfile(path):
+            return {}
+        with open(path) as f:
+            return {str(b): int(v) for b, v in json.load(f).items()}
+    return {}
+
+
+def _check_start_at(start_at: str) -> str:
+    if start_at not in ("earliest", "latest") and not (
+        start_at.startswith("consumer:") and len(start_at) > len("consumer:")
+    ):
+        raise ValueError(_START_AT_DOC + repr(start_at))
+    return start_at
+
+
 class RippleTopicReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["root"]
@@ -311,20 +344,18 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         self.root = options["root"]
         self.topic = options["topic"]
         self.batch_size = int(options.get("batch_size", 10_000))
-        self.start_at = options.get("start_at", "earliest")
-        if self.start_at not in ("earliest", "latest"):
-            raise ValueError(f"start_at must be earliest|latest, got {self.start_at!r}")
+        self.start_at = _check_start_at(options.get("start_at", "earliest"))
 
     def initialOffset(self) -> dict:
-        if self.start_at == "latest":
-            # The manifest already records the exact per-bucket seq
-            # high-water marks — the same metadata TopicStore's cold
-            # path uses precisely to avoid log scans. Reading it is
-            # O(1) in topic size; scanning the seq column of every
-            # retained file (the thing "latest" exists to skip) would
-            # make startup O(backlog) in driver I/O.
-            return {"cursors": json.dumps(_latest_cursors(self.root, self.topic))}
-        return {"cursors": json.dumps({})}
+        # 'latest' reads the manifest's high-water marks (O(1) in topic
+        # size — the same metadata TopicStore's cold path keeps to
+        # avoid log scans); 'consumer:<id>' reads that consumer's
+        # committed offsets (the A7/A8 bridge).
+        return {
+            "cursors": json.dumps(
+                _initial_cursors(self.root, self.topic, self.start_at)
+            )
+        }
 
     def _read_range(self, start: dict, max_rows: int | None):
         cursors = json.loads(start.get("cursors", "{}"))
@@ -439,9 +470,7 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         self.root = options["root"]
         self.topic = options["topic"]
         self.batch_size = int(options.get("batch_size", 10_000))
-        self.start_at = options.get("start_at", "earliest")
-        if self.start_at not in ("earliest", "latest"):
-            raise ValueError(f"start_at must be earliest|latest, got {self.start_at!r}")
+        self.start_at = _check_start_at(options.get("start_at", "earliest"))
         # Last planned/committed per-bucket cursors — the admission
         # anchor. None until initialOffset/partitions/commit runs
         # (i.e. until the first offset state of this reader's life).
@@ -507,11 +536,7 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         self._last_cursors = merged
 
     def initialOffset(self) -> dict:
-        cursors = (
-            _latest_cursors(self.root, self.topic)
-            if self.start_at == "latest"
-            else {}
-        )
+        cursors = _initial_cursors(self.root, self.topic, self.start_at)
         self._note(cursors)
         return self._pack(cursors, None)
 

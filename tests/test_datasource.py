@@ -834,3 +834,81 @@ def test_partitioned_source_watermark_drops_late_rows(spark, tmp_path):
     }
     assert rows[0] == 2, rows  # the too-late event_id=3 was dropped
     assert rows[60] == 2, rows  # both on-time rows of [60,65) counted
+
+
+def test_stream_start_at_consumer_resumes_from_committed_offsets(
+    spark, sf_dir, tmp_path
+):
+    """start_at=consumer:<id> bridges the batch consumer-group surface
+    (A7/A8 committed offsets) into streaming: the stream's first
+    checkpoint starts exactly at that consumer's committed cursors —
+    rows below them are never delivered, everything at/above is. Both
+    tiers share the cursor derivation (unit-checked); the end-to-end
+    leg runs the default partitioned tier."""
+    import json as _json
+
+    from ripple_server_spark.sources.datasource import (
+        RippleTopicPartitionedStreamReader,
+        RippleTopicStreamReader,
+    )
+
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "cons_topics"))
+    st.create_topic("cs", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(100), "cs")
+
+    # a batch consumer reads part of each bucket and commits
+    st.register_consumer("grp1", "cs")
+    committed = {}
+    for b in (0, 1):
+        batch, nxt = st.consume("grp1", "cs", bucket=b, count=20)
+        batch.count()
+        st.commit("grp1", "cs", bucket=b, offset=nxt)
+        committed[b] = nxt
+
+    # both tiers derive identical initial cursors from the commits
+    opts = {"root": st.root, "topic": "cs", "start_at": "consumer:grp1"}
+    for reader in (
+        RippleTopicPartitionedStreamReader(dict(opts)),
+        RippleTopicStreamReader(dict(opts)),
+    ):
+        cur = _json.loads(reader.initialOffset()["cursors"])
+        assert cur == {str(b): off for b, off in committed.items()}
+
+    # an unknown consumer starts at earliest (register_consumer contract)
+    fresh = RippleTopicPartitionedStreamReader(
+        {"root": st.root, "topic": "cs", "start_at": "consumer:nobody"}
+    )
+    assert _json.loads(fresh.initialOffset()["cursors"]) == {}
+
+    # malformed start_at is an explicit error
+    with pytest.raises(ValueError, match="start_at"):
+        RippleTopicPartitionedStreamReader(
+            {"root": st.root, "topic": "cs", "start_at": "consumer:"}
+        )
+
+    # end-to-end: the stream delivers exactly the rows the consumer
+    # has NOT committed past
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "cs")
+        .option("start_at", "consumer:grp1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cs_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_cons"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["bucket"], r["seq"])
+        for r in spark.sql("SELECT bucket, seq FROM cs_stream").collect()
+    }
+    expected = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("cs").select("bucket", "seq").collect()
+        if r["seq"] >= committed[r["bucket"]]
+    }
+    assert got == expected
