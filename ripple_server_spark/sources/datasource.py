@@ -39,6 +39,11 @@ selected by ``reader_tier`` (default ``partitioned``):
   prefetch), the right shape for control-plane-small topics where a
   task round-trip per bucket costs more than the rows.
 
+The ``topic`` option accepts a comma-separated list (Kafka
+``subscribe`` parity): multi-topic reads add a ``topic`` column and,
+on the streaming side, keep fully independent per-topic cursors /
+pinned versions / admission caps (partitioned tier only).
+
 File lists come from the topic's MANIFEST (latest committed version),
 so both batch and streaming reads are snapshot-consistent with
 TopicStore's commit protocol: crashed-produce orphans and
@@ -81,12 +86,16 @@ class BucketPartition(InputPartition):
         offset: int,
         limit: int | None,
         upto: int | None = None,
+        topic: str | None = None,
     ):
         self.files = files
         self.bucket = bucket
         self.offset = offset
         self.limit = limit
         self.upto = upto  # exclusive seq bound, pushed into the scan
+        # set only on multi-topic subscriptions: the reader appends a
+        # `topic` column so rows stay attributable after the union
+        self.topic = topic
 
 
 def _latest_version(root: str, topic: str) -> int | None:
@@ -230,6 +239,10 @@ def _read_bucket_arrow(part: BucketPartition):
     )
     cols = [tbl.column(name) for name in _SCHEMA_FIELD_ORDER]
     cols.append(pa.repeat(pa.scalar(part.bucket, pa.int32()), tbl.num_rows))
+    if part.topic is not None:
+        # multi-topic subscription: rows stay attributable post-union
+        target = target.append(pa.field("topic", pa.string()))
+        cols.append(pa.repeat(pa.scalar(part.topic, pa.string()), tbl.num_rows))
     out = pa.table(cols, names=[f.name for f in target]).cast(target)
     yield from out.to_batches()
 
@@ -299,19 +312,37 @@ def _check_start_at(start_at: str) -> str:
     return start_at
 
 
+def _topics_list(options: dict) -> list[str]:
+    """The subscription: ``topic`` accepts a comma-separated list
+    (Kafka ``subscribe`` parity). Single-name subscriptions keep the
+    original schema and offset format unchanged."""
+    return [t.strip() for t in options["topic"].split(",") if t.strip()]
+
+
 class RippleTopicReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["root"]
-        self.topic = options["topic"]
+        self.topics = _topics_list(options)
+        self.multi = len(self.topics) > 1
         self.offset = int(options.get("offset", 0))
         self.limit = int(options["limit"]) if "limit" in options else None
         # VERSION AS OF: pin the read to a committed manifest version
+        # (single-topic only — a version number is per-topic state)
         self.version = int(options["version"]) if "version" in options else None
+        if self.version is not None and self.multi:
+            raise ValueError("version pinning requires a single topic")
 
     def partitions(self):
         return [
-            BucketPartition(files, b, self.offset, self.limit)
-            for b, files in _bucket_files(self.root, self.topic, self.version)
+            BucketPartition(
+                files,
+                b,
+                self.offset,
+                self.limit,
+                topic=t if self.multi else None,
+            )
+            for t in self.topics
+            for b, files in _bucket_files(self.root, t, self.version)
         ]
 
     def read(self, partition: BucketPartition) -> Iterator:
@@ -593,6 +624,50 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         self._note({b: int(c) for b, c in json.loads(end.get("cursors", "{}")).items()})
 
 
+class RippleTopicMultiStreamReader(DataSourceStreamReader):
+    """Multi-topic subscription (Kafka ``subscribe``-list parity):
+    composes one partitioned reader per topic; the offset is the
+    nested per-topic dict of the sub-readers' offsets, so each topic
+    keeps its own cursors, pinned manifest version, admission cap, and
+    crash-replay semantics, while the query sees one unioned stream
+    with a ``topic`` column. Changing the subscription list of an
+    existing checkpoint is not supported (same rule as Kafka): topics
+    absent from a checkpointed offset start empty and replay from
+    their initial position only on a fresh checkpoint."""
+
+    def __init__(self, options: dict):
+        self.topics = _topics_list(options)
+        self._subs = {
+            t: RippleTopicPartitionedStreamReader({**options, "topic": t})
+            for t in self.topics
+        }
+
+    def initialOffset(self) -> dict:
+        return {t: r.initialOffset() for t, r in self._subs.items()}
+
+    def latestOffset(self) -> dict:
+        return {t: r.latestOffset() for t, r in self._subs.items()}
+
+    def partitions(self, start: dict, end: dict) -> list[BucketPartition]:
+        parts: list[BucketPartition] = []
+        empty = {"cursors": "{}"}
+        for t, r in self._subs.items():
+            for p in r.partitions(start.get(t, empty), end.get(t, empty)):
+                p.topic = t
+                parts.append(p)
+        return parts
+
+    def read(self, partition: BucketPartition | None) -> Iterator:
+        if partition is None:
+            return iter(())
+        return _read_bucket_arrow(partition)
+
+    def commit(self, end: dict) -> None:
+        for t, r in self._subs.items():
+            if t in end:
+                r.commit(end[t])
+
+
 class RippleTopicDataSource(DataSource):
     """DataSource entry point (batch + streaming)."""
 
@@ -601,12 +676,14 @@ class RippleTopicDataSource(DataSource):
         return "ripple_topic"
 
     def schema(self) -> str:
+        if len(_topics_list(self.options)) > 1:
+            return TOPIC_SCHEMA_DDL + ", topic string"
         return TOPIC_SCHEMA_DDL
 
     def reader(self, schema: StructType) -> RippleTopicReader:
         return RippleTopicReader(self.options)
 
-    def streamReader(self, schema: StructType) -> RippleTopicPartitionedStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self.options.get("reader_tier", "partitioned") == "simple":
             # raising the not-implemented marker makes Spark fall back
             # to simpleStreamReader (datasource_internal._streamReader)
@@ -615,7 +692,14 @@ class RippleTopicDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader (reader_tier=simple)"},
             )
+        if len(_topics_list(self.options)) > 1:
+            return RippleTopicMultiStreamReader(self.options)
         return RippleTopicPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> RippleTopicStreamReader:
+        if len(_topics_list(self.options)) > 1:
+            raise ValueError(
+                "multi-topic subscriptions require the partitioned tier "
+                "(reader_tier=partitioned, the default)"
+            )
         return RippleTopicStreamReader(self.options)

@@ -912,3 +912,91 @@ def test_stream_start_at_consumer_resumes_from_committed_offsets(
         if r["seq"] >= committed[r["bucket"]]
     }
     assert got == expected
+
+
+def test_multi_topic_batch_read_unions_with_topic_column(spark, sf_dir, tmp_path):
+    """topic="a,b" (Kafka subscribe parity): the batch read serves the
+    union of both logs with a `topic` attribution column; single-topic
+    reads keep the original schema (no topic column)."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "mt_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("mt_a", n_buckets=2)
+    st.create_topic("mt_b", n_buckets=2)
+    st.produce(_wave(ev, 0, 60), "mt_a")
+    st.produce(_wave(ev, 60, 100), "mt_b")
+
+    both = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "mt_a, mt_b")
+        .load()
+    )
+    assert "topic" in both.columns
+    per = {r["topic"]: r["n"] for r in both.groupBy("topic").agg(F.count("*").alias("n")).collect()}
+    assert per == {"mt_a": 60, "mt_b": 40}
+    single = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "mt_a")
+        .load()
+    )
+    assert "topic" not in single.columns
+    # version pinning is per-topic state: refused on multi-topic reads
+    with pytest.raises(Exception, match="single topic"):
+        (
+            spark.read.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "mt_a,mt_b")
+            .option("version", 1)
+            .load()
+            .count()
+        )
+
+
+def test_multi_topic_stream_delivers_exactly_once_per_topic(spark, sf_dir, tmp_path):
+    """Streaming multi-topic subscription: one query drains both logs
+    (topic column attributing rows), keeps independent per-topic
+    cursors across produces, and never double-delivers."""
+    spark.dataSource.register(RippleTopicDataSource)
+    st = TopicStore(spark, str(tmp_path / "mts_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("s_a", n_buckets=2)
+    st.create_topic("s_b", n_buckets=2)
+    st.produce(_wave(ev, 0, 50), "s_a")
+    st.produce(_wave(ev, 50, 80), "s_b")
+
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "s_a,s_b")
+        .option("batch_size", 20)
+        .load()
+        .writeStream.format("memory")
+        .queryName("mts_out")
+        .option("checkpointLocation", str(tmp_path / "ck_mts"))
+        .start()
+    )
+    q.processAllAvailable()
+    # produce to ONE topic only: its cursor advances, the other's holds
+    st.produce(_wave(ev, 80, 110), "s_a")
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT topic, bucket, seq, count(*) c FROM mts_out GROUP BY 1,2,3"
+    ).collect()
+    assert all(r["c"] == 1 for r in got), "row delivered more than once"
+    live = {
+        (t, r["bucket"], r["seq"])
+        for t in ("s_a", "s_b")
+        for r in st.read_topic(t).select("bucket", "seq").collect()
+    }
+    assert {(r["topic"], r["bucket"], r["seq"]) for r in got} == live
+
+    # the simple tier refuses multi-topic explicitly (direct call —
+    # through a streaming query the error surfaces asynchronously)
+    with pytest.raises(ValueError, match="partitioned tier"):
+        RippleTopicDataSource(
+            {"root": st.root, "topic": "s_a,s_b", "reader_tier": "simple"}
+        ).simpleStreamReader(None)
