@@ -1000,3 +1000,32 @@ def test_multi_topic_stream_delivers_exactly_once_per_topic(spark, sf_dir, tmp_p
         RippleTopicDataSource(
             {"root": st.root, "topic": "s_a,s_b", "reader_tier": "simple"}
         ).simpleStreamReader(None)
+
+
+def test_multi_topic_consumer_start_at_is_per_topic(spark, sf_dir, tmp_path):
+    """start_at=consumer:<id> composes with multi-topic subscriptions:
+    each topic's initial cursors come from that consumer group's
+    commits ON THAT TOPIC (nested per-topic offsets), exactly Kafka's
+    group semantics across a subscription list."""
+    import json as _json
+
+    from ripple_server_spark.sources.datasource import RippleTopicMultiStreamReader
+
+    st = TopicStore(spark, str(tmp_path / "mc_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("mc_a", n_buckets=2)
+    st.create_topic("mc_b", n_buckets=2)
+    st.produce(_wave(ev, 0, 40), "mc_a")
+    st.produce(_wave(ev, 40, 80), "mc_b")
+    st.register_consumer("g", "mc_a")
+    _, nxt = st.consume("g", "mc_a", bucket=0, count=5)
+    st.commit("g", "mc_a", bucket=0, offset=nxt)
+    # no commits on mc_b: it must start at earliest
+
+    r = RippleTopicMultiStreamReader(
+        {"root": st.root, "topic": "mc_a,mc_b", "start_at": "consumer:g"}
+    )
+    off = r.initialOffset()
+    assert set(off) == {"mc_a", "mc_b"}
+    assert _json.loads(off["mc_a"]["cursors"]) == {"0": nxt}
+    assert _json.loads(off["mc_b"]["cursors"]) == {}
