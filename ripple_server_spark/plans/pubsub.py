@@ -801,3 +801,81 @@ def q_topic_increment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
     )
+
+
+@query(
+    "q_native_sink_roundtrip",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           count(*) - 1 AS max_seq,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                       || event_type), 1, 12))::BIGINT)
+               AS content_hash
+    FROM events
+    WHERE event_id < 2500
+    GROUP BY 1
+    """,
+    tags=("pubsub", "sink", "datasource", "produce"),
+)
+def q_native_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 produce at format() tier: ``df.write.format("ripple_topic")``
+    — the native DataSource WRITE path (sources/datasink.py), where
+    every Spark task is an independent producer committing through the
+    optimistic manifest protocol (reference produce:
+    internal/broker/producer/server/core.go:21-34). The batch is
+    written with 4 contended partitions, read back through the
+    DataSource READ side, and fingerprinted per bucket:
+
+    - ``max_seq == n_rows - 1`` proves the per-bucket seq stayed dense
+      and gap-free under concurrent task claims (the produce invariant
+      every consume/increment path depends on);
+    - the xor content hash proves every source row landed exactly once
+      (task interleave order is nondeterministic, so the check is
+      deliberately order-independent).
+
+    Scale: rows never pass through the driver — each task stages its
+    own parquet into the bucket dirs and the only serialized work is
+    the O(KB) manifest commit, the same single-leader-log bound the
+    reference's broker has."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+
+    spark.dataSource.register(RippleTopicDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2500)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_native_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    TopicStore(spark, root).create_topic("ns", n_buckets=8)
+    (
+        ev.repartition(4)
+        .write.format("ripple_topic")
+        .mode("append")
+        .option("root", root)
+        .option("topic", "ns")
+        .option("batch_id", "native-sink-roundtrip")
+        .save()
+    )
+    back = (
+        spark.read.format("ripple_topic")
+        .option("root", root)
+        .option("topic", "ns")
+        .load()
+    )
+    return back.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+        F.expr(
+            xor_fingerprint48("concat(cast(event_id as string), ':', event_type)")
+        ).alias("content_hash"),
+    )

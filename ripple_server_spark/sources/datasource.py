@@ -11,6 +11,14 @@ Registers the engine's topic layout as a first-class Spark source:
           .option("root", store.root).option("topic", "t1")
           .option("batch_size", 1000)     # AskQuery{Count} analog
           .load())
+    df.write.format("ripple_topic").mode("append")      # A5 produce
+      .option("root", store.root).option("topic", "t1").save()
+    df.writeStream.format("ripple_topic")...            # streaming sink
+
+The WRITE side (batch + streaming) lives in sources/datasink.py: every
+write task is an independent producer committing contiguous per-bucket
+seqs through the same optimistic manifest protocol TopicStore.produce
+uses — see that module for the delivery-semantics contract.
 
 Semantics mapped from the reference:
 
@@ -682,6 +690,18 @@ class RippleTopicDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RippleTopicReader:
         return RippleTopicReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        # A5 produce at format() tier — per-task producer transactions
+        # through the manifest protocol (sources/datasink.py)
+        from ripple_server_spark.sources.datasink import RippleTopicBatchWriter
+
+        return RippleTopicBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from ripple_server_spark.sources.datasink import RippleTopicStreamWriter
+
+        return RippleTopicStreamWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self.options.get("reader_tier", "partitioned") == "simple":

@@ -137,10 +137,18 @@ class TopicStore:
 
     def _commit(self, topic: str, base_version: int, apply, retries: int = 20) -> dict:
         """Optimistic-concurrency commit: ``apply(manifest) -> manifest``
-        transforms the base snapshot; O_EXCL on version+1 is the atomic
-        commit point. On collision the edit is re-applied to the newer
-        base and retried (apply must be a self-contained rebase: add
-        these files / drop those files / swap this subset)."""
+        transforms the base snapshot; an atomic claim of the version+1
+        slot is the commit point. On collision the edit is re-applied to
+        the newer base and retried (apply must be a self-contained
+        rebase: add these files / drop those files / swap this subset).
+
+        The slot claim writes content to a tmp file and publishes it
+        with ``os.link`` (datasink._claim_version_slot) — atomic like
+        O_CREAT|O_EXCL, but the bytes are complete before the name
+        appears, so a concurrent reader (e.g. a native-sink write TASK,
+        which is its own producer) can never torn-read a manifest."""
+        from ripple_server_spark.sources.datasink import _claim_version_slot
+
         v = base_version
         for _ in range(retries):
             try:
@@ -153,15 +161,9 @@ class TopicStore:
                 v, base = self.latest_manifest(topic)
             new = apply(dict(base))
             new["version"] = v + 1
-            path = self._manifest_path(topic, v + 1)
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                v, _m = self.latest_manifest(topic)
-                continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(new, f)
-            return new
+            if _claim_version_slot(self._manifest_path(topic, v + 1), new):
+                return new
+            v = self._latest_version(topic)
         raise RuntimeError(f"manifest commit contention on topic {topic!r}")
 
     def _move_staged(self, topic: str, staging: str) -> list[str]:

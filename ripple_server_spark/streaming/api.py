@@ -102,6 +102,12 @@ def write_stream_to_topic(
     ``_spark_metadata`` directory flips the directory-tailing source
     into sink-log mode and hides produce()-written files. foreachBatch
     + produce is the correct composition.)
+
+    This is the WHOLE-BATCH-ATOMIC form (one manifest commit per
+    micro-batch) and the right shape for multi-sink foreachBatch
+    bodies; the engine-import-free equivalent is the native
+    ``writeStream.format("ripple_topic")`` sink (sources/datasink.py),
+    which commits per task.
     """
 
     # Normalize the checkpoint path inside the idempotency id: Spark
