@@ -329,12 +329,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.label, e.bucket, e.vec_id, e.embedding,
                row_number() OVER (
                    PARTITION BY e.label, e.bucket
-                   ORDER BY round(
+                   ORDER BY floor(
                        list_sum(list_transform(range(1, 65),
                                 i -> CAST(e.embedding[i] AS DOUBLE) * c[i]))
                        / (sqrt(list_sum(list_transform(e.embedding,
                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(c, x -> x * x)))), 6) ASC,
+                        * sqrt(list_sum(list_transform(c, x -> x * x))))
+                       * 1000000 + 0.5) ASC,
                        e.vec_id ASC) AS rnk
         FROM e JOIN cent USING (label, bucket)
     ),
@@ -397,8 +398,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosc = dot(F.col("embedding"), F.col("c")) / (
         l2_norm(F.col("embedding")) * l2_norm(F.col("c"))
     )
+    # arithmetic half-up rank key (floor(x*1e6 + 0.5), the shared
+    # q_ts_resample_linear pattern): Spark round() is HALF_UP, DuckDB
+    # half-even — an exact 6-dp midpoint would flip the keep-rank and
+    # change keep_hash/n_removed cross-engine (ADVICE r07)
     w = Window.partitionBy("label", "bucket").orderBy(
-        F.round(cosc, 6).asc(), F.col("vec_id").asc()
+        F.floor(cosc * 1e6 + 0.5).asc(), F.col("vec_id").asc()
     )
     scored = (
         emb.join(F.broadcast(cent), ["label", "bucket"])

@@ -240,6 +240,20 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_user_active_streaks": 6,
     "q_weighted_median": 6,
     "q_weighted_sample": 6,
+    # --- queued during round 8 (since=7):
+    # provenance hygiene (VERDICT r07 item 2): these four gained
+    # bench=True in r07 without a correctness recheck — the flag does
+    # not alter builder/oracle bytes (judge ruling: green rows stand),
+    # but re-earn current evidence while the budget is idle.
+    "q_session_window_agg": 7,
+    "q_rollup_incremental": 7,
+    "q_dedup_incremental_ingest": 7,
+    "q_topic_increment_read": 7,
+    # round 8: the centroid-cosine keep-rank key moved from round(x,6)
+    # (Spark HALF_UP vs DuckDB half-even on exact midpoints) to the
+    # shared arithmetic half-up floor(x*1e6+0.5) on BOTH engines
+    # (ADVICE r07) — builder and oracle bytes changed, re-earn the row.
+    "q_dedup_semantic": 7,
 }
 
 

@@ -317,14 +317,29 @@ def _check_start_at(start_at: str) -> str:
         start_at.startswith("consumer:") and len(start_at) > len("consumer:")
     ):
         raise ValueError(_START_AT_DOC + repr(start_at))
+    if start_at.startswith("consumer:"):
+        # the id is interpolated into the offsets/<id>--<topic>.json
+        # path — reject separators so 'consumer:../x' cannot escape the
+        # offsets directory (ADVICE r07; TopicStore ids are flat names)
+        consumer_id = start_at.split(":", 1)[1]
+        if "/" in consumer_id or os.sep in consumer_id or ".." in consumer_id:
+            raise ValueError(
+                f"consumer id {consumer_id!r} must be a flat name "
+                "(no path separators or '..')"
+            )
     return start_at
 
 
 def _topics_list(options: dict) -> list[str]:
     """The subscription: ``topic`` accepts a comma-separated list
     (Kafka ``subscribe`` parity). Single-name subscriptions keep the
-    original schema and offset format unchanged."""
-    return [t.strip() for t in options["topic"].split(",") if t.strip()]
+    original schema and offset format unchanged. Repeated names dedup
+    order-preserving — the streaming multi reader already dedups via
+    its per-topic dict, so batch must agree (topic='a,a' would
+    otherwise silently double every batch row; ADVICE r07)."""
+    return list(
+        dict.fromkeys(t.strip() for t in options["topic"].split(",") if t.strip())
+    )
 
 
 class RippleTopicReader(DataSourceReader):
@@ -554,6 +569,20 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         self._trim_files_cache()
         return files
 
+    def _version_floors(self, version: int | None) -> dict[str, int]:
+        """Per-bucket retained floors of a pinned manifest version (the
+        snapshot partitions() plans against), used to clamp catch-up
+        chunking — {} for legacy manifest-less layouts."""
+        if version is None:
+            return {}
+        if self._bounds_cache is not None and self._bounds_cache[0] == version:
+            return self._bounds_cache[2]
+        try:
+            m = _load_manifest(self.root, self.topic, version)
+        except FileNotFoundError:
+            return {}
+        return {str(b): int(x) for b, x in m.get("floors", {}).items()}
+
     def _trim_files_cache(self) -> None:
         while len(self._files_cache) > 4:  # replay keeps a pinned version warm
             self._files_cache.pop(next(iter(self._files_cache)))
@@ -607,10 +636,17 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
             # pinned snapshot vacuumed away (keep vacuum grace above
             # checkpoint-recovery lag); serve from the latest manifest
             buckets = _bucket_files(self.root, self.topic)
+        floors = self._version_floors(version)
         parts: list[BucketPartition] = []
         for b, files in buckets:
             off = int(s.get(str(b), 0))
             upto = int(e.get(str(b), 0))
+            # clamp the chunk start at the snapshot's retained floor: a
+            # consumer/earliest cursor far below a large floor would
+            # otherwise emit ~hole/batch_size EMPTY tasks crawling seq
+            # space no file retains (ADVICE r07); the clamp skips the
+            # retention hole in one step, like latestOffset's admission
+            off = max(off, min(upto, floors.get(str(b), 0)))
             while off < upto:
                 hi = min(upto, off + self.batch_size)
                 parts.append(BucketPartition(files, b, off, None, upto=hi))

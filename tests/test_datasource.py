@@ -1029,3 +1029,102 @@ def test_multi_topic_consumer_start_at_is_per_topic(spark, sf_dir, tmp_path):
     assert set(off) == {"mc_a", "mc_b"}
     assert _json.loads(off["mc_a"]["cursors"]) == {"0": nxt}
     assert _json.loads(off["mc_b"]["cursors"]) == {}
+
+
+def test_partitioned_partitions_clamps_chunks_at_floor(spark, sf_dir, tmp_path):
+    """partitions() must clamp each bucket's chunk start at the pinned
+    snapshot's retained floor: a consumer/earliest cursor far below a
+    large floor otherwise yields ~hole/batch_size EMPTY catch-up tasks
+    (ADVICE r07 — the floor was known to the reader but unused in
+    chunk planning)."""
+    import json as _json
+
+    st = TopicStore(spark, str(tmp_path / "clamp_topics"))
+    st.create_topic("cl", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 120), "cl")
+    st.produce(_wave(ev, 120, 240), "cl")
+    maxima = st._bucket_maxima("cl")
+    st.truncate("cl", before_seq=min(maxima.values()) - 5)
+    floors = st._bucket_floors("cl")
+    assert any(f > 6 for f in floors.values()), "fixture: need a wide hole"
+
+    r = _planner(st, topic="cl", batch_size=3)
+    start = r.initialOffset()  # earliest: cursor 0, far below the floor
+    end = r.latestOffset()  # post-restart catch-up: offers everything
+    parts = r.partitions(start, end)
+    e = _json.loads(end["cursors"])
+    for b, fl in floors.items():
+        bucket_parts = [p for p in parts if p.bucket == int(b)]
+        upto = e[str(b)]
+        if bucket_parts:
+            # chunking starts AT the floor, not at 0
+            assert min(p.offset for p in bucket_parts) == max(0, min(fl, upto))
+        expected = max(0, -(-(upto - fl) // 3))  # ceil(retained range / batch)
+        assert len(bucket_parts) == expected, (
+            f"bucket {b}: {len(bucket_parts)} chunks for a "
+            f"{upto - fl}-seq retained range (floor {fl})"
+        )
+    # the clamped plan still serves every retained row exactly once
+    # (drive triggers to convergence — each end offset is admission-
+    # capped at batch_size seqs per bucket)
+    got = [
+        x
+        for p in parts
+        for batch in r.read(p)
+        for x in batch.column("seq").to_pylist()
+    ]
+    cur = end
+    for _ in range(200):
+        nxt = r.latestOffset()
+        if nxt["cursors"] == cur["cursors"]:
+            break
+        got.extend(
+            x
+            for p in r.partitions(cur, nxt)
+            for batch in r.read(p)
+            for x in batch.column("seq").to_pylist()
+        )
+        cur = nxt
+    live = sorted(
+        x["seq"]
+        for x in TopicStore(spark, st.root).read_topic("cl").select("seq").collect()
+    )
+    assert sorted(got) == live
+
+
+def test_consumer_start_at_rejects_path_traversal(spark, planner_store):
+    """consumer ids are interpolated into the offsets/<id>--<topic>.json
+    path — separators and '..' must be rejected (ADVICE r07)."""
+    from ripple_server_spark.sources.datasource import _check_start_at
+
+    for bad in ("consumer:../x", "consumer:a/b", "consumer:..", "consumer:x/../y"):
+        with pytest.raises(ValueError, match="flat name"):
+            _check_start_at(bad)
+    with pytest.raises(ValueError, match="flat name"):
+        _planner(planner_store, start_at="consumer:../../etc/passwd")
+    assert _check_start_at("consumer:c1") == "consumer:c1"
+
+
+def test_duplicate_topic_subscription_dedups(spark, planner_store):
+    """topic='pl,pl' must not double every row in batch reads — the
+    streaming multi reader already dedups via its per-topic dict, so
+    both sides agree on order-preserving dedup (ADVICE r07)."""
+    spark.dataSource.register(RippleTopicDataSource)
+    one = (
+        spark.read.format("ripple_topic")
+        .option("root", planner_store.root)
+        .option("topic", "pl")
+        .load()
+    )
+    dup = (
+        spark.read.format("ripple_topic")
+        .option("root", planner_store.root)
+        .option("topic", "pl,pl")
+        .load()
+    )
+    n = one.count()
+    assert n >= 100 and dup.count() == n
+    # dedup to a single name keeps the single-topic schema (no `topic`
+    # attribution column), matching what the subscription resolves to
+    assert dup.columns == one.columns
