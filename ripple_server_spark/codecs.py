@@ -205,12 +205,18 @@ def parse_png(b: bytes) -> ImageHandle | None:
     when the magic says this is not PNG; ValueError on
     malformed/truncated/unsupported PNG.
 
-    Covers the baseline still-image profile: 8-bit samples, color
-    types 0/2/3/4/6 (palette via PLTE lookup), all five scanline
-    filters, non-interlaced. Rejected with ValueError: 16-bit samples
-    (the codecs' uniform >8-bit precision policy), sub-byte depths,
-    Adam7 interlace (a progressive-rendering layout irrelevant to
-    pipeline payloads), missing PLTE. Chunk CRCs are not verified
+    Covers the baseline still-image profile: 8- and 16-bit samples,
+    color types 0/2/3/4/6 (palette via PLTE lookup), all five scanline
+    filters, non-interlaced. 16-bit rasters (common in scientific
+    corpora) are filter-reconstructed at full byte precision — PNG
+    filters operate on BYTES with the left neighbor at bpp =
+    channels x bytes-per-sample — then scaled to the uniform uint8
+    handle by taking each big-endian sample's HIGH byte (v >> 8, the
+    exact inverse of the v*257 8->16 expansion; Pillow's I;16->L uses
+    the same convention). Rejected with ValueError: sub-byte depths,
+    16-bit palette (invalid per spec), Adam7 interlace (a
+    progressive-rendering layout irrelevant to pipeline payloads),
+    missing PLTE. Chunk CRCs are not verified
     (lenient, like most decoders — zlib's own checksum still guards
     the pixel data). Filters Sub/Up are vectorized; Average/Paeth
     carry a per-pixel left dependency and run as per-row loops — fine
@@ -254,24 +260,25 @@ def parse_png(b: bytes) -> ImageHandle | None:
         raise ValueError("png: missing IHDR")
     if w <= 0 or h <= 0:
         raise ValueError(f"png: bad dimensions {w}x{h}")
-    if depth == 16:
-        raise ValueError("png: only 8-bit samples supported, got 16-bit")
-    if depth != 8:
-        raise ValueError(f"png: only 8-bit samples supported, got depth {depth}")
+    if depth not in (8, 16):
+        raise ValueError(f"png: only 8/16-bit samples supported, got depth {depth}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"png: unsupported color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ValueError("png: 16-bit palette images are invalid per spec")
     if interlace:
         raise ValueError("png: Adam7 interlace not supported")
     if not idat:
         raise ValueError("png: missing IDAT")
     ch = _PNG_CHANNELS[ctype]
+    bpp = ch * (depth // 8)  # filter "left" distance, in BYTES
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as exc:
         # recognized format, malformed payload -> ValueError like every
         # other codec here, never a backend-specific exception type
         raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
-    stride = w * ch
+    stride = w * bpp
     if raw.size != h * (stride + 1):
         raise ValueError(
             f"png: raster size {raw.size} != {h}x(1+{stride}) expected"
@@ -285,28 +292,33 @@ def parse_png(b: bytes) -> ImageHandle | None:
         if ft == 0:  # None
             recon[y] = line
         elif ft == 1:  # Sub: prefix sum per byte lane, mod 256
-            lanes = line.reshape(w, ch).astype(np.int64)
+            lanes = line.reshape(w, bpp).astype(np.int64)
             recon[y] = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
             recon[y] = line + prior  # uint8 wraps mod 256
         elif ft == 3:  # Average (left dependency: per-pixel loop)
             out = recon[y]
             for x in range(stride):
-                left = int(out[x - ch]) if x >= ch else 0
+                left = int(out[x - bpp]) if x >= bpp else 0
                 out[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
         elif ft == 4:  # Paeth (left dependency: per-pixel loop)
             out = recon[y]
             for x in range(stride):
-                a = int(out[x - ch]) if x >= ch else 0
+                a = int(out[x - bpp]) if x >= bpp else 0
                 up = int(prior[x])
-                c = int(recon[y - 1][x - ch]) if (x >= ch and y) else 0
+                c = int(recon[y - 1][x - bpp]) if (x >= bpp and y) else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
                 out[x] = (int(line[x]) + pred) % 256
         else:
             raise ValueError(f"png: unknown filter type {ft} at row {y}")
-    arr = recon.reshape(h, w, ch)
+    if depth == 16:
+        # scale-to-8 policy: the HIGH byte of each big-endian sample
+        # (v >> 8), the exact inverse of the v*257 8->16 expansion
+        arr = np.ascontiguousarray(recon.reshape(h, w, ch, 2)[..., 0])
+    else:
+        arr = recon.reshape(h, w, ch)
     if ctype == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
@@ -318,13 +330,16 @@ def parse_png(b: bytes) -> ImageHandle | None:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, c) uint8 -> PNG bytes (stdlib zlib, filter None, one
-    IDAT): deterministic across environments — the test/fixture and
-    re-encode counterpart of :func:`parse_png`, same role encode_netpbm
-    plays for the raw formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA."""
+    """(h, w, c) uint8 (or uint16 -> bit-depth-16, big-endian samples)
+    -> PNG bytes (stdlib zlib, filter None, one IDAT): deterministic
+    across environments — the test/fixture and re-encode counterpart
+    of :func:`parse_png`, same role encode_netpbm plays for the raw
+    formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA."""
     import zlib
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(">u2") if depth == 16 else arr.astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -343,10 +358,11 @@ def encode_png(arr: np.ndarray) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([depth, ctype, 0, 0, 0])
     )
+    lines = arr.reshape(h, -1).view(np.uint8).reshape(h, -1)  # big-endian bytes
     raster = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * c)], axis=1
+        [np.zeros((h, 1), dtype=np.uint8), lines], axis=1
     ).tobytes()
     return (
         _PNG_MAGIC

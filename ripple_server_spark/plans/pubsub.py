@@ -678,7 +678,12 @@ def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rollup_incremental",
-    bench=True,
+    # NOT bench-flagged since round 8: this two-produce/two-refresh
+    # MAINTENANCE SCENARIO was ~30% of the headline bench total and
+    # drowned the ±15% ambient band on the other rows (VERDICT r07
+    # item 5). It stays correctness-checked here and measured as a
+    # SCALE.md scenario row; the headline bench carries the
+    # single-refresh variant q_rollup_refresh_single instead.
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
            event_type,
@@ -878,4 +883,73 @@ def q_native_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             xor_fingerprint48("concat(cast(event_id as string), ':', event_type)")
         ).alias("content_hash"),
+    )
+
+
+@query(
+    "q_rollup_refresh_single",
+    bench=True,
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("pubsub", "rollup", "materialized-view"),
+)
+def q_rollup_refresh_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE HourlyRollup refresh over a freshly produced topic — the
+    headline-bench form of the materialized-view surface (round 8,
+    VERDICT r07 item 5): it times produce + one cold fold + read,
+    which tracks the rollup plan's throughput without the two-phase
+    maintenance choreography of q_rollup_incremental (that scenario —
+    two time-split produces, two refreshes, partition-subset rewrite —
+    remains correctness-checked in the registry and measured as a
+    SCALE.md scenario row; at sf0.1 it alone was ~30% of the bench
+    total and drowned the ambient band on every other row).
+
+    The folded table must equal the oracle's full recompute over the
+    base events table — a single refresh over the whole log IS a full
+    fold, so the equality is exact by construction.
+
+    Scale: the fold is one groupBy(hour, type) over the topic scan
+    (partial aggregation map-side); the write is hour-partitioned
+    parquet. Refresh cost ~ new data, the property the incremental
+    scenario then exercises across two deltas."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.rollup import HourlyRollup
+    from ripple_server_spark.sources.topics import TopicStore
+
+    # a 9-day slice (~30% of rows, ~216 hour partitions): the same
+    # produce -> fold -> partitioned-write plan at a weight that leaves
+    # the headline total readable (the FULL-month double-refresh cost
+    # lives in the SCALE.md scenario row)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-10").cast("timestamp")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_rollup_one_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("r1", n_buckets=4)
+    roll = HourlyRollup(spark, store, "r1", os.path.join(root, "rollup"))
+    store.produce(ev, "r1", key_col="user_id")
+    roll.refresh()
+    return roll.read().select(
+        "hour_key",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
     )

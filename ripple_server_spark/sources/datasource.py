@@ -342,11 +342,49 @@ def _topics_list(options: dict) -> list[str]:
     )
 
 
+def _subscription(options: dict) -> tuple[list[str], bool]:
+    """Resolve the subscription to (topics, multi_schema).
+
+    Two mutually exclusive forms (Kafka parity):
+
+    - ``topic``: a name or comma-separated list; multi_schema (the
+      ``topic`` attribution column + nested stream offsets) iff the
+      deduped list has >1 name;
+    - ``subscribePattern``: a regex resolved against ``topics/`` ONCE
+      at query start — no dynamic topic discovery mid-query, the same
+      rule as changing a fixed list on an existing checkpoint (a topic
+      created after the query starts joins on the next restart).
+      Pattern subscriptions ALWAYS take the multi-topic path, even on
+      a single match, so the schema a pattern yields is stable as the
+      topic set grows.
+    """
+    topic = options.get("topic")
+    pattern = options.get("subscribepattern") or options.get("subscribePattern")
+    if topic is not None and pattern is not None:
+        raise ValueError("pass exactly one of 'topic' or 'subscribePattern'")
+    if pattern is not None:
+        import re
+
+        tdir = os.path.join(options["root"], "topics")
+        names = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
+        matched = [n for n in names if re.fullmatch(pattern, n)]
+        if not matched:
+            raise ValueError(
+                f"subscribePattern {pattern!r} matches no topics under "
+                f"{tdir} (resolution happens at query start; topics are "
+                "not discovered mid-query)"
+            )
+        return matched, True
+    if topic is None:
+        raise ValueError("option 'topic' or 'subscribePattern' is required")
+    topics = _topics_list(options)
+    return topics, len(topics) > 1
+
+
 class RippleTopicReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["root"]
-        self.topics = _topics_list(options)
-        self.multi = len(self.topics) > 1
+        self.topics, self.multi = _subscription(options)
         self.offset = int(options.get("offset", 0))
         self.limit = int(options["limit"]) if "limit" in options else None
         # VERSION AS OF: pin the read to a committed manifest version
@@ -680,9 +718,10 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
     their initial position only on a fresh checkpoint."""
 
     def __init__(self, options: dict):
-        self.topics = _topics_list(options)
+        self.topics, _multi = _subscription(options)
+        sub_opts = {k: v for k, v in options.items() if k.lower() != "subscribepattern"}
         self._subs = {
-            t: RippleTopicPartitionedStreamReader({**options, "topic": t})
+            t: RippleTopicPartitionedStreamReader({**sub_opts, "topic": t})
             for t in self.topics
         }
 
@@ -720,7 +759,8 @@ class RippleTopicDataSource(DataSource):
         return "ripple_topic"
 
     def schema(self) -> str:
-        if len(_topics_list(self.options)) > 1:
+        _topics, multi = _subscription(self.options)
+        if multi:
             return TOPIC_SCHEMA_DDL + ", topic string"
         return TOPIC_SCHEMA_DDL
 
@@ -748,12 +788,14 @@ class RippleTopicDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader (reader_tier=simple)"},
             )
-        if len(_topics_list(self.options)) > 1:
+        _topics, multi = _subscription(self.options)
+        if multi:
             return RippleTopicMultiStreamReader(self.options)
         return RippleTopicPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> RippleTopicStreamReader:
-        if len(_topics_list(self.options)) > 1:
+        _topics, multi = _subscription(self.options)
+        if multi:
             raise ValueError(
                 "multi-topic subscriptions require the partitioned tier "
                 "(reader_tier=partitioned, the default)"

@@ -388,3 +388,76 @@ class StreamingGate:
         # would make the next query's gate collect nothing and report
         # vacuously clean
         self._attached = False
+
+
+def commit_stream_position(
+    store: TopicStore,
+    checkpoint: str,
+    topic: str,
+    consumer_id: str,
+) -> dict[int, int]:
+    """Hand a STREAM's position over to a batch CONSUMER GROUP — the
+    reverse of the ``ripple_topic`` source's ``start_at=consumer:<id>``
+    bridge (A7/A8 in both directions): write the checkpoint's last
+    COMMITTED per-bucket cursors into the consumer's offsets, so a
+    batch ``consume()`` resumes at exactly the next undelivered seq
+    without replaying anything the stream already processed.
+
+    Reads the offset-WAL entry of the newest micro-batch that reached
+    the commit log (offsets/N is written before batch N runs and holds
+    its END cursors; commits/N exists only after the sink finished, so
+    those cursors are fully delivered — the same pair of logs Spark
+    itself recovers from). Raises if the checkpoint has no committed
+    batch yet, or if the query subscribed to multiple sources and none
+    (or more than one) carries cursors for ``topic``.
+
+    Returns the committed {bucket: next_seq} offsets.
+    """
+    import json
+
+    ckpt = os.path.abspath(checkpoint)
+    commit_dir = os.path.join(ckpt, "commits")
+    batches = (
+        [int(n) for n in os.listdir(commit_dir) if n.isdigit()]
+        if os.path.isdir(commit_dir)
+        else []
+    )
+    if not batches:
+        raise ValueError(
+            f"checkpoint {ckpt!r} has no committed micro-batch — nothing "
+            "to hand over yet"
+        )
+    n = max(batches)
+    with open(os.path.join(ckpt, "offsets", str(n))) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    # offset-WAL layout: "v1" header, query metadata JSON, then one
+    # offset JSON per source
+    candidates: list[dict] = []
+    for ln in lines[2:]:
+        try:
+            off = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(off, dict):
+            continue
+        if "cursors" in off:
+            # single-topic ripple_topic offset — which topic it tracks
+            # is not recorded in the offset itself, so accept it as a
+            # candidate and insist on uniqueness below
+            candidates.append(off)
+        elif topic in off and isinstance(off[topic], dict) and "cursors" in off[topic]:
+            candidates.append(off[topic])  # multi-topic nested offset
+    if len(candidates) != 1:
+        raise ValueError(
+            f"checkpoint {ckpt!r} batch {n}: expected exactly one "
+            f"ripple_topic source offset for topic {topic!r}, found "
+            f"{len(candidates)} — hand over per-source checkpoints "
+            "individually"
+        )
+    cursors = {
+        int(b): int(c) for b, c in json.loads(candidates[0]["cursors"]).items()
+    }
+    store.register_consumer(consumer_id, topic)
+    for b, c in cursors.items():
+        store.commit(consumer_id, topic, b, c)
+    return cursors

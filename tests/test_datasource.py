@@ -1128,3 +1128,116 @@ def test_duplicate_topic_subscription_dedups(spark, planner_store):
     # dedup to a single name keeps the single-topic schema (no `topic`
     # attribution column), matching what the subscription resolves to
     assert dup.columns == one.columns
+
+
+def test_subscribe_pattern_batch_and_stream(spark, sf_dir, tmp_path):
+    """subscribePattern (Kafka parity): the regex resolves against
+    topics/ at query start; matches take the multi-topic path (topic
+    attribution column) even on a single match, so a pattern's schema
+    is stable as the topic set grows."""
+    st = TopicStore(spark, str(tmp_path / "pat_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    for t, lo in (("logs_a", 0), ("logs_b", 100), ("other", 200)):
+        st.create_topic(t, n_buckets=2)
+        st.produce(_wave(ev, lo, lo + 50), t)
+    spark.dataSource.register(RippleTopicDataSource)
+
+    df = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root)
+        .option("subscribePattern", "logs_.*")
+        .load()
+    )
+    assert "topic" in df.columns
+    by_topic = {r["topic"]: r["n"] for r in df.groupBy("topic").agg(
+        F.count("*").alias("n")).collect()}
+    assert by_topic == {"logs_a": 50, "logs_b": 50}  # 'other' excluded
+
+    # single-match pattern still carries the attribution column
+    one = (
+        spark.read.format("ripple_topic")
+        .option("root", st.root)
+        .option("subscribePattern", "logs_a")
+        .load()
+    )
+    assert "topic" in one.columns and one.count() == 50
+
+    # streaming side: same resolution, exactly-once per topic
+    rows = []
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("subscribePattern", "logs_.*")
+        .option("batch_size", 20)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: rows.extend(
+                (r["topic"], r["event_id"]) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "pat_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) == 100 and len(set(rows)) == 100
+    assert {t for t, _ in rows} == {"logs_a", "logs_b"}
+
+    # no-match and both-options are loud errors
+    with pytest.raises(Exception, match="matches no topics"):
+        spark.read.format("ripple_topic").option("root", st.root).option(
+            "subscribePattern", "nope_.*"
+        ).load().count()
+    with pytest.raises(Exception, match="exactly one"):
+        spark.read.format("ripple_topic").option("root", st.root).option(
+            "subscribePattern", "logs_.*"
+        ).option("topic", "logs_a").load().count()
+
+
+def test_stream_position_hands_over_to_consumer_group(spark, sf_dir, tmp_path):
+    """commit_stream_position (reverse of start_at=consumer:<id>): after
+    a stream drains the topic, the bridged consumer's consume() resumes
+    at exactly the next produced seq — no replay, no skip."""
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    st = TopicStore(spark, str(tmp_path / "hand_topics"))
+    st.create_topic("h1", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 100), "h1")
+    spark.dataSource.register(RippleTopicDataSource)
+    ckpt = str(tmp_path / "hand_ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "h1")
+        .option("batch_size", 30)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    committed = commit_stream_position(st, ckpt, "h1", "takeover")
+    maxima = st._bucket_maxima("h1")
+    assert committed == {b: mx + 1 for b, mx in maxima.items()}
+    assert st.committed_offsets("takeover", "h1") == committed
+
+    # nothing new yet: the consumer sees zero rows (no replay)
+    for b in maxima:
+        batch, nxt = st.consume("takeover", "h1", bucket=b, count=1000)
+        assert batch.count() == 0 and nxt == committed[b]
+    # produce more: the consumer resumes at exactly the next seq
+    st.produce(_wave(ev, 100, 140), "h1")
+    got = 0
+    for b in st._bucket_maxima("h1"):
+        batch, nxt = st.consume("takeover", "h1", bucket=b, count=1000)
+        n = batch.count()
+        got += n
+        assert batch.agg(F.min("seq")).first()[0] in (None, committed.get(b))
+    assert got == 40
+
+    # a checkpoint with no committed batch refuses the handover
+    with pytest.raises(ValueError, match="no committed micro-batch"):
+        commit_stream_position(st, str(tmp_path / "empty_ck"), "h1", "x")

@@ -330,13 +330,16 @@ def _filtered_png(arr, row_filters):
 
     h, w, c = arr.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = arr.reshape(h, w * c).astype(np.int64)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    bpp = c * (depth // 8)  # filters predict at BYTE offsets, spec-wise
+    data = arr.astype(">u2") if depth == 16 else arr.astype(np.uint8)
+    flat = data.reshape(h, -1).view(np.uint8).reshape(h, -1).astype(np.int64)
     out = bytearray()
     for y, ft in enumerate(row_filters):
         line = flat[y]
-        prior = flat[y - 1] if y else np.zeros(w * c, dtype=np.int64)
-        left = np.concatenate([np.zeros(c, dtype=np.int64), line[:-c]])
-        up_left = np.concatenate([np.zeros(c, dtype=np.int64), prior[:-c]])
+        prior = flat[y - 1] if y else np.zeros(w * bpp, dtype=np.int64)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
         if ft == 0:
             filt = line
         elif ft == 1:
@@ -357,7 +360,7 @@ def _filtered_png(arr, row_filters):
     def chunk(typ, data):
         return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
 
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([depth, ctype, 0, 0, 0])
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
 
@@ -367,8 +370,10 @@ def test_png_codec_roundtrip_filters_and_edges():
     lossless for gray/LA/RGB/RGBA, every one of the spec's five
     scanline filters unfilters correctly (checked against an
     independent forward-filter implementation), palette images resolve
-    through PLTE, and 16-bit/interlaced/corrupt streams raise instead
-    of yielding garbage pixels."""
+    through PLTE, 16-bit rasters unfilter at full byte precision (the
+    spec's bpp = channels x bytes-per-sample left offset) and land as
+    high-byte uint8 (the scale-to-8 policy), and interlaced/corrupt
+    streams raise instead of yielding garbage pixels."""
     import zlib
 
     import numpy as np
@@ -387,6 +392,21 @@ def test_png_codec_roundtrip_filters_and_edges():
     for ft in (0, 1, 2, 3, 4):
         assert (parse_png(_filtered_png(arr, [ft] * 9)).arr == arr).all(), ft
     assert (parse_png(_filtered_png(arr, [0, 1, 2, 3, 4, 4, 3, 2, 1])).arr == arr).all()
+    # 16-bit: every filter type unfilters with the doubled byte offset
+    # (a decoder using the CHANNEL count as the left offset would mix
+    # byte lanes and corrupt the high bytes this compares)
+    arr16 = (np.arange(9 * 7 * 3, dtype=np.int64) * 977 % 65521).astype(np.uint16).reshape(9, 7, 3)
+    for ft in (0, 1, 2, 3, 4):
+        got16 = parse_png(_filtered_png(arr16, [ft] * 9)).arr
+        assert (got16 == (arr16 >> 8).astype(np.uint8)).all(), ft
+    assert (
+        parse_png(_filtered_png(arr16, [0, 1, 2, 3, 4, 4, 3, 2, 1])).arr
+        == (arr16 >> 8).astype(np.uint8)
+    ).all()
+    # 16-bit gray + alpha channel counts decode through the same path
+    for c16 in (1, 2, 4):
+        a16 = (np.arange(5 * 4 * c16, dtype=np.int64) * 811 % 65521).astype(np.uint16).reshape(5, 4, c16)
+        assert (parse_png(_filtered_png(a16, [4] * 5)).arr == (a16 >> 8).astype(np.uint8)).all()
     # palette: PLTE lookup to RGB
     plte = bytes(range(12))  # 4 entries
     idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
@@ -407,8 +427,12 @@ def test_png_codec_roundtrip_filters_and_edges():
     assert (again.arr == rz.arr).all()
 
     assert parse_png(b"P6\n1 1\n255\n\x00\x00\x00") is None
-    with _pytest.raises(ValueError, match="16-bit"):
+    with _pytest.raises(ValueError, match="raster size"):
+        # header says 16-bit but the raster holds 8-bit bytes: the
+        # doubled stride must fail loudly, not decode garbage
         parse_png(_filtered_png(arr, [0] * 9).replace(bytes([8, 2]), bytes([16, 2]), 1))
+    with _pytest.raises(ValueError, match="16-bit palette"):
+        parse_png(_filtered_png(arr, [0] * 9).replace(bytes([8, 2]), bytes([16, 3]), 1))
     with _pytest.raises(ValueError, match="interlace"):
         bad = bytearray(_filtered_png(arr, [0] * 9))
         bad[28] = 1  # IHDR interlace byte (8 sig + 8 hdr + 13th data byte)
@@ -539,3 +563,42 @@ def test_real_video_frame_path_end_to_end_no_media_library(spark):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_real_image_path_16bit_png(spark):
+    """The REAL (fake=False) decode -> resize -> embed path accepts
+    bit-depth-16 PNG payloads in this media-library-free container:
+    metadata reflects the true dims/channels, resize output re-decodes,
+    and the embedding sees the scale-to-8 (high-byte) luma — 16-bit
+    gray/RGB are the scientific-corpus formats VERDICT r07 flagged as
+    the remaining still-image gap."""
+    import numpy as np
+
+    from ripple_server_spark import multimodal as mm
+    from ripple_server_spark.codecs import encode_png, open_image
+
+    g16 = (np.full((30, 40, 1), 200 * 257, dtype=np.uint32)).astype(np.uint16)
+    rgb16 = np.zeros((8, 8, 3), dtype=np.uint16)
+    rgb16[..., 2] = 65535  # pure blue at full 16-bit scale
+    payloads = spark.createDataFrame(
+        [(1, encode_png(g16)), (2, encode_png(rgb16))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in mm.decode_payloads(payloads, fake=False).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) == (40, 30, 1)
+    assert (meta[2]["width"], meta[2]["height"], meta[2]["n_channels"]) == (8, 8, 3)
+
+    resized = {r["doc_id"]: r for r in mm.resize_payloads(payloads, 16, 16, fake=False).collect()}
+    for r in resized.values():
+        im = open_image(bytes(r["payload"]))
+        assert (im.width, im.height) == (16, 16)
+    # solid 200*257 gray -> high byte 200 everywhere, exactly
+    assert (open_image(bytes(resized[1]["payload"])).arr == 200).all()
+
+    embs = {
+        r["doc_id"]: r["embedding"]
+        for r in mm.embed_payloads(payloads, dim=8, fake=False).collect()
+    }
+    assert embs[1] == [200 / 255.0] * 8  # gray level straight through
+    # blue's ITU-R 601 luma weight is 0.114 of full scale
+    assert all(abs(x - 0.114) < 1e-9 for x in embs[2])

@@ -549,3 +549,50 @@ def test_netpbm_roundtrip_property(arr):
     got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
     assert got.shape == arr.shape
     assert np.array_equal(got, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arr=st.sampled_from([1, 2, 3, 4]).flatmap(
+        lambda c: hnp.arrays(
+            dtype="uint16",
+            shape=st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(c)),
+        )
+    )
+)
+def test_png16_roundtrip_property(arr):
+    """encode_png(uint16) -> parse_png decodes bit-depth-16 rasters for
+    every channel count; the uniform uint8 handle carries each
+    big-endian sample's HIGH byte (v >> 8, the documented scale-to-8
+    policy), so the round-trip equals arr >> 8 exactly."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    out = parse_png(encode_png(arr))
+    got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
+    assert got.shape == arr.shape
+    assert np.array_equal(got, (arr >> 8).astype(np.uint8))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=st.sampled_from([1, 3]).flatmap(
+        lambda c: hnp.arrays(
+            dtype="uint8",
+            shape=st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(c)),
+        )
+    )
+)
+def test_png16_expansion_is_exact_inverse(arr):
+    """The v*257 8->16 expansion (the standard 8-bit-in-16-bit-container
+    encoding) round-trips BYTE-EXACTLY through the 16-bit decode path:
+    decode(encode16(v*257)) == v."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    wide = arr.astype(np.uint16) * 257
+    out = parse_png(encode_png(wide))
+    got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
+    assert np.array_equal(got, arr)
