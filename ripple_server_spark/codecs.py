@@ -17,9 +17,11 @@ deployment executes.
 Why PNG: "compressed formats need Pillow" stopped being true the
 moment the compression in question is zlib, which ships in the
 standard library. parse_png covers the baseline still-image profile
-(8-bit gray/RGB/palette/alpha, all five scanline filters,
+(8/16-bit gray/RGB/palette/alpha, all five scanline filters,
 non-interlaced) from the public PNG specification, so a COMPRESSED
-real-world format decodes in-container too; JPEG and friends still
+real-world format decodes in-container too. Baseline JPEG (SOF0/SOF1,
+any sampling factors <= 2, restart markers) decodes via the pure-numpy
+codec in codecs_jpeg.py — progressive/arithmetic/12-bit/CMYK still
 require Pillow.
 
 Why y4m: the same boundary existed for video — the frame sampler's
@@ -411,6 +413,9 @@ def open_image(b: bytes) -> ImageHandle:
             png = parse_png(b)
             if png is not None:
                 return png
+            jpg = _parse_jpeg(b)
+            if jpg is not None:
+                return jpg
             raise NotImplementedError(
                 f"no installed backend decodes this image payload: {exc}"
             ) from exc
@@ -433,12 +438,24 @@ def open_image(b: bytes) -> ImageHandle:
     if im is None:
         im = parse_png(b)
     if im is None:
+        im = _parse_jpeg(b)
+    if im is None:
         raise NotImplementedError(
-            "payload is not netpbm (P5/P6) or baseline PNG and no media "
-            "library is installed: other formats need Pillow "
-            "(pip install pillow)"
+            "payload is not netpbm (P5/P6), baseline PNG, or baseline "
+            "JPEG and no media library is installed: other formats need "
+            "Pillow (pip install pillow)"
         )
     return im
+
+
+def _parse_jpeg(b: bytes):
+    # lazy import: the JPEG tables/codec load only when a SOI payload
+    # actually arrives (codecs_jpeg.py documents the supported profile)
+    if len(b) < 2 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    from ripple_server_spark.codecs_jpeg import parse_jpeg
+
+    return parse_jpeg(b)
 
 
 class VideoHandle:
