@@ -810,6 +810,7 @@ def q_topic_increment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_native_sink_roundtrip",
+    bench=True,  # tracks the per-task producer commit path per round
     oracle="""
     SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
            count(*) AS n_rows,

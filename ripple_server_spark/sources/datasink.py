@@ -82,7 +82,15 @@ from pyspark.sql.types import StructType
 
 from ripple_server_spark.config import N_BUCKETS
 
-_RETRIES = 20
+# Optimistic-retry caps. Each lost round means ANOTHER producer's
+# commit landed (the scheme is livelock-free), so a task writing
+# alongside T siblings can legitimately lose up to T-1 rounds — the
+# cap must comfortably exceed any plausible tasks-per-job, not be a
+# small constant (a 32-task write under a 20-round cap can fail
+# spuriously under adversarial scheduling). Retries are cheap: a read
+# + JSON parse, plus an Arrow re-stage only when a claimed bucket
+# actually moved.
+_RETRIES = 200
 
 
 class TaskCommit(WriterCommitMessage):
@@ -337,6 +345,11 @@ def _writer_common(options: dict, schema: StructType, overwrite: bool):
             "Push-only, queue.go:49-51): use mode('append')"
         )
     root = options["root"]
+    if "topic" not in options:
+        raise ValueError(
+            "ripple_topic writes need option('topic', <name>) — "
+            "subscribePattern is a READ subscription form"
+        )
     topics = [t.strip() for t in options["topic"].split(",") if t.strip()]
     if len(topics) != 1:
         raise ValueError("ripple_topic writes go to exactly one topic")

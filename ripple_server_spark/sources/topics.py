@@ -135,7 +135,7 @@ class TopicStore:
         with open(self._manifest_path(topic, v)) as f:
             return v, json.load(f)
 
-    def _commit(self, topic: str, base_version: int, apply, retries: int = 20) -> dict:
+    def _commit(self, topic: str, base_version: int, apply, retries: int = 200) -> dict:
         """Optimistic-concurrency commit: ``apply(manifest) -> manifest``
         transforms the base snapshot; an atomic claim of the version+1
         slot is the commit point. On collision the edit is re-applied to

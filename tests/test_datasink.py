@@ -63,10 +63,11 @@ def _assert_dense_seqs(store, topic):
 
 
 def test_batch_write_roundtrip_multi_task(spark, store, sf_dir):
-    """A 8-partition parallel write (contended seq claims) lands every
-    row exactly once with dense per-bucket seqs."""
+    """A 32-partition parallel write (heavily contended seq claims —
+    every task can lose up to 31 optimistic rounds to its siblings)
+    lands every row exactly once with dense per-bucket seqs."""
     store.create_topic("w1", n_buckets=4)
-    df = _events(spark, sf_dir).repartition(8)
+    df = _events(spark, sf_dir).repartition(32)
     _write(df, store, "w1")
     got = store.read_topic("w1")
     assert got.count() == df.count()
