@@ -239,3 +239,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         )
         .join(mins, on="doc_id", how="left")
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for corpus dedup — the normalization pass
+    web-crawl pipelines run before URL-level dedup (CCNet/RefinedWeb
+    keep one document per canonical URL): lowercase the scheme+host,
+    drop the #fragment, strip tracking parameters (utm_*, fbclid),
+    clean the separators they leave behind, and drop trailing slashes.
+
+    Pure codegen expressions (chained JVM regexp_replace, no UDF), so
+    the pass stays whole-stage-compiled over a 100 TB URL column; the
+    DuckDB oracle mirrors each step with RE2 + the 'g' flag (DuckDB
+    replaces first-match by default, Spark replaces all).
+
+    Policy notes (deterministic, documented, not configurable): only
+    the scheme+host case-fold (paths stay case-sensitive per RFC 3986);
+    a trailing slash is stripped only at the END of the cleaned URL
+    (a slash before '?' is part of the path); parameter ORDER is
+    preserved for the non-tracking params that survive.
+    """
+    head = F.lower(F.regexp_extract(url, r"^(?i)(https?://[^/?#]+)", 1))
+    tail = F.regexp_replace(url, r"^(?i)https?://[^/?#]+", "")
+    tail = F.regexp_replace(tail, r"#.*", "")  # fragment
+    tail = F.regexp_replace(tail, r"(utm_[a-z]+|fbclid)=[^&#]*", "")
+    tail = F.regexp_replace(tail, r"\?&+", "?")  # '?&id=' -> '?id='
+    tail = F.regexp_replace(tail, r"&&+", "&")  # collapse doubled '&'
+    tail = F.regexp_replace(tail, r"[?&]+$", "")  # dangling separators
+    tail = F.regexp_replace(tail, r"/+$", "")  # trailing slash(es)
+    return F.concat(head, tail)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
 from ripple_server_spark.functions import text as tx
+from ripple_server_spark.functions.scalar import xor_fingerprint48
 from ripple_server_spark.functions.vectors import (
     dot,
     l2_norm,
@@ -1014,3 +1015,104 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reproduce it exactly — which also machine-checks the
     no-false-negative property of the prefix filter."""
     return dedup.setsim_join_prefix(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, source,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+             || '.Example.COM/doc/' || CAST(doc_id % 500 AS VARCHAR)
+             || (CASE doc_id % 5
+                   WHEN 0 THEN ''
+                   WHEN 1 THEN '/'
+                   WHEN 2 THEN '?utm_source=feed&utm_campaign=x'
+                   WHEN 3 THEN '?id=keep&utm_medium=y#frag'
+                   ELSE '?utm_ref=1&id=keep' END) AS url
+      FROM documents
+    ),
+    c0 AS (
+      SELECT doc_id, source,
+             lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1)) AS head,
+             regexp_replace(regexp_replace(url, '(?i)^https?://[^/?#]+', ''),
+                            '#.*', '', 'g') AS t0
+      FROM synth
+    ),
+    c1 AS (
+      SELECT doc_id, source, head,
+             regexp_replace(t0, '(utm_[a-z]+|fbclid)=[^&#]*', '', 'g') AS t1
+      FROM c0
+    ),
+    c2 AS (
+      SELECT doc_id, source, head,
+             regexp_replace(regexp_replace(t1, '\\?&+', '?', 'g'),
+                            '&&+', '&', 'g') AS t2
+      FROM c1
+    ),
+    canon AS (
+      SELECT doc_id, source,
+             head || regexp_replace(regexp_replace(t2, '[?&]+$', '', 'g'),
+                                    '/+$', '', 'g') AS canonical
+      FROM c2
+    ),
+    kept AS (
+      SELECT source, canonical, min(doc_id) AS keep_id, count(*) AS grp
+      FROM canon GROUP BY source, canonical
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(grp) AS BIGINT) AS n_urls,
+           CAST(sum(grp) - count(*) AS BIGINT) AS n_removed,
+           bit_xor(('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS keep_hash
+    FROM kept GROUP BY source
+    """,
+    tags=("dedup", "url", "pipeline", "text"),
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the first dedup pass of
+    a web-crawl pipeline (CCNet / RefinedWeb keep one page per
+    canonical URL before any content-based dedup): scheme+host
+    case-fold, fragment drop, tracking-parameter strip (utm_*,
+    fbclid), separator cleanup, trailing-slash strip
+    (functions/text.canonical_url — pure codegen regexps, no UDF),
+    then keep the min doc_id per (source, canonical).
+
+    URLs are synthesized deterministically from doc_id/source with the
+    exact mess the canonicalizer must survive: mixed-case schemes and
+    hosts, trailing slashes, tracking params leading/trailing a kept
+    param, fragments — so the oracle reproduces every byte.
+
+    Scale: one groupBy on the canonical key (hash partial-agg); the
+    canonicalization itself is a map-side codegen chain over the URL
+    column — no shuffle added to whatever the dedup itself needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM/doc/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("?id=keep&utm_medium=y#frag"))
+        .when(F.col("doc_id") % 5 == 4, F.lit("?utm_ref=1&id=keep"))
+        .otherwise(F.lit("")),
+    )
+    canon = docs.select(
+        "doc_id", "source", tx.canonical_url(url).alias("canonical")
+    )
+    kept = canon.groupBy("source", "canonical").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("grp")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_canonical"),
+        F.sum("grp").cast("bigint").alias("n_urls"),
+        (F.sum("grp") - F.count("*")).cast("bigint").alias("n_removed"),
+        F.expr(xor_fingerprint48("cast(keep_id as string)")).alias("keep_hash"),
+    )

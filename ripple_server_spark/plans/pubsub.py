@@ -954,3 +954,158 @@ def q_rollup_refresh_single(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "q_subscribe_pattern_counts",
+    oracle="""
+    WITH sub AS (
+      SELECT 'logs_a' AS topic, event_id FROM events WHERE event_id < 700
+      UNION ALL
+      SELECT 'logs_b' AS topic, event_id FROM events
+      WHERE event_id >= 700 AND event_id < 1500
+    )
+    SELECT topic, count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM sub GROUP BY topic
+    """,
+    tags=("pubsub", "datasource", "subscription"),
+)
+def q_subscribe_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``subscribePattern`` (Kafka parity, round 8): three topics exist
+    (logs_a, logs_b, audit), the regex subscribes the two matching ones
+    at query start, and the unioned read carries the ``topic``
+    attribution column — counted and content-fingerprinted per topic so
+    the oracle proves the non-matching topic contributed nothing and
+    every matching row arrived exactly once.
+
+    Scale: pattern resolution is one directory listing at plan time;
+    the read itself is the same per-bucket partition-parallel scan as a
+    fixed-list subscription — no extra shuffle for the attribution
+    column (it is a partition-constant)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+
+    spark.dataSource.register(RippleTopicDataSource)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_subpattern_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    slices = {
+        "logs_a": ev.filter(F.col("event_id") < 700),
+        "logs_b": ev.filter((F.col("event_id") >= 700) & (F.col("event_id") < 1500)),
+        "audit": ev.filter(F.col("event_id") >= 99_000_000),  # empty decoy rows ok
+    }
+    for t, df in slices.items():
+        store.create_topic(t, n_buckets=4)
+        store.produce(df, t, key_col="user_id")
+    # the decoy must hold data the pattern would wrongly include
+    store.produce(ev.filter(F.col("event_id") < 50), "audit", key_col="user_id")
+    got = (
+        spark.read.format("ripple_topic")
+        .option("root", root)
+        .option("subscribePattern", "logs_.*")
+        .load()
+    )
+    return got.groupBy("topic").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
+    )
+
+
+@query(
+    "q_stream_handover_resume",
+    oracle="""
+    WITH b1 AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS bucket, count(*) AS c1
+      FROM events WHERE event_id < 1200 GROUP BY 1
+    ),
+    b2 AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS bucket, event_id
+      FROM events WHERE event_id >= 1200 AND event_id < 1600
+    )
+    SELECT b2.bucket,
+           count(*) AS n_rows,
+           CAST(coalesce(any_value(b1.c1), 0) AS BIGINT) AS resume_seq,
+           bit_xor(('0x' || substr(md5(CAST(b2.event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM b2 LEFT JOIN b1 USING (bucket)
+    GROUP BY b2.bucket
+    """,
+    tags=("pubsub", "streaming", "offsets", "handover"),
+)
+def q_stream_handover_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream -> batch-consumer HANDOVER (round 8, the reverse of
+    ``start_at=consumer:<id>``): a real AvailableNow streaming query
+    drains the topic through the partitioned ``ripple_topic`` source,
+    ``commit_stream_position`` writes its checkpoint's committed
+    cursors into a consumer group, MORE data is produced, and the
+    batch ``consume()`` picks up at exactly the stream's final
+    position: the consumed rows are precisely the post-handover batch
+    (ids_hash), starting at resume_seq == the pre-handover per-bucket
+    row count (seq continuity across the protocol switch, which is the
+    whole point of A7/A8 having one offset currency).
+
+    Scale: the handover itself is O(buckets) JSON IO — one offset-WAL
+    read + one consumer-offset write; no data moves."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    spark.dataSource.register(RippleTopicDataSource)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_handover_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("h", n_buckets=4)
+    store.produce(ev.filter(F.col("event_id") < 1200), "h", key_col="user_id")
+    ckpt = os.path.join(root, "ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", root)
+        .option("topic", "h")
+        .option("batch_size", 400)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    commit_stream_position(store, ckpt, "h", "takeover")
+    store.produce(
+        ev.filter((F.col("event_id") >= 1200) & (F.col("event_id") < 1600)),
+        "h",
+        key_col="user_id",
+    )
+    parts = []
+    for b in range(4):
+        batch, _next = store.consume("takeover", "h", bucket=b, count=1_000_000)
+        parts.append(batch)
+    consumed = parts[0]
+    for p in parts[1:]:
+        consumed = consumed.unionByName(p)
+    return consumed.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("seq").cast("bigint").alias("resume_seq"),
+        F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
+    )
