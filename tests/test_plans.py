@@ -544,3 +544,15 @@ def test_registry_wide_no_cartesian_product(spark):
     # whose PURPOSE is the Python-UDTF surface (table functions have no
     # Arrow form); everything else must be Arrow-vectorized or JVM.
     assert rowwise == ["q_udtf_tokenize"], f"row-wise python in: {rowwise}"
+
+
+def test_url_dedup_canonicalization_stays_in_codegen(spark):
+    """canonical_url is a chained JVM regexp_replace expression: the
+    canonicalization must appear inside the scan projection (no
+    BatchEvalPython / ArrowEvalPython stage), and the dedup aggregates
+    partially (map-side combine before the canonical-key exchange)."""
+    p = plan(build(spark, "q_url_dedup"))
+    assert "regexp_replace" in p
+    assert "EvalPython" not in p  # no Python UDF in the hot path
+    assert "partial" in p.lower() or "HashAggregate" in p
+    assert "CartesianProduct" not in p
