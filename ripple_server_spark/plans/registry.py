@@ -249,6 +249,42 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_rollup_incremental": 7,
     "q_dedup_incremental_ingest": 7,
     "q_topic_increment_read": 7,
+    # --- round-8 evidence rotation (since=7): the oldest standing
+    # rows are the 45 last-green-r04 queries; the never-verified +
+    # queued set this round is 20 of the 50-query budget, so rotate
+    # the first 30 of the r04 cohort (alphabetical) through the idle
+    # slots. Code is UNCHANGED for all of these (pure rotation); a
+    # green r08 row (>7) expires each entry; overflow defers.
+    "q_approx_distinct_users": 7,
+    "q_approx_percentile_value": 7,
+    "q_asof_join_tolerance": 7,
+    "q_benford_audit": 7,
+    "q_bigram_logprob": 7,
+    "q_bot_score": 7,
+    "q_burst_detection": 7,
+    "q_chi2_independence": 7,
+    "q_cusum_changepoint": 7,
+    "q_dup_cluster_size_hist": 7,
+    "q_dup_rate_by_slice": 7,
+    "q_embedding_dim_stats": 7,
+    "q_equiheight_histogram": 7,
+    "q_funnel_attribution": 7,
+    "q_gini_concentration": 7,
+    "q_holt_trend": 7,
+    "q_hourly_autocorrelation": 7,
+    "q_journey_paths": 7,
+    "q_km_survival": 7,
+    "q_ks_test": 7,
+    "q_label_balance": 7,
+    "q_langid_agreement": 7,
+    "q_lorenz_deciles": 7,
+    "q_mann_whitney_u": 7,
+    "q_market_basket_lift": 7,
+    "q_ngram_coverage": 7,
+    "q_order_sla": 7,
+    "q_pii_redact": 7,
+    "q_psi_drift": 7,
+    "q_rate_limit_replay": 7,
     # round 8: the centroid-cosine keep-rank key moved from round(x,6)
     # (Spark HALF_UP vs DuckDB half-even on exact midpoints) to the
     # shared arithmetic half-up floor(x*1e6+0.5) on BOTH engines
