@@ -290,6 +290,27 @@ def _latest_cursors(root: str, topic: str) -> dict[str, int]:
 _START_AT_DOC = "start_at must be earliest|latest|consumer:<id>, got "
 
 
+def _required_opt(options: dict, key: str) -> str:
+    """A required reader option, with a actionable error instead of a
+    bare KeyError. The note matters: a table registered with SQL
+    ``CREATE TABLE ... USING ripple_topic OPTIONS (...)`` resolves its
+    schema WITH the options but Spark does not deliver them back to the
+    Python reader at scan time — reads must go through
+    ``spark.read.format("ripple_topic").option(...)`` (or a view over
+    it) until the Python Data Source SQL-table path plumbs options."""
+    v = options.get(key)
+    if v is None:
+        raise ValueError(
+            f"ripple_topic: option {key!r} is required. (If this scan "
+            "came from a SQL table created with CREATE TABLE ... USING "
+            "ripple_topic, note Spark does not pass OPTIONS to Python "
+            "data source readers at scan time — read via "
+            "spark.read.format('ripple_topic') and register a VIEW "
+            "instead.)"
+        )
+    return v
+
+
 def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
     """First-checkpoint cursors for a streaming reader (evaluated ONCE;
     restarts resume from the checkpoint): ``earliest`` replays the
@@ -365,7 +386,7 @@ def _subscription(options: dict) -> tuple[list[str], bool]:
     if pattern is not None:
         import re
 
-        tdir = os.path.join(options["root"], "topics")
+        tdir = os.path.join(_required_opt(options, "root"), "topics")
         names = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
         matched = [n for n in names if re.fullmatch(pattern, n)]
         if not matched:
@@ -383,7 +404,7 @@ def _subscription(options: dict) -> tuple[list[str], bool]:
 
 class RippleTopicReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.root = options["root"]
+        self.root = _required_opt(options, "root")
         self.topics, self.multi = _subscription(options)
         self.offset = int(options.get("offset", 0))
         self.limit = int(options["limit"]) if "limit" in options else None
@@ -433,8 +454,8 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
-        self.root = options["root"]
-        self.topic = options["topic"]
+        self.root = _required_opt(options, "root")
+        self.topic = _required_opt(options, "topic")
         self.batch_size = int(options.get("batch_size", 10_000))
         self.start_at = _check_start_at(options.get("start_at", "earliest"))
 
@@ -559,8 +580,8 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
-        self.root = options["root"]
-        self.topic = options["topic"]
+        self.root = _required_opt(options, "root")
+        self.topic = _required_opt(options, "topic")
         self.batch_size = int(options.get("batch_size", 10_000))
         self.start_at = _check_start_at(options.get("start_at", "earliest"))
         # Last planned/committed per-bucket cursors — the admission

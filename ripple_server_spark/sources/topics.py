@@ -255,6 +255,49 @@ class TopicStore:
                 },
             )
 
+    def expand_buckets(self, topic: str, new_n_buckets: int) -> int:
+        """Grow a topic's bucket count — the Kafka ``kafka-topics
+        --alter --partitions N`` analog and the scale knob SCALE.md's
+        "at 100 TB a topic is the same layout with more buckets" claim
+        turns on. EXPAND-only, like Kafka (shrinking would strand
+        committed data and consumer cursors).
+
+        Existing data does not move (no rebalance, no rewrite): the
+        commit is one manifest version bumping ``n_buckets``. New
+        buckets start empty (seq from 0, floor 0) and fill as future
+        produces route by ``pmod(key, new_n)``; existing per-bucket
+        cursors — consumer groups AND streaming checkpoints — stay
+        valid because both iterate buckets from the manifest, where the
+        new buckets simply appear.
+
+        The one semantic cost is Kafka's too: the key->bucket mapping
+        changes at the expansion point, so per-KEY FIFO order holds
+        within each epoch but not across it (a key's pre-expansion rows
+        may live in a different bucket than its post-expansion rows).
+        Expansions should be rare, deliberate scale events.
+
+        Returns the committed manifest version. Raises on shrink/no-op.
+        """
+        base_v, meta = self.latest_manifest(topic)
+        cur = int(meta["n_buckets"])
+        if new_n_buckets <= cur:
+            raise ValueError(
+                f"expand_buckets is grow-only: topic {topic!r} has "
+                f"{cur} buckets, got {new_n_buckets} (shrinking would "
+                "strand committed rows and consumer cursors)"
+            )
+
+        def apply(m: dict) -> dict:
+            if int(m["n_buckets"]) >= new_n_buckets:
+                return m  # concurrent expansion won; idempotent
+            m["n_buckets"] = new_n_buckets
+            return m
+
+        committed = self._commit(topic, base_v, apply)
+        self._maxima.pop(topic, None)
+        self._floors.pop(topic, None)
+        return int(committed["version"])
+
     def topic_meta(self, topic: str) -> dict:
         return self.latest_manifest(topic)[1]
 

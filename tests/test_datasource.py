@@ -1241,3 +1241,69 @@ def test_stream_position_hands_over_to_consumer_group(spark, sf_dir, tmp_path):
     # a checkpoint with no committed batch refuses the handover
     with pytest.raises(ValueError, match="no committed micro-batch"):
         commit_stream_position(st, str(tmp_path / "empty_ck"), "h1", "x")
+
+
+def test_missing_required_options_fail_actionably(spark):
+    """A scan without root/topic must raise the documented ValueError
+    (naming the SQL CREATE TABLE USING caveat), never a bare KeyError —
+    SQL-registered Python data source tables resolve their schema WITH
+    the options but scan with an empty option map."""
+    from ripple_server_spark.sources.datasource import (
+        RippleTopicPartitionedStreamReader,
+        RippleTopicReader,
+        RippleTopicStreamReader,
+    )
+
+    for cls in (
+        RippleTopicReader,
+        RippleTopicPartitionedStreamReader,
+        RippleTopicStreamReader,
+    ):
+        with pytest.raises(ValueError, match="option 'root' is required"):
+            cls({"topic": "t"})
+    with pytest.raises(ValueError, match="'topic' or 'subscribePattern'"):
+        RippleTopicReader({"root": "/tmp/x"})
+
+
+def test_stream_picks_up_expanded_buckets(spark, sf_dir, tmp_path):
+    """Bucket expansion under a LIVE stream: the partitioned reader
+    plans offsets from the manifest's maxima, so buckets added by
+    expand_buckets() appear in the next trigger's cursors and their
+    rows deliver exactly once — no restart needed (Kafka parity: a
+    consumer picks up added partitions)."""
+    st = TopicStore(spark, str(tmp_path / "exp_stream"))
+    st.create_topic("es", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.produce(_wave(ev, 0, 100), "es")
+    spark.dataSource.register(RippleTopicDataSource)
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "es")
+        .option("batch_size", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName("m_expand")
+        .option("checkpointLocation", str(tmp_path / "ck_expand"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM m_expand").first()["c"] == 100
+        st.expand_buckets("es", 4)
+        st.produce(_wave(ev, 100, 220), "es")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT bucket, seq, count(*) c FROM m_expand GROUP BY 1, 2"
+    ).collect()
+    assert all(r["c"] == 1 for r in got), "duplicate delivery"
+    live = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("es").select("bucket", "seq").collect()
+    }
+    assert {(r["bucket"], r["seq"]) for r in got} == live
+    assert {r["bucket"] for r in got} == {0, 1, 2, 3}

@@ -514,3 +514,74 @@ def test_truncate_preserves_floor_of_fully_aged_bucket(spark, sf_dir, tmp_path):
         seqs = [r["seq"] for r in batch.orderBy("seq").collect()]
         if seqs:
             assert seqs[0] >= floors_a.get(b, 0)
+
+
+def test_expand_buckets_grows_routing_without_rebalance(spark, sf_dir, tmp_path):
+    """Kafka add-partitions parity: expansion is one manifest commit;
+    old data stays in place, new buckets fill with dense seqs from 0,
+    per-bucket consumer cursors survive, and the native sink routes by
+    the new count."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "expand_topics"))
+    st.create_topic("ex", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.produce(ev.filter(F.col("event_id") < 200), "ex")
+    before_files = set(st.latest_manifest("ex")[1]["files"])
+    pre = {
+        r["bucket"]: r["mx"]
+        for r in st.read_topic("ex")
+        .groupBy("bucket")
+        .agg(F.max("seq").alias("mx"))
+        .collect()
+    }
+    assert set(pre) == {0, 1}
+
+    # a consumer mid-stream before the expansion
+    st.register_consumer("c-ex", "ex")
+    _batch, nxt = st.consume("c-ex", "ex", bucket=0, count=10)
+    st.commit("c-ex", "ex", 0, nxt)
+
+    st.expand_buckets("ex", 4)
+    assert st.topic_meta("ex")["n_buckets"] == 4
+    with pytest.raises(ValueError, match="grow-only"):
+        st.expand_buckets("ex", 2)
+    # no rebalance: every pre-expansion file is still live, untouched
+    assert before_files <= set(st.latest_manifest("ex")[1]["files"])
+
+    # future produce routes by the new count (both produce and the sink)
+    st.produce(
+        ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400)), "ex"
+    )
+    spark.dataSource.register(RippleTopicDataSource)
+    (
+        ev.filter((F.col("event_id") >= 400) & (F.col("event_id") < 500))
+        .write.format("ripple_topic")
+        .mode("append")
+        .option("root", st.root)
+        .option("topic", "ex")
+        .save()
+    )
+    post = (
+        st.read_topic("ex")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.max("seq").alias("mx"),
+             F.countDistinct("seq").alias("nd"))
+        .collect()
+    )
+    assert {r["bucket"] for r in post} == {0, 1, 2, 3}
+    for r in post:  # dense seqs everywhere, incl. the new buckets
+        assert r["mx"] == r["n"] - 1 and r["nd"] == r["n"]
+    # old-bucket seqs continued above their pre-expansion maxima
+    by_bucket = {r["bucket"]: r for r in post}
+    assert by_bucket[0]["mx"] > pre[0] and by_bucket[1]["mx"] > pre[1]
+
+    # consumer cursor survives: resumes exactly where it committed
+    batch2, _n2 = st.consume("c-ex", "ex", bucket=0, count=5)
+    assert batch2.agg(F.min("seq")).first()[0] == nxt
