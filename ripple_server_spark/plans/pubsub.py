@@ -1109,3 +1109,74 @@ def q_stream_handover_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").cast("bigint").alias("resume_seq"),
         F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
     )
+
+
+@query(
+    "q_bucket_expansion",
+    oracle="""
+    WITH epoch1 AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS bucket, event_id
+      FROM events WHERE event_id < 900
+    ),
+    epoch2 AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS bucket, event_id
+      FROM events WHERE event_id >= 900 AND event_id < 1800
+    ),
+    uni AS (
+      SELECT bucket, event_id FROM epoch1
+      UNION ALL SELECT bucket, event_id FROM epoch2
+    )
+    SELECT bucket, count(*) AS n_rows,
+           count(*) - 1 AS max_seq,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM uni GROUP BY bucket
+    """,
+    tags=("pubsub", "ddl", "expansion"),
+)
+def q_bucket_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count growth as an operation (round 8,
+    ``TopicStore.expand_buckets`` — the Kafka add-partitions analog):
+    produce one epoch at 2 buckets, expand to 4 in ONE manifest commit
+    (no data rebalance), produce a second epoch routed by the new
+    count, and fingerprint per bucket. ``max_seq == n_rows - 1`` proves
+    every bucket's seq stayed dense across the expansion (old buckets
+    continued, new buckets started at 0) — the invariant every
+    consume/increment path depends on; the oracle recomputes both
+    routing epochs (pmod 2 then pmod 4) from the base table, so a
+    rebalance or a routing-epoch mixup would hash-mismatch.
+
+    Scale: the expansion itself is O(KB) metadata — the operational
+    cost of raising a topic's parallelism at 100 TB."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_expand_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("bx", n_buckets=2)
+    store.produce(ev.filter(F.col("event_id") < 900), "bx", key_col="user_id")
+    store.expand_buckets("bx", 4)
+    store.produce(
+        ev.filter((F.col("event_id") >= 900) & (F.col("event_id") < 1800)),
+        "bx",
+        key_col="user_id",
+    )
+    return (
+        store.read_topic("bx")
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("seq").cast("bigint").alias("max_seq"),
+            F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
+        )
+    )
