@@ -340,7 +340,10 @@ def encode_png(arr: np.ndarray) -> bytes:
     import zlib
 
     arr = np.asarray(arr)
-    depth = 16 if arr.dtype == np.uint16 else 8
+    # detect 16-bit input by KIND+WIDTH: an explicitly big-endian '>u2'
+    # array is a different dtype object than native uint16 and would
+    # otherwise silently encode its LOW bytes as 8-bit (review r08)
+    depth = 16 if (arr.dtype.kind == "u" and arr.dtype.itemsize == 2) else 8
     arr = arr.astype(">u2") if depth == 16 else arr.astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]

@@ -305,6 +305,16 @@ def parse_jpeg(b: bytes):
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # spec-legal but out of profile: baseline images encoded
+                # as multiple single-component scans — reject with the
+                # module's uniform error type instead of a KeyError
+                # deep in the MCU loop (review r08)
+                raise ValueError(
+                    "jpeg: non-interleaved (multi-scan) baseline streams "
+                    f"not supported (scan has {ns} of {len(frame[2])} "
+                    "components)"
+                )
             scan = {}
             for c in range(ns):
                 cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]

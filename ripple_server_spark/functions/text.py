@@ -262,7 +262,14 @@ def canonical_url(url: Column) -> Column:
     head = F.lower(F.regexp_extract(url, r"^(?i)(https?://[^/?#]+)", 1))
     tail = F.regexp_replace(url, r"^(?i)https?://[^/?#]+", "")
     tail = F.regexp_replace(tail, r"#.*", "")  # fragment
-    tail = F.regexp_replace(tail, r"(utm_[a-z]+|fbclid)=[^&#]*", "")
+    # tracking params must be ANCHORED at a separator and matched as the
+    # whole param NAME ([?&]name=value): an unanchored 'utm_...=' also
+    # strips substrings of longer param names ('myutm_source=a' ->
+    # 'my') and path segments containing 'utm_x=' — collapsing distinct
+    # URLs onto one wrong canonical key, i.e. dedup drops live pages.
+    # The separator is kept ($1) and the cleanup passes below collapse
+    # whatever run of separators the removals leave behind.
+    tail = F.regexp_replace(tail, r"([?&])(utm_[a-z]+|fbclid)=[^&#]*", r"$1")
     tail = F.regexp_replace(tail, r"\?&+", "?")  # '?&id=' -> '?id='
     tail = F.regexp_replace(tail, r"&&+", "&")  # collapse doubled '&'
     tail = F.regexp_replace(tail, r"[?&]+$", "")  # dangling separators

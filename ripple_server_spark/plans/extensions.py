@@ -1025,12 +1025,13 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
              || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
              || '.Example.COM/doc/' || CAST(doc_id % 500 AS VARCHAR)
-             || (CASE doc_id % 5
+             || (CASE doc_id % 6
                    WHEN 0 THEN ''
                    WHEN 1 THEN '/'
                    WHEN 2 THEN '?utm_source=feed&utm_campaign=x'
                    WHEN 3 THEN '?id=keep&utm_medium=y#frag'
-                   ELSE '?utm_ref=1&id=keep' END) AS url
+                   WHEN 4 THEN '?utm_ref=1&id=keep'
+                   ELSE '?myutm_source=keep2&utm_x=1' END) AS url
       FROM documents
     ),
     c0 AS (
@@ -1042,7 +1043,8 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c1 AS (
       SELECT doc_id, source, head,
-             regexp_replace(t0, '(utm_[a-z]+|fbclid)=[^&#]*', '', 'g') AS t1
+             regexp_replace(t0, '([?&])(utm_[a-z]+|fbclid)=[^&#]*',
+                            '\\1', 'g') AS t1
       FROM c0
     ),
     c2 AS (
@@ -1083,7 +1085,9 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     URLs are synthesized deterministically from doc_id/source with the
     exact mess the canonicalizer must survive: mixed-case schemes and
     hosts, trailing slashes, tracking params leading/trailing a kept
-    param, fragments — so the oracle reproduces every byte.
+    param, fragments, and a param whose NAME merely contains 'utm_'
+    ('myutm_source', which an unanchored strip would mangle — the
+    round-8 review catch) — so the oracle reproduces every byte.
 
     Scale: one groupBy on the canonical key (hash partial-agg); the
     canonicalization itself is a map-side codegen chain over the URL
@@ -1098,10 +1102,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(".Example.COM/doc/"),
         (F.col("doc_id") % 500).cast("string"),
-        F.when(F.col("doc_id") % 5 == 1, F.lit("/"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("?utm_source=feed&utm_campaign=x"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("?id=keep&utm_medium=y#frag"))
-        .when(F.col("doc_id") % 5 == 4, F.lit("?utm_ref=1&id=keep"))
+        F.when(F.col("doc_id") % 6 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("?id=keep&utm_medium=y#frag"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("?utm_ref=1&id=keep"))
+        .when(F.col("doc_id") % 6 == 5, F.lit("?myutm_source=keep2&utm_x=1"))
         .otherwise(F.lit("")),
     )
     canon = docs.select(

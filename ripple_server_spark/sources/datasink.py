@@ -54,6 +54,11 @@ Delivery semantics (documented, test-pinned):
   batch re-partitions deterministically (true for ``ripple_topic``
   sources, which replay pinned manifest snapshots), at-least-once under
   a nondeterministic upstream (Spark's general sink bound). The
+  idempotency window is BOUNDED: applied ids are retained for the
+  newest 4096 commits (manifests are full snapshots, so retention is a
+  size/exactness tradeoff) — a replay arriving after more than 4096
+  interleaved commits re-appends; size tasks-per-trigger well below
+  that, or use the foreachBatch form (one id per batch). The
   whole-batch-atomic multi-sink form remains
   :func:`streaming.api.write_stream_to_topic` (foreachBatch).
 
@@ -91,6 +96,7 @@ from ripple_server_spark.config import N_BUCKETS
 # + JSON parse, plus an Arrow re-stage only when a claimed bucket
 # actually moved.
 _RETRIES = 200
+_APPLIED_IDS_KEEP = 4096
 
 
 class TaskCommit(WriterCommitMessage):
@@ -138,8 +144,22 @@ def _latest_version(root: str, topic: str) -> int:
 
 
 def _load_manifest(root: str, topic: str, version: int) -> dict:
-    with open(_manifest_path(root, topic, version)) as f:
-        return json.load(f)
+    """Parse one committed manifest. A JSONDecodeError is retried
+    briefly: impossible on the os.link commit path (bytes precede the
+    name), but the linkless-filesystem fallback claims the name before
+    copying content in, leaving a microscopic torn-read window."""
+    import time
+
+    path = _manifest_path(root, topic, version)
+    for attempt in range(5):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except json.JSONDecodeError:
+            if attempt == 4:
+                raise
+            time.sleep(0.02 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
 def _claim_version_slot(path: str, manifest: dict) -> bool:
@@ -151,7 +171,13 @@ def _claim_version_slot(path: str, manifest: dict) -> bool:
     a concurrent reader can never see a torn/empty manifest (the
     O_EXCL-then-write form left a window where the name existed with
     zero bytes — harmless under one driver-side producer, a hot race
-    once every executor TASK is a producer)."""
+    once every executor TASK is a producer).
+
+    On filesystems without hard-link support (some FUSE/object-store
+    mounts), falls back to the O_CREAT|O_EXCL claim — equally atomic on
+    the NAME, but content lands after it appears, so readers keep a
+    torn-read retry (:func:`_load_manifest`) as the belt for that path.
+    """
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -160,6 +186,17 @@ def _claim_version_slot(path: str, manifest: dict) -> bool:
         return True
     except FileExistsError:
         return False
+    except OSError:
+        # no hard links here: claim the slot with O_EXCL and copy the
+        # staged bytes in (review r08 — the link-only form regressed
+        # every commit on linkless mounts)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f, open(tmp) as src:
+            f.write(src.read())
+        return True
     finally:
         os.unlink(tmp)
 
@@ -318,9 +355,15 @@ def _task_append(
                 mx[str(bb)] = base[bb] + c
             man["maxima"] = mx
             _merge_schema(man, fields)
+            # retention sizes the idempotency WINDOW: a retried task
+            # is recognized only while its id is among the newest
+            # _APPLIED_IDS_KEEP commits. 4096 covers thousands of
+            # interleaved task commits between a failure and its
+            # replay; jobs with MORE concurrent tasks than that should
+            # batch through TopicStore.produce (one id per batch).
             man["applied_batches"] = (
                 list(man.get("applied_batches", [])) + [applied_id]
-            )[-1000:]
+            )[-_APPLIED_IDS_KEEP:]
             return man
 
         try:
@@ -354,11 +397,18 @@ def _writer_common(options: dict, schema: StructType, overwrite: bool):
     if len(topics) != 1:
         raise ValueError("ripple_topic writes go to exactly one topic")
     key_col = options.get("key_col", "user_id")
+    # the recorded MESSAGE schema must match what the files hold:
+    # input columns minus bucket (a partition dir, not a file column)
+    # plus the seq the writer assigns — byte-identical to what
+    # TopicStore.produce records, so a sink-established topic's
+    # empty-frame DDL carries seq (consume() filters on it) and the
+    # first produce() after a sink write does NOT flag a spurious
+    # schema evolution (review r08 finding)
     fields = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in schema.fields
         if f.name not in ("bucket", "seq")
-    ]
+    ] + ["seq:bigint"]
     create = str(options.get("create_topic", "false")).lower() == "true"
     n_buckets = int(options.get("n_buckets", N_BUCKETS))
     return root, topics[0], key_col, fields, create, n_buckets

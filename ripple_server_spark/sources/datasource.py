@@ -120,9 +120,12 @@ def _latest_version(root: str, topic: str) -> int | None:
 
 
 def _load_manifest(root: str, topic: str, version: int) -> dict:
-    path = os.path.join(root, "topics", topic, "_log", f"{version:020d}.json")
-    with open(path) as f:
-        return json.load(f)
+    # ONE hardened loader for the whole engine (torn-read retry for the
+    # linkless-filesystem commit fallback) — lives with the commit
+    # protocol in datasink.py; readers delegate instead of re-parsing
+    from ripple_server_spark.sources.datasink import _load_manifest as _lm
+
+    return _lm(root, topic, version)
 
 
 def _bucket_files(

@@ -130,10 +130,12 @@ class TopicStore:
         return max(int(n[:-5]) for n in names)
 
     def latest_manifest(self, topic: str) -> tuple[int, dict]:
-        """(version, manifest) of the newest committed manifest."""
+        """(version, manifest) of the newest committed manifest (shared
+        torn-read-hardened loader, datasink._load_manifest)."""
+        from ripple_server_spark.sources.datasink import _load_manifest
+
         v = self._latest_version(topic)
-        with open(self._manifest_path(topic, v)) as f:
-            return v, json.load(f)
+        return v, _load_manifest(self.root, topic, v)
 
     def _commit(self, topic: str, base_version: int, apply, retries: int = 200) -> dict:
         """Optimistic-concurrency commit: ``apply(manifest) -> manifest``
@@ -274,7 +276,13 @@ class TopicStore:
         changes at the expansion point, so per-KEY FIFO order holds
         within each epoch but not across it (a key's pre-expansion rows
         may live in a different bucket than its post-expansion rows).
-        Expansions should be rare, deliberate scale events.
+        The epoch boundary is each producer's manifest-READ time, not
+        the expansion commit: a produce/sink task already in flight
+        routes by the count it planned with and may commit AFTER the
+        expansion (its rows are a valid pre-expansion epoch; seq
+        density per bucket is unaffected because claims stay atomic).
+        Expansions should be rare, deliberate scale events — quiesce
+        producers around one if strict epoch alignment matters.
 
         Returns the committed manifest version. Raises on shrink/no-op.
         """

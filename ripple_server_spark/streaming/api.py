@@ -457,6 +457,27 @@ def commit_stream_position(
     cursors = {
         int(b): int(c) for b, c in json.loads(candidates[0]["cursors"]).items()
     }
+    # a single-topic offset does not record WHICH topic it tracks, so a
+    # wrong checkpoint/topic pairing would silently skip or replay
+    # arbitrary ranges — validate the cursors against the target
+    # topic's manifest: bucket ids must exist and no cursor may exceed
+    # the topic's high-water mark (review r08)
+    n_buckets = int(store.topic_meta(topic)["n_buckets"])
+    maxima = store._bucket_maxima(topic)
+    for b, c in cursors.items():
+        if b < 0 or b >= n_buckets:
+            raise ValueError(
+                f"checkpoint cursors name bucket {b}, but topic "
+                f"{topic!r} has {n_buckets} buckets — is this "
+                "checkpoint from a different topic?"
+            )
+        hwm = maxima.get(b, -1) + 1
+        if c > hwm:
+            raise ValueError(
+                f"checkpoint cursor for bucket {b} is {c}, beyond topic "
+                f"{topic!r}'s high-water mark {hwm} — is this "
+                "checkpoint from a different topic?"
+            )
     store.register_consumer(consumer_id, topic)
     for b, c in cursors.items():
         store.commit(consumer_id, topic, b, c)

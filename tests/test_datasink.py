@@ -363,3 +363,24 @@ def test_task_commits_record_applied_ids(spark, store, sf_dir):
     for n in sorted(os.listdir(os.path.join(store.root, "topics", "w_led", "_log"))):
         with open(os.path.join(store.root, "topics", "w_led", "_log", n)) as f:
             json.load(f)
+
+
+def test_sink_established_topic_records_seq_in_schema(spark, store, sf_dir):
+    """Review r08: the sink must record the same message schema produce
+    does (columns + the assigned seq). A sink-established topic whose
+    files all age out must still serve the seq column from the
+    recorded-schema empty frame, and a later produce() must not flag a
+    spurious schema evolution."""
+    store.create_topic("w_schema", n_buckets=2)
+    df = _events(spark, sf_dir, n=60)
+    _write(df, store, "w_schema")
+    meta = store.topic_meta("w_schema")
+    assert "seq:bigint" in meta["schema"]
+    store.produce(df.withColumn("event_id", F.col("event_id") + 5000), "w_schema")
+    meta2 = store.topic_meta("w_schema")
+    assert meta2.get("schema_evolved") is not True, meta2["schema"]
+    # age out everything: the empty frame still carries seq for consume()
+    maxima = store._bucket_maxima("w_schema")
+    store.truncate("w_schema", before_seq=max(maxima.values()) + 1)
+    batch, nxt = store.consume("c-schema", "w_schema", bucket=0, count=10)
+    assert batch.count() == 0 and "seq" in batch.columns

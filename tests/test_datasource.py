@@ -1307,3 +1307,36 @@ def test_stream_picks_up_expanded_buckets(spark, sf_dir, tmp_path):
     }
     assert {(r["bucket"], r["seq"]) for r in got} == live
     assert {r["bucket"] for r in got} == {0, 1, 2, 3}
+
+
+def test_handover_rejects_mismatched_topic(spark, sf_dir, tmp_path):
+    """Review r08: commit_stream_position must refuse cursors that
+    cannot belong to the target topic (bucket ids beyond n_buckets or
+    cursors beyond the HWM), instead of silently committing offsets
+    from the wrong checkpoint."""
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    st = TopicStore(spark, str(tmp_path / "mismatch_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("big", n_buckets=4)
+    st.produce(_wave(ev, 0, 400), "big")
+    st.create_topic("small", n_buckets=2)
+    st.produce(_wave(ev, 0, 20), "small")
+    spark.dataSource.register(RippleTopicDataSource)
+    ckpt = str(tmp_path / "mm_ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "big")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="different topic"):
+        commit_stream_position(st, ckpt, "small", "oops")
+    # the correctly-paired handover still works
+    got = commit_stream_position(st, ckpt, "big", "ok")
+    assert got == {b: mx + 1 for b, mx in st._bucket_maxima("big").items()}

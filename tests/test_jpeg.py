@@ -176,3 +176,20 @@ def test_pillow_cross_check():
     # decoder-vs-decoder on the same stream: IDCT/upsampling rounding
     # differences only
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 4
+
+
+def test_non_interleaved_scan_rejected_with_valueerror():
+    """Review r08: a baseline stream whose SOS names fewer components
+    than the frame (multi-scan / non-interleaved layout) must raise
+    the module's uniform ValueError, not a KeyError mid-MCU."""
+    good = encode_jpeg(_smooth(16, 16, 3), quality=90)
+    i = good.index(b"\xff\xda")
+    # SOS payload: len(2) + ns + ns*(cid, tdta) + 3 spectral bytes;
+    # rewrite it to name ONLY component 1
+    sos = b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big") + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    end = i + 2 + 2 + 1 + 6 + 3
+    bad = good[:i] + sos + good[end:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        parse_jpeg(bad)
