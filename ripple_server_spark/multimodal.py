@@ -316,3 +316,87 @@ def embed_documents(docs: DataFrame, dim: int = 16) -> DataFrame:
     """Media feature-extraction pipeline: payload -> embedding column
     (feeds the similarity/ANN operators directly)."""
     return embed_payloads(attach_binary_payload(docs), dim)
+
+
+DHASH_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def synth_gray_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic 9x8 grayscale PNG payloads from doc ids — the
+    media-free container's stand-in for a real image corpus, built so
+    an ORACLE can recompute every pixel: pixel(r, c) is the first byte
+    of md5(img_key:r:c), where img_key = doc_id except that every
+    doc_id % 4 == 1 document REUSES its predecessor's image with pixel
+    (0, 0) inverted — a planted near-duplicate (the one-cell-edited
+    repost dHash exists to catch). Encoding goes through the engine's
+    real PNG encoder, so downstream consumers exercise the actual
+    decode path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ripple_server_spark.codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img_key = doc_id - 1 if doc_id % 4 == 1 else doc_id
+                px = np.empty((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    for c in range(9):
+                        h = hashlib.md5(f"{img_key}:{r}:{c}".encode()).hexdigest()
+                        px[r, c] = int(h[:2], 16)
+                if doc_id % 4 == 1:
+                    px[0, 0] = 255 - px[0, 0]  # the planted edit
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
+
+
+def dhash_bands(payloads: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the image near-dup signature web-scale pipelines run before
+    training (LAION-style pHash/dHash dedup): decode, resize to 9x8,
+    gray, then 64 bits of "is this pixel brighter than its right
+    neighbor". Output is FOUR 16-bit band values (rows 2i..2i+1), not
+    one 64-bit integer, so banded candidate generation and hamming
+    arithmetic stay inside signed-BIGINT range in every engine
+    (hamming(a, b) = sum_i bit_count(b_i XOR b'_i)).
+
+    Banding gives the standard LSH guarantee by pigeonhole: hamming
+    <= 3 implies at least one of the 4 bands is IDENTICAL, so
+    candidate pairs come from equi-joins on (band, value) — never an
+    all-pairs comparison.
+
+    Arrow-batched mapInPandas; decode errors follow the codec
+    boundary (ValueError for malformed recognized formats)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ripple_server_spark.codecs import open_image
+
+        for pdf in batches:
+            rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                im = open_image(bytes(payload)).resize(9, 8)
+                a = im.arr
+                if a.shape[2] >= 3:
+                    gray = (
+                        a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+                    )
+                else:
+                    gray = a[:, :, 0].astype(np.float64)
+                bits = (gray[:, :8] > gray[:, 1:]).astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                for i in range(4):
+                    v = 0
+                    for rr in range(2):
+                        for c in range(8):
+                            v |= int(bits[2 * i + rr, c]) << (rr * 8 + c)
+                    rows[f"b{i}"].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)

@@ -1121,3 +1121,110 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("grp") - F.count("*")).cast("bigint").alias("n_removed"),
         F.expr(xor_fingerprint48("cast(keep_id as string)")).alias("keep_hash"),
     )
+
+
+@query(
+    "q_image_dedup_dhash",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS img_key,
+             (doc_id % 4 = 1) AS variant
+      FROM documents
+    ),
+    grid AS (
+      SELECT r, c
+      FROM (SELECT unnest(range(8)) AS r), (SELECT unnest(range(9)) AS c)
+    ),
+    px AS (
+      SELECT d.doc_id, g.r, g.c,
+             CASE WHEN d.variant AND g.r = 0 AND g.c = 0
+                  THEN 255 - ('0x' || substr(md5(CAST(d.img_key AS VARCHAR)
+                       || ':' || g.r || ':' || g.c), 1, 2))::INT
+                  ELSE ('0x' || substr(md5(CAST(d.img_key AS VARCHAR)
+                       || ':' || g.r || ':' || g.c), 1, 2))::INT END AS v
+      FROM docs d CROSS JOIN grid g
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    bands AS (
+      SELECT doc_id, r // 2 AS band,
+             sum(CAST(bit AS BIGINT) << ((r % 2) * 8 + c)) AS bv
+      FROM bits GROUP BY doc_id, r // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.doc_a
+      JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    tags=("dedup", "multimodal", "image", "phash"),
+)
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via perceptual difference-hash — the visual
+    counterpart of MinHash text dedup and the pass LAION-scale image
+    corpora run before training (a one-pixel-edited repost must land
+    next to its original, which byte/embedding dedup can miss). The
+    pixels go through the engine's REAL codec chain — synthesized 9x8
+    grayscale PNGs (every pixel md5-derived, so the oracle recomputes
+    it exactly; every doc_id % 4 == 1 document is a planted one-pixel
+    edit of its predecessor), encoded with encode_png, decoded with
+    open_image inside the Arrow kernel — then dHash bands + banded
+    candidate join + hamming <= 3 verification
+    (multimodal.dhash_bands).
+
+    Scale shape: hashing is a map-side Arrow pass (64 bits per image,
+    whatever the image size); candidates come from equi-joins on
+    (band, 16-bit value) — pigeonhole guarantees recall at hamming
+    <= 3 with 4 bands — never an all-pairs compare; verification is
+    bit_count(xor) on four ints per candidate. At 100 TB the band
+    join is the only shuffle and its left side is 4 rows per image."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands_wide = mm.dhash_bands(mm.synth_gray_payloads(docs))
+    long = bands_wide.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ba = long.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bv").alias("bva")
+    )
+    bb = long.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bv").alias("bvb")
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("bva ^ bvb"))).cast("bigint").alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= 3)

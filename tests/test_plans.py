@@ -556,3 +556,13 @@ def test_url_dedup_canonicalization_stays_in_codegen(spark):
     assert "EvalPython" not in p  # no Python UDF in the hot path
     assert "partial" in p.lower() or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_image_dhash_candidates_are_band_equijoins(spark):
+    """dHash near-dup candidates must come from (band, value)
+    equi-joins (the pigeonhole LSH), never a cartesian or nested-loop
+    pair enumeration; verification is bit_count over four ints."""
+    p = plan(build(spark, "q_image_dedup_dhash"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bit_count" in p
