@@ -670,3 +670,147 @@ def open_video(b: bytes) -> VideoHandle:
         "payload is not YUV4MPEG2 and no video library is installed: "
         "compressed containers need PyAV/ffmpeg (pip install av)"
     )
+
+
+class AudioHandle:
+    """Uniform decoded-audio handle (the audio analog of ImageHandle).
+
+    ``data`` is (n_samples, n_channels) int32 holding the RAW PCM
+    sample values: 16-bit PCM as-is (-32768..32767), 8-bit PCM
+    center-shifted to -128..127 (WAV stores 8-bit unsigned; shifting
+    makes silence 0 across widths). Keeping integers — not normalized
+    floats — makes energy/fingerprint arithmetic EXACT and therefore
+    cross-engine oracle-checkable; kernels that want [-1, 1] divide by
+    ``full_scale`` themselves."""
+
+    def __init__(self, data: np.ndarray, rate: int, sample_width: int):
+        if data.ndim == 1:
+            data = data[:, None]
+        self.data = np.ascontiguousarray(data, dtype=np.int32)
+        self.rate = int(rate)
+        self.sample_width = int(sample_width)  # bytes per sample (1 or 2)
+
+    @property
+    def n_samples(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def channels(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def duration_s(self) -> float:
+        return self.n_samples / self.rate
+
+    @property
+    def full_scale(self) -> int:
+        return 128 if self.sample_width == 1 else 32768
+
+    def clip(self, n_samples: int) -> "AudioHandle":
+        """First-N-samples trim (deterministic, allocation bounded by
+        the TARGET length — the audio thumbnailing analog)."""
+        return AudioHandle(self.data[:n_samples], self.rate, self.sample_width)
+
+    def to_bytes(self) -> bytes:
+        return encode_wav(self.data, self.rate, self.sample_width)
+
+
+def encode_wav(data: np.ndarray, rate: int, sample_width: int = 2) -> bytes:
+    """(n, ch) int PCM samples -> RIFF/WAVE bytes (format 1 = PCM,
+    8- or 16-bit little-endian) — deterministic, stdlib-only; the
+    test/fixture counterpart of :func:`parse_wav` (encode_netpbm's role
+    for images). 8-bit input is center-shifted ints (-128..127),
+    written unsigned per the WAV spec."""
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    n, ch = data.shape
+    if sample_width == 2:
+        frames = data.astype("<i2").tobytes()
+    elif sample_width == 1:
+        frames = (data.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"wav: sample_width must be 1 or 2 bytes, got {sample_width}")
+    bits = sample_width * 8
+    block = ch * sample_width
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + (int(rate) * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE"
+    body += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(frames).to_bytes(4, "little") + frames
+    if len(frames) % 2:
+        body += b"\x00"  # chunk pad byte per RIFF
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def parse_wav(b: bytes) -> AudioHandle | None:
+    """Decode RIFF/WAVE bytes -> AudioHandle with numpy alone; None
+    when the magic says this is not WAV; ValueError on malformed,
+    truncated, or out-of-profile streams (the uniform codec contract).
+
+    Profile: uncompressed PCM (format 1), 8-bit unsigned or 16-bit
+    signed little-endian, any channel count/rate. Out of profile
+    (rejected with ValueError): IEEE-float (3), A-law/mu-law (6/7),
+    ADPCM, extensible (0xFFFE), 24/32-bit widths — compressed audio
+    (mp3/aac/ogg) is not RIFF and falls to the open_audio boundary."""
+    if len(b) < 12 or b[:4] != b"RIFF":
+        return None
+    if b[8:12] != b"WAVE":
+        raise ValueError("wav: RIFF payload is not WAVE")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        chunk = b[pos + 8 : pos + 8 + ln]
+        if len(chunk) < ln:
+            raise ValueError(f"wav: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + ln + (ln % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag != 1:
+        raise ValueError(f"wav: only PCM (format 1) supported, got format {tag}")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if ch < 1 or rate < 1:
+        raise ValueError(f"wav: bad fmt (channels={ch}, rate={rate})")
+    if bits == 16:
+        width = 2
+        arr = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
+        samples = arr.astype(np.int32).reshape(-1, ch)
+    elif bits == 8:
+        width = 1
+        arr = np.frombuffer(data[: (len(data) // ch) * ch], dtype=np.uint8)
+        samples = (arr.astype(np.int32) - 128).reshape(-1, ch)
+    else:
+        raise ValueError(f"wav: only 8/16-bit PCM supported, got {bits}-bit")
+    return AudioHandle(samples, rate, width)
+
+
+def open_audio(b: bytes) -> AudioHandle:
+    """Real audio decode with the same boundary contract as
+    :func:`open_image` / :func:`open_video`: WAV PCM decodes in any
+    environment via the numpy parser; payloads no backend recognizes
+    (mp3/aac/ogg need an audio library this container does not ship)
+    raise ``NotImplementedError``; malformed/out-of-profile WAV raises
+    ``ValueError``."""
+    audio = parse_wav(b)
+    if audio is not None:
+        return audio
+    raise NotImplementedError(
+        "payload is not RIFF/WAVE PCM and no audio library is installed: "
+        "compressed audio formats need an external backend"
+    )

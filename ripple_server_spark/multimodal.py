@@ -400,3 +400,107 @@ def dhash_bands(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_samples long, n_channels long, rate long, "
+    "duration_ms long"
+)
+AUDIO_ENERGY_SCHEMA = "doc_id long, win long, energy_sq long"
+
+
+def audio_meta_payloads(payloads: DataFrame) -> DataFrame:
+    """Audio metadata extraction over REAL decoded WAV payloads
+    (codecs.open_audio) — the audio leg of the decode surface: sample
+    count, channels, rate, duration. Arrow-batched mapInPandas; NULL
+    payloads yield NULL metadata (same null contract as the image
+    kernels)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ripple_server_spark.codecs import open_audio
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_channels", "rate", "duration_ms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(int(doc_id))
+                if payload is None:
+                    for k in ("n_samples", "n_channels", "rate", "duration_ms"):
+                        rows[k].append(None)
+                    continue
+                a = open_audio(bytes(payload))
+                rows["n_samples"].append(a.n_samples)
+                rows["n_channels"].append(a.channels)
+                rows["rate"].append(a.rate)
+                rows["duration_ms"].append(a.n_samples * 1000 // a.rate)
+            yield pd.DataFrame(rows)
+
+    return payloads.select("doc_id", "payload").mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+def audio_energy_windows(payloads: DataFrame, n_windows: int = 8) -> DataFrame:
+    """Windowed audio ENERGY fingerprint over real decoded samples:
+    the clip is split into ``n_windows`` equal windows (remainder
+    truncated) and each emits the INTEGER sum of squared PCM values of
+    channel 0 — the loudness-profile feature audio dedup/quality
+    filters key on, kept in exact integer arithmetic so a SQL oracle
+    can reproduce it bit-for-bit (floating RMS would differ in the
+    last ulp across engines). 1 -> n_windows fan-out, generator form,
+    no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ripple_server_spark.codecs import open_audio
+
+        for pdf in batches:
+            rows = {"doc_id": [], "win": [], "energy_sq": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                a = open_audio(bytes(payload))
+                mono = a.data[:, 0].astype(np.int64)
+                w = len(mono) // n_windows
+                if w == 0:
+                    continue
+                sq = (mono[: w * n_windows] ** 2).reshape(n_windows, w)
+                for i, s in enumerate(sq.sum(axis=1)):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["win"].append(i)
+                    rows["energy_sq"].append(int(s))
+            yield pd.DataFrame(rows)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, AUDIO_ENERGY_SCHEMA
+    )
+
+
+def synth_audio_payloads(docs: DataFrame, n_samples: int = 800) -> DataFrame:
+    """Deterministic mono 16-bit WAV payloads from doc ids (the audio
+    counterpart of synth_gray_payloads): sample i of doc d is
+    md5-derived ((first 4 hex of md5('a:<d>:<i>')) mod 65536 - 32768),
+    so an oracle recomputes every sample — and the payload goes
+    through the engine's real WAV encoder, so consumers exercise the
+    actual decode path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ripple_server_spark.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vals = np.array(
+                    [
+                        int(hashlib.md5(f"a:{d}:{i}".encode()).hexdigest()[:4], 16)
+                        % 65536
+                        - 32768
+                        for i in range(n_samples)
+                    ],
+                    dtype=np.int32,
+                )
+                payloads.append(encode_wav(vals, rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")

@@ -1228,3 +1228,43 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= 3)
+
+
+@query(
+    "q_audio_energy_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+    idx AS (SELECT doc_id, unnest(range(800)) AS i FROM d),
+    s AS (
+      SELECT doc_id, i // 100 AS win,
+             ('0x' || substr(md5('a:' || CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 AS v
+      FROM idx
+    )
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(sum(v * v) AS BIGINT) AS energy_sq
+    FROM s GROUP BY doc_id, win
+    """,
+    tags=("multimodal", "audio", "udf", "arrow"),
+)
+def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO through the engine — the third modality's real decode
+    path (round 8; images and video already had in-container codecs):
+    deterministic 16-bit mono WAV payloads (every PCM sample
+    md5-derived, so the oracle recomputes it) are ENCODED with the
+    engine's RIFF writer, DECODED with the numpy WAV parser inside the
+    Arrow kernel, and fingerprinted as 8 windowed integer
+    energy sums (multimodal.audio_energy_windows) — the loudness
+    profile audio dedup/quality filters key on. Integer sum-of-squares
+    keeps the feature EXACT cross-engine (floating RMS differs in the
+    last ulp); oracle equality therefore proves the whole
+    encode -> decode chain is sample-lossless AND the feature math
+    matches.
+
+    Scale: synth + hash are map-side Arrow passes (1 -> 8 fan-out, no
+    shuffle); the per-doc cost is decode + one integer reduction —
+    independent of corpus size per row."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return mm.audio_energy_windows(mm.synth_audio_payloads(docs), n_windows=8)

@@ -602,3 +602,52 @@ def test_real_image_path_16bit_png(spark):
     assert embs[1] == [200 / 255.0] * 8  # gray level straight through
     # blue's ITU-R 601 luma weight is 0.114 of full scale
     assert all(abs(x - 0.114) < 1e-9 for x in embs[2])
+
+
+def test_real_audio_path_end_to_end_no_media_library(spark):
+    """AUDIO decode runs REAL in this media-library-free container
+    (round 8 — the third modality): WAV payloads through the numpy
+    RIFF parser, metadata + windowed-energy kernels over Spark, the
+    uniform codec boundary for compressed formats."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ripple_server_spark import multimodal as mm
+    from ripple_server_spark.codecs import AudioHandle, encode_wav, open_audio
+
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int32)
+    silence = np.zeros(800, dtype=np.int32)
+    payloads = spark.createDataFrame(
+        [(1, encode_wav(tone, 8000)), (2, encode_wav(silence, 8000)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in mm.audio_meta_payloads(payloads).collect()}
+    assert (meta[1]["n_samples"], meta[1]["rate"], meta[1]["duration_ms"]) == (
+        1600,
+        8000,
+        200,
+    )
+    assert meta[3]["n_samples"] is None  # null payload survives
+
+    en = mm.audio_energy_windows(payloads, n_windows=4).collect()
+    by = {}
+    for r in en:
+        by.setdefault(r["doc_id"], []).append(r["energy_sq"])
+    assert all(v > 0 for v in by[1]) and all(v == 0 for v in by[2])
+    assert 3 not in by  # null payload contributes no windows
+
+    # handle surface: clip + re-encode round-trips
+    h = open_audio(encode_wav(tone, 8000))
+    clipped = h.clip(100)
+    again = open_audio(clipped.to_bytes())
+    assert again.n_samples == 100 and (again.data[:, 0] == tone[:100]).all()
+
+    # boundary contract
+    with _pytest.raises(NotImplementedError, match="audio"):
+        open_audio(b"ID3\x04\x00" + bytes(64))  # mp3-ish: needs a backend
+    with _pytest.raises(ValueError, match="format 3"):
+        bad = bytearray(encode_wav(silence, 8000))
+        i = bad.index(b"fmt ") + 8
+        bad[i] = 3  # IEEE float: out of profile
+        open_audio(bytes(bad))

@@ -596,3 +596,28 @@ def test_png16_expansion_is_exact_inverse(arr):
     out = parse_png(encode_png(wide))
     got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
     assert np.array_equal(got, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arr=st.sampled_from([(2, 1), (2, 2), (1, 1)]).flatmap(
+        lambda wc: hnp.arrays(
+            dtype="int32",
+            shape=st.tuples(st.integers(1, 300), st.just(wc[1])),
+            elements=st.integers(-128, 127)
+            if wc[0] == 1
+            else st.integers(-32768, 32767),
+        ).map(lambda a: (a, wc[0]))
+    )
+)
+def test_wav_roundtrip_property(arr):
+    """encode_wav -> parse_wav is sample-lossless for 8- and 16-bit
+    PCM, mono and stereo, odd lengths (RIFF pad byte)."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_wav, parse_wav
+
+    data, width = arr
+    h = parse_wav(encode_wav(data, rate=8000, sample_width=width))
+    assert h.sample_width == width and h.rate == 8000
+    assert np.array_equal(h.data, data)
