@@ -47,6 +47,18 @@ def default_sf_dir() -> str:
 def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Idempotency window shared by BOTH producers of a topic manifest —
+# TopicStore.produce (driver, one commit per batch) and the native
+# ripple_topic sink (one commit per task). A single constant matters:
+# if either path truncated applied_batches shorter than the other, one
+# interleaved produce() on a topic also written by the streaming sink
+# would silently shrink the sink's exactly-once replay window, and a
+# late micro-batch replay could double-append despite the documented
+# bound. 4096 commits ≈ hundreds of micro-batches at typical task
+# parallelism; size it >= max expected (concurrent writers x tasks per
+# trigger x triggers a replay can lag by).
+APPLIED_IDS_KEEP = 4096
+
 # Broadcast-side caps (fail-fast guards, not tuning knobs): the exact
 # top-k kernels collect the QUERY set to the driver and broadcast it to
 # every corpus task — correct only while the query set is small. A

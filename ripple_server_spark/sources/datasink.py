@@ -85,7 +85,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ripple_server_spark.config import N_BUCKETS
+from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 
 # Optimistic-retry caps. Each lost round means ANOTHER producer's
 # commit landed (the scheme is livelock-free), so a task writing
@@ -96,7 +96,7 @@ from ripple_server_spark.config import N_BUCKETS
 # + JSON parse, plus an Arrow re-stage only when a claimed bucket
 # actually moved.
 _RETRIES = 200
-_APPLIED_IDS_KEEP = 4096
+_APPLIED_IDS_KEEP = APPLIED_IDS_KEEP  # shared with TopicStore.produce
 
 
 class TaskCommit(WriterCommitMessage):
@@ -253,10 +253,14 @@ def _merge_schema(m: dict, fields: list[str]) -> None:
     if prev is None:
         m["schema"] = fields
     elif set(prev) != set(fields):
-        add = [f for f in fields if f not in prev]
-        if add:
-            m["schema"] = list(prev) + add
-            m["schema_evolved"] = True
+        # Any set difference marks evolution — including a strict-SUBSET
+        # write (add list empty): the topic then holds parquet files with
+        # heterogeneous footers and readers must mergeSchema, exactly as
+        # produce (topics.py) flags it. Flagging only on appends would let
+        # read_topic adopt a narrow file's schema and re-materialize the
+        # dropped columns as NULL.
+        m["schema"] = list(prev) + [f for f in fields if f not in prev]
+        m["schema_evolved"] = True
 
 
 def _task_append(

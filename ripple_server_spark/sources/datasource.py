@@ -470,7 +470,8 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         return {
             "cursors": json.dumps(
                 _initial_cursors(self.root, self.topic, self.start_at)
-            )
+            ),
+            "topic": self.topic,  # checkpoint→topic pairing proof
         }
 
     def _read_range(self, start: dict, max_rows: int | None):
@@ -494,7 +495,7 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
             # forever.
             if got:
                 new_cursors[str(b)] = max(r[_SEQ_IDX] for r in got) + 1
-        end = {"cursors": json.dumps(new_cursors)}
+        end = {"cursors": json.dumps(new_cursors), "topic": self.topic}
         if version is not None:
             end["version"] = str(version)
         return rows, end
@@ -649,9 +650,17 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         while len(self._files_cache) > 4:  # replay keeps a pinned version warm
             self._files_cache.pop(next(iter(self._files_cache)))
 
-    @staticmethod
-    def _pack(cursors: dict[str, int], version: int | None) -> dict:
-        off = {"cursors": json.dumps(cursors, sort_keys=True)}
+    def _pack(self, cursors: dict[str, int], version: int | None) -> dict:
+        # "topic" rides in the offset so consumers of the checkpoint
+        # (streaming.api.commit_stream_position) can verify WHICH topic
+        # a single-source checkpoint tracked — cursors alone pass the
+        # range/HWM validation for any topic of compatible shape, which
+        # would silently commit wrong consumer offsets. partitions()/
+        # commit() ignore the extra key, so old checkpoints replay fine.
+        off = {
+            "cursors": json.dumps(cursors, sort_keys=True),
+            "topic": self.topic,
+        }
         if version is not None:
             off["version"] = str(version)
         return off

@@ -40,7 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ripple_server_spark.config import N_BUCKETS
+from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 from ripple_server_spark.operators.relational import bucket_of
 
 
@@ -463,9 +463,13 @@ class TopicStore:
                 ]
                 m["schema_evolved"] = True
             if batch_id is not None:
+                # retention MUST match the native sink's window
+                # (config.APPLIED_IDS_KEEP): a shorter truncation here
+                # would shrink the sink's exactly-once replay window on
+                # any topic written by both paths
                 m["applied_batches"] = (
                     list(m.get("applied_batches", [])) + [batch_id]
-                )[-1000:]
+                )[-APPLIED_IDS_KEEP:]
             return m
 
         while True:

@@ -432,7 +432,9 @@ def commit_stream_position(
         lines = [ln for ln in f.read().splitlines() if ln]
     # offset-WAL layout: "v1" header, query metadata JSON, then one
     # offset JSON per source
-    candidates: list[dict] = []
+    named: list[dict] = []  # offsets that record their topic (r09+)
+    legacy: list[dict] = []  # pre-stamp offsets: shape-only heuristic
+    wrong: list[str] = []  # offsets provably tracking OTHER topics
     for ln in lines[2:]:
         try:
             off = json.loads(ln)
@@ -441,12 +443,29 @@ def commit_stream_position(
         if not isinstance(off, dict):
             continue
         if "cursors" in off:
-            # single-topic ripple_topic offset — which topic it tracks
-            # is not recorded in the offset itself, so accept it as a
-            # candidate and insist on uniqueness below
-            candidates.append(off)
+            recorded = off.get("topic")
+            if recorded == topic:
+                named.append(off)
+            elif recorded is not None:
+                wrong.append(str(recorded))
+            else:
+                legacy.append(off)
         elif topic in off and isinstance(off[topic], dict) and "cursors" in off[topic]:
-            candidates.append(off[topic])  # multi-topic nested offset
+            named.append(off[topic])  # multi-topic offset, keyed by name
+    if named:
+        candidates = named
+    elif wrong and not legacy:
+        raise ValueError(
+            f"checkpoint {ckpt!r} batch {n} tracked topic "
+            f"{', '.join(sorted(set(wrong)))!s}, not {topic!r} — this "
+            "checkpoint belongs to a different topic; committing its "
+            "cursors would skip or replay arbitrary ranges"
+        )
+    else:
+        # legacy checkpoints (offsets written before the topic stamp)
+        # fall back to the uniqueness heuristic; the manifest-shape
+        # validation below still guards against gross mismatches
+        candidates = legacy
     if len(candidates) != 1:
         raise ValueError(
             f"checkpoint {ckpt!r} batch {n}: expected exactly one "

@@ -384,3 +384,83 @@ def test_sink_established_topic_records_seq_in_schema(spark, store, sf_dir):
     store.truncate("w_schema", before_seq=max(maxima.values()) + 1)
     batch, nxt = store.consume("c-schema", "w_schema", bucket=0, count=10)
     assert batch.count() == 0 and "seq" in batch.columns
+
+
+def test_sink_subset_schema_write_flags_evolution(spark, store, sf_dir):
+    """ADVICE r08 (datasink._merge_schema): a sink task writing a strict
+    SUBSET of the recorded schema leaves heterogeneous parquet footers
+    in the topic, so the manifest must flag schema_evolved (forcing
+    mergeSchema on read) exactly as produce() does on any set
+    difference — otherwise read_topic adopts an arbitrary file's narrow
+    schema and re-materializes the committed wide columns as all-NULL,
+    nondeterministically by listing order."""
+    store.create_topic("w_subset", n_buckets=2)
+    wide = _events(spark, sf_dir, n=40).withColumn("lang", F.lit("en"))
+    _write(wide, store, "w_subset")
+    narrow = _events(spark, sf_dir, n=40).withColumn(
+        "event_id", F.col("event_id") + 1000
+    )
+    _write(narrow, store, "w_subset")  # strict subset: no NEW columns
+    meta = store.topic_meta("w_subset")
+    assert meta.get("schema_evolved") is True, meta["schema"]
+    got = store.read_topic("w_subset")
+    assert "lang" in got.columns
+    # the wide wave's lang values survive (never silently nulled)
+    assert (
+        got.filter((F.col("event_id") < 1000) & (F.col("lang") == "en")).count()
+        == 40
+    )
+    assert got.filter(F.col("event_id") >= 1000).filter(
+        F.col("lang").isNull()
+    ).count() == 40
+
+
+def test_applied_id_retention_window_shared(spark, store, sf_dir):
+    """ADVICE r08 (topics.py applied_batches): produce() and the native
+    sink must truncate the idempotency ledger to the SAME window
+    (config.APPLIED_IDS_KEEP) — a shorter produce()-side truncation on a
+    topic also written by the streaming sink would silently shrink the
+    sink's exactly-once replay window."""
+    import json as _json
+    import os as _os
+
+    from ripple_server_spark.config import APPLIED_IDS_KEEP
+    from ripple_server_spark.sources import datasink
+
+    assert datasink._APPLIED_IDS_KEEP == APPLIED_IDS_KEEP
+    store.create_topic("w_keep", n_buckets=2)
+    df = _events(spark, sf_dir, n=20)
+    _write(df, store, "w_keep", batch_id="sink-era-0")
+    # age the ledger to capacity with synthetic sink-era ids (manifest
+    # edit in place: same version, full ledger)
+    v, meta = store.latest_manifest("w_keep")
+    sink_ids = [x for x in meta["applied_batches"] if x.startswith("dsw/")]
+    assert sink_ids, "sink commit left no applied id"
+    meta["applied_batches"] = [
+        f"dsw/old/{i}" for i in range(APPLIED_IDS_KEEP - len(sink_ids))
+    ] + sink_ids
+    p = _os.path.join(
+        store.root, "topics", "w_keep", "_log", f"{v:020d}.json"
+    )
+    assert _os.path.exists(p), p
+    with open(p, "w") as f:
+        _json.dump(meta, f)
+    # one interleaved produce() must keep the window at APPLIED_IDS_KEEP
+    # (dropping only the oldest), NOT collapse it to a shorter cap
+    store.produce(
+        df.withColumn("event_id", F.col("event_id") + 9000),
+        "w_keep",
+        batch_id="prod-1",
+    )
+    _v2, meta2 = store.latest_manifest("w_keep")
+    led = meta2["applied_batches"]
+    assert len(led) == APPLIED_IDS_KEEP
+    assert led[-1] == "prod-1"
+    # the sink's real applied ids are still inside the window -> a late
+    # sink replay of that micro-batch stays a no-op
+    assert all(x in led for x in sink_ids)
+    _write(df, store, "w_keep", batch_id="sink-era-0")  # replay
+    assert (
+        store.read_topic("w_keep").filter(F.col("event_id") < 1000).count()
+        == 20
+    )

@@ -1340,3 +1340,89 @@ def test_handover_rejects_mismatched_topic(spark, sf_dir, tmp_path):
     # the correctly-paired handover still works
     got = commit_stream_position(st, ckpt, "big", "ok")
     assert got == {b: mx + 1 for b, mx in st._bucket_maxima("big").items()}
+
+
+def test_handover_topic_stamp_beats_shape_compatibility(spark, sf_dir, tmp_path):
+    """ADVICE r08 (streaming/api.py commit_stream_position): a wrong
+    checkpoint/topic pairing of COMPATIBLE shape (same n_buckets,
+    cursors below the target's HWM) must be rejected by the topic name
+    the partitioned reader now records in its packed offsets — the
+    range/HWM heuristic alone cannot see it and would silently commit
+    wrong consumer cursors (skip/replay of arbitrary ranges)."""
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    st = TopicStore(spark, str(tmp_path / "stamp_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("shape_a", n_buckets=2)
+    st.produce(_wave(ev, 0, 60), "shape_a")
+    st.create_topic("shape_b", n_buckets=2)  # SAME bucket count
+    st.produce(_wave(ev, 0, 300), "shape_b")  # higher HWM everywhere
+    spark.dataSource.register(RippleTopicDataSource)
+    ckpt = str(tmp_path / "stamp_ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "shape_a")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # shape-compatible but wrong topic: heuristic would pass, stamp must not
+    with pytest.raises(ValueError, match="different topic"):
+        commit_stream_position(st, ckpt, "shape_b", "wrong")
+    got = commit_stream_position(st, ckpt, "shape_a", "right")
+    assert got == {b: mx + 1 for b, mx in st._bucket_maxima("shape_a").items()}
+
+
+def test_handover_legacy_checkpoint_without_stamp_still_works(
+    spark, sf_dir, tmp_path
+):
+    """Checkpoints written before the topic stamp (offsets carrying only
+    cursors/version) must still hand over via the uniqueness + manifest
+    shape heuristic — stamping is additive, not a format break."""
+    import json as _json
+
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    st = TopicStore(spark, str(tmp_path / "legacy_topics"))
+    ev = load_table(spark, sf_dir, "events")
+    st.create_topic("leg", n_buckets=2)
+    st.produce(_wave(ev, 0, 80), "leg")
+    spark.dataSource.register(RippleTopicDataSource)
+    ckpt = str(tmp_path / "legacy_ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "leg")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # strip the stamp from every offset-WAL line -> a legacy checkpoint
+    offs = os.path.join(ckpt, "offsets")
+    for name in os.listdir(offs):
+        p = os.path.join(offs, name)
+        if not name.isdigit():
+            continue
+        lines = open(p).read().splitlines()
+        out = []
+        for i, ln in enumerate(lines):
+            if i >= 2 and ln:
+                try:
+                    d = _json.loads(ln)
+                    if isinstance(d, dict):
+                        d.pop("topic", None)
+                        ln = _json.dumps(d)
+                except _json.JSONDecodeError:
+                    pass
+            out.append(ln)
+        with open(p, "w") as f:
+            f.write("\n".join(out))
+    got = commit_stream_position(st, ckpt, "leg", "legacy")
+    assert got == {b: mx + 1 for b, mx in st._bucket_maxima("leg").items()}
