@@ -439,12 +439,15 @@ def embedding_neardup_bucketed(emb_with_bucket: DataFrame, min_sim: float = 0.2)
 
 def _nearest_above(pairs: DataFrame, min_sim: float) -> DataFrame:
     """Nearest-neighbor emit — THE rounding/tie contract of the
-    embedding near-dup family, in one place (6-dp rounded rank with
+    embedding near-dup family, in one place (half-up 6-dp rank key with
     vec_b tie-break, threshold on the UNROUNDED sim, 4-dp display),
     exactly what the DuckDB oracles encode. A precision or tie-order
-    change lands in both blocked variants at once."""
+    change lands in both blocked variants at once. The rank key is
+    floor(sim*1e6 + 0.5), not round(sim, 6): Spark rounds HALF_UP and
+    DuckDB half-even, so an exact midpoint would flip ranks
+    cross-engine (ADVICE r07 / VERDICT r08)."""
     w = Window.partitionBy("vec_a").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("vec_b")
+        F.desc(F.floor(F.col("sim") * 1e6 + F.lit(0.5))), F.asc("vec_b")
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))

@@ -84,7 +84,10 @@ def _batch_topk_pairs(sims: np.ndarray, take: int):
     Non-finite sims (masked self-pairs) never match."""
     if sims.shape[0] == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    r = np.round(sims, 6)
+    # the SAME half-up key _global_topk ranks by (np.round is half-even
+    # and would disagree at exact 6-dp midpoints, under-forwarding a
+    # boundary-tied row); -inf self-pairs stay -inf through the floor
+    r = np.floor(sims * 1e6 + 0.5)
     top = min(take, r.shape[0])
     thr = -np.partition(-r, top - 1, axis=0)[top - 1, :]
     mask = (r >= thr[None, :]) & np.isfinite(sims)
@@ -145,8 +148,13 @@ def _global_topk(
     4 dp. Compiles to WindowGroupLimit (plan-asserted); a change to the
     precision or tie order lands in every kernel at once instead of
     drifting across five copies."""
+    # arithmetic half-up key floor(x*1e6 + 0.5), NOT round(x, 6): Spark
+    # rounds HALF_UP while DuckDB rounds half-even, so an exact 6-dp
+    # midpoint score would flip the rank cross-engine (ADVICE r07 /
+    # VERDICT r08). floor(x*1e6+0.5) is monotone in x and computes
+    # identically on both engines.
     w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round(F.col(score), 6)), F.asc("neighbor_id")
+        F.desc(F.floor(F.col(score) * 1e6 + F.lit(0.5))), F.asc("neighbor_id")
     )
     ranked = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     if emit_score:

@@ -291,7 +291,7 @@ _LSH_CTES = """
                {_COS} AS raw_cos,
                row_number() OVER (
                    PARTITION BY a.vec_id
-                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+                   ORDER BY floor({_COS} * 1e6 + 0.5) DESC, b.vec_id) AS rn
         FROM e a JOIN e b
           ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ) WHERE rn = 1 AND raw_cos >= 0.2
@@ -481,7 +481,13 @@ def _cosine_topk(spark: SparkSession, sf_dir: str, use_pandas: bool) -> DataFram
             F.col("vec_id").alias("neighbor_id"),
             (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nn"))).alias("sim"),
         )
-    w = Window.partitionBy("q_id").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id"))
+    # arithmetic half-up rank key (floor(x*1e6 + 0.5) — monotone in sim,
+    # identical on both engines): Spark round() is HALF_UP, DuckDB
+    # half-even, so an exact 6-dp midpoint cosine would flip the rank
+    # cross-engine (the q_dedup_semantic fix, ADVICE r07 / VERDICT r08)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.floor(F.col("sim") * 1e6 + F.lit(0.5))), F.asc("neighbor_id")
+    )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -495,7 +501,7 @@ _TOPK_ORACLE = f"""
                round({_COS}, 4) AS sim,
                row_number() OVER (
                    PARTITION BY a.vec_id
-                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+                   ORDER BY floor({_COS} * 1e6 + 0.5) DESC, b.vec_id) AS rn
         FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
     ) WHERE rn <= 5
 """
@@ -559,7 +565,7 @@ def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                round({_COS}, 4) AS sim,
                row_number() OVER (
                    PARTITION BY a.vec_id
-                   ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rn
+                   ORDER BY floor({_COS} * 1e6 + 0.5) DESC, b.vec_id) AS rn
         FROM probes a JOIN e b
           ON a.probe = b.bucket AND a.vec_id <> b.vec_id
     )
@@ -608,7 +614,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id"))
+    # half-up rank key, not round(sim, 6): see _cosine_topk's note
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.floor(F.col("sim") * 1e6 + F.lit(0.5))), F.asc("neighbor_id")
+    )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -905,7 +914,7 @@ _TS_NORM = "sqrt(list_sum(list_transform({t}.v, x -> CAST(x AS DOUBLE) * CAST(x 
              round({_TS_DOT} / ({_TS_NORM.format(t='a')} * {_TS_NORM.format(t='b')}), 4) AS sim,
              row_number() OVER (
                PARTITION BY a.user_id
-               ORDER BY round({_TS_DOT} / ({_TS_NORM.format(t='a')} * {_TS_NORM.format(t='b')}), 6) DESC,
+               ORDER BY floor({_TS_DOT} / ({_TS_NORM.format(t='a')} * {_TS_NORM.format(t='b')}) * 1e6 + 0.5) DESC,
                         b.user_id) AS rn
       FROM prof a JOIN prof b ON a.user_id < 5 AND a.user_id <> b.user_id
     )
@@ -944,8 +953,9 @@ def q_timeseries_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("sim"),
         )
     )
+    # half-up rank key, not round(sim, 6): see _cosine_topk's note
     w = Window.partitionBy("q_user").orderBy(
-        F.desc(F.round(F.col("sim"), 6)), F.asc("sim_user")
+        F.desc(F.floor(F.col("sim") * 1e6 + F.lit(0.5))), F.asc("sim_user")
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))

@@ -290,6 +290,39 @@ _RECHECK_SINCE: dict[str, int] = {
     # shared arithmetic half-up floor(x*1e6+0.5) on BOTH engines
     # (ADVICE r07) — builder and oracle bytes changed, re-earn the row.
     "q_dedup_semantic": 7,
+    # --- queued during round 9 (since=8):
+    # rank-key change (VERDICT r08 item 2): the remaining similarity
+    # rank keys moved from round(sim, 6) to the shared arithmetic
+    # half-up floor(sim*1e6+0.5) on BOTH engines — the three named
+    # queries plus every consumer of the central contracts
+    # (_global_topk, _batch_topk_pairs, _nearest_above) whose builder
+    # or oracle bytes changed. Re-earn each row.
+    "q_similarity_topk": 8,
+    "q_similarity_topk_pandas": 8,
+    "q_ann_lsh_topk": 8,
+    "q_ann_ivf_topk": 8,
+    "q_ann_pq_topk": 8,
+    "q_dedup_embedding": 8,
+    "q_timeseries_profile_topk": 8,
+    # round-9 evidence drain (VERDICT r08 item 4): the 15 remaining
+    # last-green-r04 rows not already queued (q_psi_drift and
+    # q_rate_limit_replay are pending above at since=7). Code is
+    # UNCHANGED (pure rotation); a green r09 row expires each entry.
+    "q_rfm_segments": 8,
+    "q_seasonality_profile": 8,
+    "q_session_stats": 8,
+    "q_source_containment": 8,
+    "q_source_kl_divergence": 8,
+    "q_source_vocab_overlap": 8,
+    "q_split_leakage": 8,
+    "q_stats_moments": 8,
+    "q_time_to_convert": 8,
+    "q_trend_slope": 8,
+    "q_truncation_stats": 8,
+    "q_ts_resample_linear": 8,
+    "q_type_correlation": 8,
+    "q_user_type_entropy": 8,
+    "q_welch_ttest": 8,
 }
 
 

@@ -368,3 +368,87 @@ def test_content_fingerprint_is_engine_portable_on_unicode_case(spark, tmp_path)
     fp = {r["doc_id"]: r["content_fp"] for r in spec.builder(spark, sf_dir).collect()}
     assert fp[2] == fp[3]  # ASCII case variants collapse
     assert fp[0] != fp[1]  # unicode case variants stay distinct (by contract)
+
+
+def test_similarity_rank_key_is_engine_exact_at_midpoints(spark, tmp_path):
+    """VERDICT r08 item 2: the similarity rank keys must be the shared
+    arithmetic half-up key floor(sim*1e6 + 0.5) on BOTH engines, not
+    round(sim, 6) — Spark rounds HALF_UP on the decimal string and
+    DuckDB nearbyint-style, so a sim landing on an EXACT float 6-dp
+    midpoint (0.0003125*1e6 == 312.5 exactly) keys differently and
+    flips which neighbor wins rank 1.
+
+    Crafted flip: neighbor 10 at the midpoint (key 313 half-up, 312
+    half-even) vs neighbor 20 just above (key 313 both ways). Under the
+    shared half-up key both engines tie them at 313 and the id
+    tie-break picks 10; a round()-keyed engine would rank 20 first.
+    Pins both central contracts (_nearest_above, _global_topk) against
+    a DuckDB ranking over the identical doubles."""
+    import math
+
+    import duckdb
+
+    from ripple_server_spark.operators.dedup import _nearest_above
+    from ripple_server_spark.operators.similarity import _global_topk
+
+    mid, above = 0.0003125, 0.000313
+    assert (mid * 1e6) % 1.0 == 0.5  # a true float midpoint
+    assert math.floor(mid * 1e6 + 0.5) == math.floor(above * 1e6 + 0.5) == 313
+
+    rows = [
+        (1, 10, mid),
+        (1, 20, above),
+        (2, 30, above),  # control pair: no midpoint, higher sim wins
+        (2, 40, mid - 1e-6),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (a BIGINT, b BIGINT, sim DOUBLE)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?, ?)", rows)
+    oracle = con.execute(
+        """
+        SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+                PARTITION BY a
+                ORDER BY floor(sim * 1e6 + 0.5) DESC, b) AS rn
+            FROM pairs
+        ) WHERE rn = 1 ORDER BY a
+        """
+    ).fetchall()
+    assert oracle == [(1, 10), (2, 30)], oracle  # the half-up contract
+
+    pairs_nn = spark.createDataFrame(
+        rows, "vec_a bigint, vec_b bigint, sim double"
+    )
+    nn = {
+        r["vec_a"]: r["nearest_id"]
+        for r in _nearest_above(pairs_nn, min_sim=0.0).collect()
+    }
+    assert nn == dict(oracle), nn
+
+    pairs_tk = spark.createDataFrame(
+        rows, "q_id bigint, neighbor_id bigint, sim double"
+    )
+    tk = {
+        r["q_id"]: r["neighbor_id"] for r in _global_topk(pairs_tk, k=1).collect()
+    }
+    assert tk == dict(oracle), tk
+
+
+def test_similarity_queries_agree_on_all_tied_corpus(spark, tmp_path):
+    """The three rotation-named similarity queries (VERDICT r08 item 2:
+    q_similarity_topk, q_similarity_topk_pandas, q_ann_lsh_topk) must
+    match their oracles on an all-identical-vector corpus — every sim
+    ties at exactly 1.0, so ANY rank-key or tie-break drift between the
+    Spark builder and the DuckDB oracle surfaces as a value mismatch."""
+    rng = np.random.default_rng(11)
+    one = rng.normal(0, 0.1, 64)
+    sf_dir = str(tmp_path / "emb_all_tied")
+    spark.createDataFrame(
+        [(i, [float(x) for x in one], 0) for i in range(30)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    con = _con(sf_dir, ("embeddings",))
+    for name in ("q_similarity_topk", "q_similarity_topk_pandas", "q_ann_lsh_topk"):
+        spec = SPECS[name]
+        diff = compare_query(spark, con, name, spec.builder, spec.oracle, sf_dir)
+        assert diff is None, f"{name}: {diff}"
