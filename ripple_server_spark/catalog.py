@@ -52,3 +52,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql callers)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_topic_view(
+    spark: SparkSession,
+    root: str,
+    topic: str,
+    view: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """SQL access to a ripple_topic log: register a TEMP VIEW over
+    ``spark.read.format("ripple_topic")`` with the reader options baked
+    in, and return the DataFrame behind it.
+
+    This is the supported SQL-DDL path. ``CREATE TABLE ... USING
+    ripple_topic OPTIONS (...)`` resolves the schema with the options
+    but Spark never delivers OPTIONS back to a *Python* data source
+    reader at scan time, so scans from such a table fail with the
+    option-required error (sources/datasource._required_opt). A view
+    closes that hole: the options live in the view's plan, SQL callers
+    query it like any table, and every scan goes through the normal
+    batch reader (bucket pruning, seq row-group filters intact).
+
+    Extra reader options pass through verbatim (e.g.
+    ``start_at="consumer:analytics"`` for offset-anchored reads).
+    The view is session-scoped, like every temp view — re-register
+    after a new session, exactly as with ``register_views``.
+    """
+    reader = (
+        spark.read.format("ripple_topic")
+        .option("root", root)
+        .option("topic", topic)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    df.createOrReplaceTempView(view or topic)
+    return df

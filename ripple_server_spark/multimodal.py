@@ -374,32 +374,132 @@ def dhash_bands(payloads: DataFrame) -> DataFrame:
     boundary (ValueError for malformed recognized formats)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         from ripple_server_spark.codecs import open_image
 
         for pdf in batches:
             rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                im = open_image(bytes(payload)).resize(9, 8)
-                a = im.arr
-                if a.shape[2] >= 3:
-                    gray = (
-                        a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
-                    )
-                else:
-                    gray = a[:, :, 0].astype(np.float64)
-                bits = (gray[:, :8] > gray[:, 1:]).astype(np.int64)
+                vals = _dhash_band_values(open_image(bytes(payload)))
                 rows["doc_id"].append(int(doc_id))
-                for i in range(4):
-                    v = 0
-                    for rr in range(2):
-                        for c in range(8):
-                            v |= int(bits[2 * i + rr, c]) << (rr * 8 + c)
+                for i, v in enumerate(vals):
                     rows[f"b{i}"].append(v)
             yield pd.DataFrame(rows)
 
     return payloads.select("doc_id", "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def _dhash_band_values(im) -> list[int]:
+    """dHash signature of one decoded :class:`ImageHandle` as four
+    16-bit band values — THE dHash bit contract shared by the image
+    and video kernels (resize to 9x8, Rec.601 gray, bit = "brighter
+    than right neighbor", band i packs rows 2i..2i+1 little-endian).
+    The DuckDB oracles recompute exactly this packing."""
+    import numpy as np
+
+    a = im.resize(9, 8).arr
+    if a.shape[2] >= 3:
+        gray = a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+    else:
+        gray = a[:, :, 0].astype(np.float64)
+    bits = (gray[:, :8] > gray[:, 1:]).astype(np.int64)
+    vals = []
+    for i in range(4):
+        v = 0
+        for rr in range(2):
+            for c in range(8):
+                v |= int(bits[2 * i + rr, c]) << (rr * 8 + c)
+        vals.append(v)
+    return vals
+
+
+VIDEO_DHASH_SCHEMA = "doc_id long, frame_idx long, b0 long, b1 long, b2 long, b3 long"
+
+
+def synth_gray_video_payloads(docs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic grayscale YUV4MPEG2 payloads from doc ids — the
+    video counterpart of :func:`synth_gray_payloads`, built so an
+    ORACLE can recompute every sampled pixel: frame f's pixel (r, c)
+    is the first byte of md5(vid_key:f:r:c), where vid_key = doc_id
+    except that every doc_id % 4 == 1 document REUSES its
+    predecessor's frames with pixel (0, 0) of frame 0 inverted — a
+    planted near-duplicate repost (one edited frame, rest identical).
+    Encoding goes through the engine's real y4m encoder, so downstream
+    consumers exercise the actual lazy-slice decode path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ripple_server_spark.codecs import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                vid_key = doc_id - 1 if doc_id % 4 == 1 else doc_id
+                frames = []
+                for f in range(n_frames):
+                    px = np.empty((8, 9), dtype=np.uint8)
+                    for r in range(8):
+                        for c in range(9):
+                            h = hashlib.md5(
+                                f"{vid_key}:{f}:{r}:{c}".encode()
+                            ).hexdigest()
+                            px[r, c] = int(h[:2], 16)
+                    if doc_id % 4 == 1 and f == 0:
+                        px[0, 0] = 255 - px[0, 0]  # the planted edit
+                    frames.append(px)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
+
+
+def video_dhash_bands(payloads: DataFrame, n_sample: int = 2) -> DataFrame:
+    """Per-video sampled-frame dHash signatures over REAL decoded
+    frames — the video near-dup signature clip-scale pipelines run
+    (sample k frames evenly, perceptual-hash each): decode via
+    codecs.open_video (the y4m backend slices ONLY the sampled lumas,
+    so hashing k of N frames reads k rasters), then
+    :func:`_dhash_band_values` per sampled frame. Output is one row
+    per (video, sampled frame): (doc_id, frame_idx, b0..b3).
+
+    Frame indices follow the shared even-stride rule
+    idx = (k * total) // m with m = min(n_sample, total) — the same
+    sampling :func:`frame_sample_batch` uses, so oracles can recompute
+    which frames were hashed. Banding per frame gives the pigeonhole
+    guarantee FRAME-wise: a frame pair at hamming <= 3 shares at least
+    one identical (frame_idx, band, value) key."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ripple_server_spark.codecs import open_video
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "b0": [],
+                "b1": [],
+                "b2": [],
+                "b3": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # absent media emits zero frame rows
+                vid = open_video(bytes(payload))
+                total = vid.n_frames
+                m = min(n_sample, total)
+                for k in range(m):
+                    idx = (k * total) // m
+                    vals = _dhash_band_values(vid.frame(idx))
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(idx)
+                    for i, v in enumerate(vals):
+                        rows[f"b{i}"].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, VIDEO_DHASH_SCHEMA
+    )
 
 
 AUDIO_META_SCHEMA = (

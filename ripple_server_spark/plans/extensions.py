@@ -1241,6 +1241,139 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_video_dedup_dhash",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS vid_key,
+             (doc_id % 4 = 1) AS variant
+      FROM documents
+    ),
+    frames AS (SELECT unnest([0, 2]) AS f),
+    grid AS (
+      SELECT r, c
+      FROM (SELECT unnest(range(8)) AS r), (SELECT unnest(range(9)) AS c)
+    ),
+    px AS (
+      SELECT d.doc_id, fr.f, g.r, g.c,
+             CASE WHEN d.variant AND fr.f = 0 AND g.r = 0 AND g.c = 0
+                  THEN 255 - ('0x' || substr(md5(CAST(d.vid_key AS VARCHAR)
+                       || ':' || fr.f || ':' || g.r || ':' || g.c), 1, 2))::INT
+                  ELSE ('0x' || substr(md5(CAST(d.vid_key AS VARCHAR)
+                       || ':' || fr.f || ':' || g.r || ':' || g.c), 1, 2))::INT END AS v
+      FROM docs d CROSS JOIN frames fr CROSS JOIN grid g
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f, a.r, a.c,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.f = a.f AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    bands AS (
+      SELECT doc_id, f, r // 2 AS band,
+             sum(CAST(bit AS BIGINT) << ((r % 2) * 8 + c)) AS bv
+      FROM bits GROUP BY doc_id, f, r // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.f = b.f AND a.band = b.band AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b, ba.f,
+             CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS h
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.doc_a
+      JOIN bands bb ON bb.doc_id = c.doc_b AND bb.f = ba.f AND bb.band = ba.band
+      GROUP BY c.doc_a, c.doc_b, ba.f
+    )
+    SELECT doc_a, doc_b, hamming_total FROM (
+      SELECT doc_a, doc_b,
+             sum(CASE WHEN h <= 3 THEN 1 ELSE 0 END) AS n_close,
+             CAST(sum(h) AS BIGINT) AS hamming_total
+      FROM ham GROUP BY doc_a, doc_b
+    ) WHERE n_close = 2
+    """,
+    tags=("dedup", "multimodal", "video", "phash"),
+)
+def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup via sampled-frame perceptual hashing — the clip
+    counterpart of q_image_dedup_dhash and the pass LAION-video-style
+    pipelines run before training (a repost with one edited frame must
+    land next to its original). Composes the two existing kernels with
+    zero new hash surface: the y4m frame sampler (even stride, decodes
+    ONLY the sampled lumas — k rasters read of N) feeds the shared
+    dHash band contract (multimodal._dhash_band_values), then a
+    (frame_idx, band, value) equi-join generates candidates and a
+    per-frame bit_count(xor) verify keeps pairs where EVERY sampled
+    frame is within hamming 3.
+
+    Pixels go through the engine's REAL codec chain: synthesized
+    4-frame 9x8 grayscale YUV4MPEG2 (every pixel md5-derived so the
+    oracle recomputes it exactly; every doc_id % 4 == 1 video is a
+    planted repost of its predecessor with one pixel of frame 0
+    edited), encoded with encode_y4m, decoded with open_video inside
+    the Arrow kernel.
+
+    Scale shape: hashing is a map-side Arrow pass emitting 2 frames x
+    4 bands = 8 rows of 16-bit values per video REGARDLESS of clip
+    length or resolution; candidates come from equi-joins on
+    (frame_idx, band, value) — pigeonhole gives frame-wise recall at
+    hamming <= 3 — never an all-pairs compare; verification is
+    bit_count(xor) on 8 ints per candidate pair. At 100 TB the band
+    join is the only shuffle and its input is 8 rows per video, so it
+    scales with the CATALOG, never with pixel data."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands_wide = mm.video_dhash_bands(
+        mm.synth_gray_video_payloads(docs, n_frames=4), n_sample=2
+    )
+    long = bands_wide.select(
+        "doc_id",
+        "frame_idx",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ba = long.select(
+        F.col("doc_id").alias("doc_a"), "frame_idx", "band", F.col("bv").alias("bva")
+    )
+    bb = long.select(
+        F.col("doc_id").alias("doc_b"), "frame_idx", "band", F.col("bv").alias("bvb")
+    )
+    per_frame = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "frame_idx", "band"])
+        .groupBy("doc_a", "doc_b", "frame_idx")
+        .agg(F.sum(F.bit_count(F.expr("bva ^ bvb"))).alias("h"))
+    )
+    return (
+        per_frame.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("h") <= 3, 1).otherwise(0)).alias("n_close"),
+            F.sum("h").cast("bigint").alias("hamming_total"),
+        )
+        .filter(F.col("n_close") == 2)
+        .select("doc_a", "doc_b", "hamming_total")
+    )
+
+
+@query(
     "q_audio_energy_windows",
     oracle="""
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),

@@ -307,9 +307,9 @@ def _required_opt(options: dict, key: str) -> str:
             f"ripple_topic: option {key!r} is required. (If this scan "
             "came from a SQL table created with CREATE TABLE ... USING "
             "ripple_topic, note Spark does not pass OPTIONS to Python "
-            "data source readers at scan time — read via "
-            "spark.read.format('ripple_topic') and register a VIEW "
-            "instead.)"
+            "data source readers at scan time — register a view with "
+            "ripple_server_spark.catalog.register_topic_view(spark, "
+            "root, topic) and query that instead.)"
         )
     return v
 

@@ -795,6 +795,43 @@ class TopicStore:
         )
         return batch, offset + delivered
 
+    def assign_buckets(
+        self, topic: str, group_id: str, n_members: int
+    ) -> dict[str, list[int]]:
+        """Deterministic bucket -> member partition for N batch
+        consumers SHARING a topic (the Kafka range assignor): member k
+        of group ``group_id`` owns a contiguous run of buckets, every
+        bucket is owned by exactly one member, and runs differ in size
+        by at most one. Returns {"<group_id>-<k>": [buckets...]}.
+
+        This is an EXTENSION beyond the reference, whose consumers are
+        fan-out-only (every /consumers/<id> independently sees the full
+        stream, core.go:77-85) — but bucket splitting is the first
+        operational question a real user asks of a partitioned log.
+        The assignment composes with the existing per-consumer offset
+        surface: each member id is an ordinary consumer (register /
+        consume / commit per owned bucket), so offsets stay independent
+        and a member crash replays only its own buckets. Pure function
+        of (n_buckets, group_id, n_members) — every member computes the
+        same split with no coordination, exactly why Kafka's range
+        assignor needs no state either. Rebalancing = calling again
+        with a new n_members and draining from the members' committed
+        offsets (same at-least-once contract as any consumer restart).
+        """
+        if n_members < 1:
+            raise ValueError(f"assign_buckets: n_members must be >= 1, got {n_members}")
+        n_buckets = int(self.topic_meta(topic)["n_buckets"])
+        base, extra = divmod(n_buckets, n_members)
+        out: dict[str, list[int]] = {}
+        start = 0
+        for k in range(n_members):
+            size = base + (1 if k < extra else 0)
+            member = f"{group_id}-{k}"
+            out[member] = list(range(start, start + size))
+            start += size
+            self.register_consumer(member, topic)
+        return out
+
     def commit(self, consumer_id: str, topic: str, bucket: int, offset: int) -> None:
         """Atomically persist a consumer offset (tmp-file + rename — the
         single-writer-per-consumer model the reference also assumes)."""

@@ -1426,3 +1426,34 @@ def test_handover_legacy_checkpoint_without_stamp_still_works(
             f.write("\n".join(out))
     got = commit_stream_position(st, ckpt, "leg", "legacy")
     assert got == {b: mx + 1 for b, mx in st._bucket_maxima("leg").items()}
+
+
+def test_register_topic_view_gives_sql_access(spark, sf_dir, tmp_path):
+    """register_topic_view (the supported SQL-DDL path): SQL over the
+    registered view works with bucket pruning intact, extra reader
+    options pass through, and the option-required error a CREATE TABLE
+    ... USING ripple_topic scan hits points at the helper."""
+    from ripple_server_spark.catalog import register_topic_view
+
+    st = TopicStore(spark, str(tmp_path / "view_topics"))
+    st.create_topic("sqlt", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 120), "sqlt")
+    spark.dataSource.register(RippleTopicDataSource)
+
+    df = register_topic_view(spark, st.root, "sqlt")
+    got = spark.sql(
+        "SELECT bucket, count(*) AS n FROM sqlt GROUP BY bucket ORDER BY bucket"
+    ).collect()
+    assert sum(r["n"] for r in got) == 120
+    assert df.count() == 120
+    # custom view name + pass-through option (per-bucket offset floor)
+    register_topic_view(spark, st.root, "sqlt", view="sqlt_tail", offset="10")
+    tail = spark.sql("SELECT count(*) AS n FROM sqlt_tail").first()["n"]
+    expect = spark.sql(
+        "SELECT count(*) AS n FROM sqlt WHERE seq >= 10"
+    ).first()["n"]
+    assert tail == expect < 120
+    # the SQL-table scan failure names the helper
+    with pytest.raises(Exception, match="register_topic_view"):
+        spark.read.format("ripple_topic").options(topic="sqlt").load().count()

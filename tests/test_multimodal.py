@@ -651,3 +651,54 @@ def test_real_audio_path_end_to_end_no_media_library(spark):
         i = bad.index(b"fmt ") + 8
         bad[i] = 3  # IEEE float: out of profile
         open_audio(bytes(bad))
+
+
+def test_video_dhash_bands_sampling_and_planted_pair(spark):
+    """video_dhash_bands: (a) emits exactly the even-stride frame
+    indices ((k*total)//m — 0 and 2 for 4-frame clips sampled at 2) so
+    oracles can recompute which frames were hashed; (b) a planted
+    repost (identical frames, one pixel of frame 0 edited) lands
+    within hamming <= 3 on EVERY sampled frame, while unrelated videos
+    do not collide on all frames; (c) the image and video kernels
+    share one dHash bit contract (same raster -> same band values)."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    bands = mm.video_dhash_bands(
+        mm.synth_gray_video_payloads(docs, n_frames=4), n_sample=2
+    )
+    rows = bands.collect()
+    # (a) two rows per video at frame indices {0, 2}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = (
+            r["b0"], r["b1"], r["b2"], r["b3"],
+        )
+    assert set(by_doc) == set(range(8))
+    assert all(set(f) == {0, 2} for f in by_doc.values())
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    # (b) planted pairs (0,1), (4,5): frame 2 identical, frame 0 <= 3
+    for orig, rep in ((0, 1), (4, 5)):
+        assert by_doc[orig][2] == by_doc[rep][2]
+        assert ham(by_doc[orig][0], by_doc[rep][0]) <= 3
+    # unrelated videos: at least one sampled frame far apart
+    assert max(
+        ham(by_doc[0][f], by_doc[2][f]) for f in (0, 2)
+    ) > 3
+
+    # (c) shared bit contract: hashing frame 2's raster through the
+    # IMAGE kernel's helper gives the video kernel's band values
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ripple_server_spark.codecs import ImageHandle
+
+    px = np.empty((8, 9), dtype=np.uint8)
+    for r in range(8):
+        for c in range(9):
+            px[r, c] = int(_hl.md5(f"0:2:{r}:{c}".encode()).hexdigest()[:2], 16)
+    assert tuple(mm._dhash_band_values(ImageHandle(px))) == by_doc[0][2]

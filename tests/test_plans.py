@@ -566,3 +566,17 @@ def test_image_dhash_candidates_are_band_equijoins(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "bit_count" in p
+
+
+def test_video_dhash_candidates_are_frame_band_equijoins(spark):
+    """Video dHash near-dup candidates must come from
+    (frame_idx, band, value) equi-joins (frame-wise pigeonhole LSH),
+    never a cartesian or nested-loop pair enumeration; verification is
+    bit_count over eight ints per pair. The plan must also show the
+    per-frame verify keyed on (doc, frame_idx, band) — the shape that
+    scales with the catalog, not pixel data."""
+    p = plan(build(spark, "q_video_dedup_dhash"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bit_count" in p
+    assert "frame_idx" in p

@@ -585,3 +585,48 @@ def test_expand_buckets_grows_routing_without_rebalance(spark, sf_dir, tmp_path)
     # consumer cursor survives: resumes exactly where it committed
     batch2, _n2 = st.consume("c-ex", "ex", bucket=0, count=5)
     assert batch2.agg(F.min("seq")).first()[0] == nxt
+
+
+def test_assign_buckets_range_assignor(spark, sf_dir, tmp_path):
+    """assign_buckets (Kafka range-assignor extension): N members split
+    a topic's buckets into contiguous, disjoint, exhaustive runs (sizes
+    differ by <= 1); the assignment is a pure function (every member
+    computes the same split); and members are ordinary consumers whose
+    commits stay independent — 2 members x 4 buckets drain the topic
+    with disjoint coverage and no row seen twice across the group."""
+    st = TopicStore(spark, str(tmp_path / "grp_topics"))
+    st.create_topic("g1", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    st.produce(ev, "g1")
+
+    asg = st.assign_buckets("g1", "workers", 2)
+    assert asg == {"workers-0": [0, 1], "workers-1": [2, 3]}
+    # pure function: recomputing (any member, any process) agrees
+    assert st.assign_buckets("g1", "workers", 2) == asg
+    # uneven split: sizes differ by at most one, coverage exhaustive
+    asg3 = st.assign_buckets("g1", "w3", 3)
+    sizes = sorted(len(v) for v in asg3.values())
+    assert sizes == [1, 1, 2]
+    assert sorted(b for v in asg3.values() for b in v) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="n_members"):
+        st.assign_buckets("g1", "w0", 0)
+
+    # group drain: disjoint coverage, exactly-once across the group
+    seen: dict[tuple[int, int], str] = {}
+    for member, buckets in asg.items():
+        for b in buckets:
+            batch, nxt = st.consume(member, "g1", bucket=b, count=10_000)
+            for r in batch.select("bucket", "seq").collect():
+                key = (r["bucket"], r["seq"])
+                assert key not in seen, f"{key} seen by {seen[key]} and {member}"
+                seen[key] = member
+            st.commit(member, "g1", b, nxt)
+    assert len(seen) == 200
+    # commits are independent per member: each member only has offsets
+    # for ITS buckets; a member restart replays nothing already committed
+    for member, buckets in asg.items():
+        offs = st.committed_offsets(member, "g1")
+        assert set(offs) == set(buckets)
+        for b in buckets:
+            batch, _ = st.consume(member, "g1", bucket=b, count=10_000)
+            assert batch.count() == 0
