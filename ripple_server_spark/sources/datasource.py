@@ -374,13 +374,16 @@ def _subscription(options: dict) -> tuple[list[str], bool]:
     - ``topic``: a name or comma-separated list; multi_schema (the
       ``topic`` attribution column + nested stream offsets) iff the
       deduped list has >1 name;
-    - ``subscribePattern``: a regex resolved against ``topics/`` ONCE
-      at query start — no dynamic topic discovery mid-query, the same
-      rule as changing a fixed list on an existing checkpoint (a topic
-      created after the query starts joins on the next restart).
-      Pattern subscriptions ALWAYS take the multi-topic path, even on
-      a single match, so the schema a pattern yields is stable as the
-      topic set grows.
+    - ``subscribePattern``: a regex resolved against ``topics/`` here
+      at query start; the STREAMING multi reader then re-resolves it
+      at every trigger boundary and admits newly-created matching
+      topics mid-query (Kafka connector parity — see
+      RippleTopicMultiStreamReader). Batch reads resolve once. An
+      initially-empty match set is still an error in both modes (the
+      query would otherwise run against nothing silently). Pattern
+      subscriptions ALWAYS take the multi-topic path, even on a single
+      match, so the schema a pattern yields is stable as the topic set
+      grows.
     """
     topic = options.get("topic")
     pattern = options.get("subscribepattern") or options.get("subscribePattern")
@@ -395,8 +398,9 @@ def _subscription(options: dict) -> tuple[list[str], bool]:
         if not matched:
             raise ValueError(
                 f"subscribePattern {pattern!r} matches no topics under "
-                f"{tdir} (resolution happens at query start; topics are "
-                "not discovered mid-query)"
+                f"{tdir} at query start (a running STREAM discovers "
+                "topics created later at trigger boundaries, but starting "
+                "against an empty match set is an error)"
             )
         return matched, True
     if topic is None:
@@ -745,30 +749,82 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
     nested per-topic dict of the sub-readers' offsets, so each topic
     keeps its own cursors, pinned manifest version, admission cap, and
     crash-replay semantics, while the query sees one unioned stream
-    with a ``topic`` column. Changing the subscription list of an
-    existing checkpoint is not supported (same rule as Kafka): topics
-    absent from a checkpointed offset start empty and replay from
-    their initial position only on a fresh checkpoint."""
+    with a ``topic`` column.
+
+    Subscription dynamics (Kafka connector parity):
+
+    - ``topic`` list: fixed. Changing the list of an existing
+      checkpoint is not supported (same rule as Kafka): topics absent
+      from a checkpointed offset start empty and replay from their
+      initial position only on a fresh checkpoint.
+    - ``subscribePattern``: the regex re-resolves at every
+      ``latestOffset`` (trigger boundary), so a topic created
+      mid-query is admitted into the next trigger's nested offset and
+      delivers its FULL retained log (new topics start at their
+      floor — Kafka's new-partition earliest rule — regardless of
+      ``start_at``, which governs only the initially-matched set).
+      Once admitted, a topic is never dropped: the pattern can only
+      stop matching a topic by the topic being deleted, and deleting a
+      subscribed log mid-query fails loudly (same contract as fixed
+      lists). Recovery is checkpoint-driven: ``partitions`` and
+      ``commit`` materialize sub-readers from the OFFSET's topic keys,
+      so a restarted query replays discovered topics exactly without
+      re-running discovery first.
+    """
 
     def __init__(self, options: dict):
         self.topics, _multi = _subscription(options)
-        sub_opts = {k: v for k, v in options.items() if k.lower() != "subscribepattern"}
-        self._subs = {
-            t: RippleTopicPartitionedStreamReader({**sub_opts, "topic": t})
-            for t in self.topics
+        self._root = _required_opt(options, "root")
+        self._pattern = options.get("subscribepattern") or options.get(
+            "subscribePattern"
+        )
+        self._sub_opts = {
+            k: v for k, v in options.items() if k.lower() != "subscribepattern"
         }
+        self._subs = {t: self._make_sub(t) for t in self.topics}
+
+    def _make_sub(self, topic: str) -> RippleTopicPartitionedStreamReader:
+        return RippleTopicPartitionedStreamReader(
+            {**self._sub_opts, "topic": topic}
+        )
+
+    def _sub(self, topic: str) -> RippleTopicPartitionedStreamReader:
+        r = self._subs.get(topic)
+        if r is None:  # discovered mid-query, or recovered from offsets
+            r = self._make_sub(topic)
+            self._subs[topic] = r
+        return r
+
+    def _discover(self) -> None:
+        """Admit topics that newly match the pattern (trigger-boundary
+        discovery). A fresh sub-reader's first offer is its full
+        retained log (uncapped catch-up), which is exactly the
+        new-topic-at-earliest admission Kafka performs."""
+        if not self._pattern:
+            return
+        import re
+
+        tdir = os.path.join(self._root, "topics")
+        names = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
+        for n in names:
+            if n not in self._subs and re.fullmatch(self._pattern, n):
+                self._sub(n)
 
     def initialOffset(self) -> dict:
         return {t: r.initialOffset() for t, r in self._subs.items()}
 
     def latestOffset(self) -> dict:
+        self._discover()
         return {t: r.latestOffset() for t, r in self._subs.items()}
 
     def partitions(self, start: dict, end: dict) -> list[BucketPartition]:
         parts: list[BucketPartition] = []
         empty = {"cursors": "{}"}
-        for t, r in self._subs.items():
-            for p in r.partitions(start.get(t, empty), end.get(t, empty)):
+        # END's topic keys drive (not self._subs): crash recovery calls
+        # partitions() straight from checkpointed offsets, which may
+        # name topics discovered in a previous incarnation
+        for t in end:
+            for p in self._sub(t).partitions(start.get(t, empty), end[t]):
                 p.topic = t
                 parts.append(p)
         return parts
@@ -779,9 +835,8 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
         return _read_bucket_arrow(partition)
 
     def commit(self, end: dict) -> None:
-        for t, r in self._subs.items():
-            if t in end:
-                r.commit(end[t])
+        for t in end:
+            self._sub(t).commit(end[t])
 
 
 class RippleTopicDataSource(DataSource):

@@ -1457,3 +1457,51 @@ def test_register_topic_view_gives_sql_access(spark, sf_dir, tmp_path):
     # the SQL-table scan failure names the helper
     with pytest.raises(Exception, match="register_topic_view"):
         spark.read.format("ripple_topic").options(topic="sqlt").load().count()
+
+
+def test_subscribe_pattern_discovers_new_topic_mid_stream(spark, sf_dir, tmp_path):
+    """VERDICT r08 item 5 (Kafka connector parity): a topic created
+    AFTER a subscribePattern stream starts is admitted at the next
+    trigger boundary and delivers its full retained log exactly once —
+    no restart needed; the pre-existing topics keep their cursors."""
+    st = TopicStore(spark, str(tmp_path / "disc_topics"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("disc_a", n_buckets=2)
+    st.produce(_wave(ev, 0, 60), "disc_a")
+    spark.dataSource.register(RippleTopicDataSource)
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("subscribePattern", "disc_.*")
+        .load()
+        .writeStream.format("memory")
+        .queryName("m_disc")
+        .option("checkpointLocation", str(tmp_path / "disc_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) c FROM m_disc").first()["c"] == 60
+        )
+        # create a MATCHING topic mid-query + append to the old one
+        st.create_topic("disc_b", n_buckets=2)
+        st.produce(_wave(ev, 200, 280), "disc_b")
+        st.produce(_wave(ev, 60, 90), "disc_a")
+        q.processAllAvailable()
+        # a non-matching topic is never admitted
+        st.create_topic("other_c", n_buckets=2)
+        st.produce(_wave(ev, 300, 310), "other_c")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT topic, bucket, seq, count(*) c FROM m_disc GROUP BY 1, 2, 3"
+    ).collect()
+    assert all(r["c"] == 1 for r in got), "duplicate delivery"
+    per_topic = {}
+    for r in got:
+        per_topic[r["topic"]] = per_topic.get(r["topic"], 0) + 1
+    assert per_topic == {"disc_a": 90, "disc_b": 80}, per_topic
