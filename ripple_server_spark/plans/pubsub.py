@@ -1180,3 +1180,137 @@ def q_bucket_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(xor_fingerprint48("cast(event_id as string)")).alias("ids_hash"),
         )
     )
+
+
+@query(
+    "q_consumer_group_drain",
+    oracle="""
+    SELECT 'grp-' || CAST(CASE WHEN b < 3 THEN 0
+                               WHEN b < 6 THEN 1
+                               ELSE 2 END AS VARCHAR) AS member,
+           count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                       || event_type), 1, 12))::BIGINT)
+               AS content_hash
+    FROM (
+        SELECT coalesce(user_id, 0) % 8 AS b, event_id, event_type
+        FROM events WHERE event_id < 2000
+    )
+    GROUP BY 1
+    """,
+    tags=("pubsub", "consumer", "group", "assignor"),
+)
+def q_consumer_group_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-GROUP drain via the range assignor
+    (TopicStore.assign_buckets — extension beyond the reference's
+    fan-out-only consumers, /consumers/<id> core.go:77-85): three
+    members split an 8-bucket topic into contiguous runs ([0-2],
+    [3-5], [6-7] — Kafka's range assignor), each member consume()s
+    ONLY its owned buckets and commits, and the per-member xor
+    fingerprint proves the group collectively saw every produced row
+    exactly once with zero overlap: any row delivered to two members
+    (or none) flips exactly one member's hash vs the oracle's
+    bucket->member recomputation.
+
+    Scale: each consume is a bucket-pruned tail read (partition filter
+    + seq row-group floor); the assignment itself is a pure function
+    of (n_buckets, group, n_members) — no coordination state, so N
+    members scale without a rebalance protocol."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_group_drain_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("gd", n_buckets=8)
+    store.produce(ev, "gd", key_col="user_id")
+    assignment = store.assign_buckets("gd", "grp", 3)
+    drained = []
+    for member, buckets in assignment.items():
+        for b in buckets:
+            batch, nxt = store.consume(member, "gd", bucket=b, count=1_000_000)
+            store.commit(member, "gd", b, nxt)
+            drained.append(
+                batch.select("event_id", "event_type").withColumn(
+                    "member", F.lit(member)
+                )
+            )
+    out = drained[0]
+    for d in drained[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("member").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            xor_fingerprint48("concat(cast(event_id as string), ':', event_type)")
+        ).alias("content_hash"),
+    )
+
+
+@query(
+    "q_topic_sql_view",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT)
+               AS ids_hash
+    FROM events WHERE event_id < 1500
+    GROUP BY event_type
+    """,
+    tags=("pubsub", "sql", "catalog", "view"),
+)
+def q_topic_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DDL access to a topic log (catalog.register_topic_view —
+    the supported path around Spark's CREATE TABLE ... USING
+    <python-datasource> OPTIONS hole, where OPTIONS never reach the
+    Python reader at scan time): produce a batch, register the view,
+    and aggregate it with spark.sql as an ordinary table. The xor
+    fingerprint proves the SQL plan saw exactly the produced rows
+    through the DataSource read path (bucket files from the manifest,
+    not directory listing).
+
+    Scale: the view is a plan wrapper — filters/projections written in
+    SQL still push into the DataSource scan exactly as through the
+    DataFrame reader."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.catalog import register_topic_view
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+
+    spark.dataSource.register(RippleTopicDataSource)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1500)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_sql_view_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("sv", n_buckets=8)
+    store.produce(ev, "sv")
+    register_topic_view(spark, root, "sv", view="ripple_sql_view_t")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               count(*) AS n_rows,
+               {xor_fingerprint48("cast(event_id as string)")} AS ids_hash
+        FROM ripple_sql_view_t
+        GROUP BY event_type
+        """
+    )
