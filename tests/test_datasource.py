@@ -1505,3 +1505,60 @@ def test_subscribe_pattern_discovers_new_topic_mid_stream(spark, sf_dir, tmp_pat
     for r in got:
         per_topic[r["topic"]] = per_topic.get(r["topic"], 0) + 1
     assert per_topic == {"disc_a": 90, "disc_b": 80}, per_topic
+
+
+def test_subscribe_pattern_discovery_survives_restart(spark, sf_dir, tmp_path):
+    """Recovery leg of mid-stream discovery: after a pattern stream
+    discovers a topic and stops, a restart from the same checkpoint
+    (a) replays nothing, (b) keeps consuming BOTH topics — the
+    partitions()/commit() path must materialize sub-readers from the
+    checkpointed offset's topic keys, since the restarted reader never
+    ran discovery for the old topics."""
+    st = TopicStore(spark, str(tmp_path / "rst_topics"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("rst_a", n_buckets=2)
+    st.produce(_wave(ev, 0, 50), "rst_a")
+    spark.dataSource.register(RippleTopicDataSource)
+    ck = str(tmp_path / "rst_ck")
+    delivered: list[tuple[str, int, int]] = []
+
+    def sink(df, _epoch):
+        delivered.extend(
+            (r["topic"], r["bucket"], r["seq"])
+            for r in df.select("topic", "bucket", "seq").collect()
+        )
+
+    def start():
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("subscribePattern", "rst_.*")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        st.create_topic("rst_b", n_buckets=2)
+        st.produce(_wave(ev, 100, 160), "rst_b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart: produce to BOTH topics, same checkpoint
+    st.produce(_wave(ev, 50, 80), "rst_a")
+    st.produce(_wave(ev, 160, 200), "rst_b")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(delivered) == len(set(delivered)), "replay across restart"
+    per_topic = {}
+    for t, _b, _s in delivered:
+        per_topic[t] = per_topic.get(t, 0) + 1
+    assert per_topic == {"rst_a": 80, "rst_b": 100}, per_topic
