@@ -574,13 +574,22 @@ def audio_energy_windows(payloads: DataFrame, n_windows: int = 8) -> DataFrame:
     )
 
 
-def synth_audio_payloads(docs: DataFrame, n_samples: int = 800) -> DataFrame:
+def synth_audio_payloads(
+    docs: DataFrame, n_samples: int = 800, plant_dups: bool = False
+) -> DataFrame:
     """Deterministic mono 16-bit WAV payloads from doc ids (the audio
     counterpart of synth_gray_payloads): sample i of doc d is
     md5-derived ((first 4 hex of md5('a:<d>:<i>')) mod 65536 - 32768),
     so an oracle recomputes every sample — and the payload goes
     through the engine's real WAV encoder, so consumers exercise the
-    actual decode path."""
+    actual decode path.
+
+    ``plant_dups=True`` makes every doc_id % 4 == 1 document a planted
+    NEAR-duplicate repost of its predecessor: it reuses the
+    predecessor's sample stream except the first 100 samples (window 0
+    at the energy kernel's default windowing), which are redrawn from
+    the 'e:' digest prefix — one edited intro, the rest identical,
+    exactly the clipped-reupload shape audio dedup exists to catch."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -591,14 +600,22 @@ def synth_audio_payloads(docs: DataFrame, n_samples: int = 800) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                vals = np.array(
-                    [
-                        int(hashlib.md5(f"a:{d}:{i}".encode()).hexdigest()[:4], 16)
+                key = d - 1 if plant_dups and d % 4 == 1 else d
+                variant = plant_dups and d % 4 == 1
+
+                def sample(i: int) -> int:
+                    pfx = "e" if variant and i < 100 else "a"
+                    return (
+                        int(
+                            hashlib.md5(f"{pfx}:{key}:{i}".encode()).hexdigest()[:4],
+                            16,
+                        )
                         % 65536
                         - 32768
-                        for i in range(n_samples)
-                    ],
-                    dtype=np.int32,
+                    )
+
+                vals = np.array(
+                    [sample(i) for i in range(n_samples)], dtype=np.int32
                 )
                 payloads.append(encode_wav(vals, rate=8000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -1411,3 +1411,109 @@ def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     return mm.audio_energy_windows(mm.synth_audio_payloads(docs), n_windows=8)
+
+
+@query(
+    "q_audio_dedup_fingerprint",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS akey,
+             (doc_id % 4 = 1) AS variant
+      FROM documents WHERE doc_id < 600
+    ),
+    idx AS (SELECT doc_id, akey, variant, unnest(range(800)) AS i FROM d),
+    s AS (
+      SELECT doc_id, i // 100 AS win,
+             CASE WHEN variant AND i < 100
+                  THEN ('0x' || substr(md5('e:' || CAST(akey AS VARCHAR) || ':'
+                       || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768
+                  ELSE ('0x' || substr(md5('a:' || CAST(akey AS VARCHAR) || ':'
+                       || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 END AS v
+      FROM idx
+    ),
+    sig AS (
+      SELECT doc_id, CAST(win AS BIGINT) AS win,
+             CAST(sum(v * v) AS BIGINT) AS e
+      FROM s GROUP BY doc_id, win
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.win = b.win AND a.e = b.e AND a.doc_id < b.doc_id
+    ),
+    eq AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN sa.e = sb.e THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_equal_windows
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.win = sa.win
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_equal_windows FROM eq WHERE n_equal_windows >= 7
+    """,
+    tags=("dedup", "multimodal", "audio", "fingerprint"),
+)
+def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup via windowed-energy fingerprinting — the audio
+    leg of the modality dedup square (text/URL/image/video already
+    have dedup queries; audio had only the energy feature): a
+    re-uploaded clip with an edited intro must land next to its
+    original, which byte hashing misses. Every payload goes through
+    the engine's REAL codec chain — synthesized 800-sample 16-bit WAVs
+    (every PCM sample md5-derived so the oracle recomputes it; every
+    doc_id % 4 == 1 clip is a planted repost of its predecessor with
+    the first window's samples redrawn), encoded with the RIFF writer,
+    decoded with the numpy WAV parser inside the Arrow kernel — then
+    the 8-window INTEGER energy signature (audio_energy_windows),
+    (win, energy) equi-join candidates, and a per-pair
+    equal-window count keeping pairs that agree on >= 7 of 8 windows.
+
+    Integer energies make the whole pipeline exact cross-engine, and
+    pigeonhole gives recall: a pair differing in at most one window
+    shares at least 7 exact (win, energy) keys.
+
+    Scale shape: the signature is 8 integers per clip REGARDLESS of
+    duration or sample rate (decode + one integer reduction,
+    map-side); candidates come from equi-joins on (win, 64-bit
+    energy) — essentially collision-free keys, so candidate volume
+    tracks true duplicates; verification is 8 integer comparisons per
+    pair. At 100 TB the join input is 8 rows per clip: it scales with
+    the catalog, never with waveform data."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    sig = mm.audio_energy_windows(
+        mm.synth_audio_payloads(docs, plant_dups=True), n_windows=8
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.energy_sq") == F.col("b.energy_sq"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "win", F.col("energy_sq").alias("ea")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "win", F.col("energy_sq").alias("eb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "win"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ea") == F.col("eb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_equal_windows")
+        )
+        .filter(F.col("n_equal_windows") >= 7)
+    )

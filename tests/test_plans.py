@@ -580,3 +580,13 @@ def test_video_dhash_candidates_are_frame_band_equijoins(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "bit_count" in p
     assert "frame_idx" in p
+
+
+def test_audio_dedup_candidates_are_window_energy_equijoins(spark):
+    """Audio fingerprint near-dup candidates must come from
+    (window, integer-energy) equi-joins, never a cartesian or
+    nested-loop pair enumeration."""
+    p = plan(build(spark, "q_audio_dedup_fingerprint"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "energy_sq" in p
