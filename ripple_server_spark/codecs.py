@@ -202,6 +202,73 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, from
+# the public PNG specification §8.2. Each pass is an independently
+# filtered sub-image; empty passes (dimension 0) contribute no bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` filtered scanlines (each ``1 + stride`` bytes:
+    filter type + data) into the raw byte raster — the five PNG filters
+    over BYTES with the left neighbor at distance ``bpp``. Shared by
+    the sequential and Adam7 paths (each Adam7 pass unfilters as its
+    own sub-image). Sub/Up are vectorized; Average/Paeth carry a
+    per-pixel left dependency and run as per-row loops — fine for the
+    thumbnail-sized images this in-container path exists for."""
+    rows = raw.reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    w_px = stride // bpp
+    for y in range(h):
+        ft, line = int(filters[y]), lines[y]
+        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            recon[y] = line
+        elif ft == 1:  # Sub: prefix sum per byte lane, mod 256
+            lanes = line.reshape(w_px, bpp).astype(np.int64)
+            recon[y] = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            recon[y] = line + prior  # uint8 wraps mod 256
+        elif ft == 3:  # Average (left dependency: per-pixel loop)
+            out = recon[y]
+            for x in range(stride):
+                left = int(out[x - bpp]) if x >= bpp else 0
+                out[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth (left dependency: per-pixel loop)
+            out = recon[y]
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                up = int(prior[x])
+                c = int(recon[y - 1][x - bpp]) if (x >= bpp and y) else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                out[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {ft} at row {y}")
+    return recon
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-pass (x0, y0, dx, dy, pass_w, pass_h), empty passes skipped."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def parse_png(b: bytes) -> ImageHandle | None:
     """Decode PNG bytes -> ImageHandle with stdlib zlib + numpy; None
     when the magic says this is not PNG; ValueError on
@@ -209,21 +276,20 @@ def parse_png(b: bytes) -> ImageHandle | None:
 
     Covers the baseline still-image profile: 8- and 16-bit samples,
     color types 0/2/3/4/6 (palette via PLTE lookup), all five scanline
-    filters, non-interlaced. 16-bit rasters (common in scientific
-    corpora) are filter-reconstructed at full byte precision — PNG
-    filters operate on BYTES with the left neighbor at bpp =
-    channels x bytes-per-sample — then scaled to the uniform uint8
-    handle by taking each big-endian sample's HIGH byte (v >> 8, the
-    exact inverse of the v*257 8->16 expansion; Pillow's I;16->L uses
-    the same convention). Rejected with ValueError: sub-byte depths,
-    16-bit palette (invalid per spec), Adam7 interlace (a
-    progressive-rendering layout irrelevant to pipeline payloads),
-    missing PLTE. Chunk CRCs are not verified
-    (lenient, like most decoders — zlib's own checksum still guards
-    the pixel data). Filters Sub/Up are vectorized; Average/Paeth
-    carry a per-pixel left dependency and run as per-row loops — fine
-    for the thumbnail-sized images this in-container path exists for;
-    Pillow remains the preferred bulk backend when installed.
+    filters, sequential AND Adam7-interlaced layouts (each interlace
+    pass unfilters as its own sub-image, then scatters onto the full
+    raster by the §8.2 pass grid — round 9; previously a documented
+    rejection). 16-bit rasters (common in scientific corpora) are
+    filter-reconstructed at full byte precision — PNG filters operate
+    on BYTES with the left neighbor at bpp = channels x
+    bytes-per-sample — then scaled to the uniform uint8 handle by
+    taking each big-endian sample's HIGH byte (v >> 8, the exact
+    inverse of the v*257 8->16 expansion; Pillow's I;16->L uses the
+    same convention). Rejected with ValueError: sub-byte depths,
+    16-bit palette (invalid per spec), missing PLTE. Chunk CRCs are
+    not verified (lenient, like most decoders — zlib's own checksum
+    still guards the pixel data). Pillow remains the preferred bulk
+    backend when installed.
     """
     import zlib
 
@@ -268,8 +334,8 @@ def parse_png(b: bytes) -> ImageHandle | None:
         raise ValueError(f"png: unsupported color type {ctype}")
     if depth == 16 and ctype == 3:
         raise ValueError("png: 16-bit palette images are invalid per spec")
-    if interlace:
-        raise ValueError("png: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     if not idat:
         raise ValueError("png: missing IDAT")
     ch = _PNG_CHANNELS[ctype]
@@ -281,40 +347,27 @@ def parse_png(b: bytes) -> ImageHandle | None:
         # other codec here, never a backend-specific exception type
         raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
     stride = w * bpp
-    if raw.size != h * (stride + 1):
-        raise ValueError(
-            f"png: raster size {raw.size} != {h}x(1+{stride}) expected"
-        )
-    rows = raw.reshape(h, stride + 1)
-    filters, lines = rows[:, 0], rows[:, 1:]
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ft, line = int(filters[y]), lines[y]
-        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if ft == 0:  # None
-            recon[y] = line
-        elif ft == 1:  # Sub: prefix sum per byte lane, mod 256
-            lanes = line.reshape(w, bpp).astype(np.int64)
-            recon[y] = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up
-            recon[y] = line + prior  # uint8 wraps mod 256
-        elif ft == 3:  # Average (left dependency: per-pixel loop)
-            out = recon[y]
-            for x in range(stride):
-                left = int(out[x - bpp]) if x >= bpp else 0
-                out[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
-        elif ft == 4:  # Paeth (left dependency: per-pixel loop)
-            out = recon[y]
-            for x in range(stride):
-                a = int(out[x - bpp]) if x >= bpp else 0
-                up = int(prior[x])
-                c = int(recon[y - 1][x - bpp]) if (x >= bpp and y) else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                out[x] = (int(line[x]) + pred) % 256
-        else:
-            raise ValueError(f"png: unknown filter type {ft} at row {y}")
+    if interlace:
+        passes = _adam7_dims(w, h)
+        expect = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+        if raw.size != expect:
+            raise ValueError(
+                f"png: interlaced raster size {raw.size} != {expect} expected"
+            )
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            npass = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[pos : pos + npass], ph, pw * bpp, bpp)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            pos += npass
+        recon = full.reshape(h, stride)
+    else:
+        if raw.size != h * (stride + 1):
+            raise ValueError(
+                f"png: raster size {raw.size} != {h}x(1+{stride}) expected"
+            )
+        recon = _png_unfilter(raw, h, stride, bpp)
     if depth == 16:
         # scale-to-8 policy: the HIGH byte of each big-endian sample
         # (v >> 8), the exact inverse of the v*257 8->16 expansion
@@ -331,12 +384,15 @@ def parse_png(b: bytes) -> ImageHandle | None:
     return ImageHandle(arr, prefer_png=True)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, c) uint8 (or uint16 -> bit-depth-16, big-endian samples)
     -> PNG bytes (stdlib zlib, filter None, one IDAT): deterministic
     across environments — the test/fixture and re-encode counterpart
     of :func:`parse_png`, same role encode_netpbm plays for the raw
-    formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA."""
+    formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA.
+    ``interlace=True`` writes the Adam7 layout (per-pass sub-rasters in
+    §8.2 pass order, filter None rows) — the round-trip counterpart of
+    the parser's interlaced path."""
     import zlib
 
     arr = np.asarray(arr)
@@ -363,12 +419,25 @@ def encode_png(arr: np.ndarray) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([depth, ctype, 0, 0, 0])
+        + bytes([depth, ctype, 0, 0, int(bool(interlace))])
     )
-    lines = arr.reshape(h, -1).view(np.uint8).reshape(h, -1)  # big-endian bytes
-    raster = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), lines], axis=1
-    ).tobytes()
+    bpp = c * (depth // 8)
+    pixels = arr.reshape(h, -1).view(np.uint8).reshape(h, w, bpp)  # BE bytes
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(w, h):
+            sub = pixels[y0::dy, x0::dx, :].reshape(ph, pw * bpp)
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), dtype=np.uint8), sub], axis=1
+                ).tobytes()
+            )
+        raster = b"".join(parts)
+    else:
+        lines = pixels.reshape(h, -1)
+        raster = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), lines], axis=1
+        ).tobytes()
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

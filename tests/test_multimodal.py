@@ -436,7 +436,15 @@ def test_png_codec_roundtrip_filters_and_edges():
     with _pytest.raises(ValueError, match="interlace"):
         bad = bytearray(_filtered_png(arr, [0] * 9))
         bad[28] = 1  # IHDR interlace byte (8 sig + 8 hdr + 13th data byte)
-        # CRC not checked, so the tampered header is what the parser sees
+        # CRC not checked, so the tampered header is what the parser
+        # sees: a SEQUENTIAL raster under an Adam7 header has the wrong
+        # per-pass byte count and must fail loudly (r09: Adam7 itself
+        # now decodes — the error moved from 'not supported' to the
+        # interlaced size check), never decode scrambled pixels
+        parse_png(bytes(bad))
+    with _pytest.raises(ValueError, match="interlace"):
+        bad = bytearray(_filtered_png(arr, [0] * 9))
+        bad[28] = 2  # unknown interlace METHOD stays a loud rejection
         parse_png(bytes(bad))
     with _pytest.raises(ValueError, match="corrupt IDAT"):
         # zero 8 bytes INSIDE the zlib stream (IDAT data starts at
@@ -702,3 +710,31 @@ def test_video_dhash_bands_sampling_and_planted_pair(spark):
         for c in range(9):
             px[r, c] = int(_hl.md5(f"0:2:{r}:{c}".encode()).hexdigest()[:2], 16)
     assert tuple(mm._dhash_band_values(ImageHandle(px))) == by_doc[0][2]
+
+
+@pytest.mark.skipif(
+    os.environ.get("RIPPLE_REAL_CODECS") != "1",
+    reason="real-codec cross-check: set RIPPLE_REAL_CODECS=1 with Pillow",
+)
+def test_png_adam7_cross_checks_pillow():
+    """Adam7 cross-validation against a REAL decoder: our interlaced
+    PNG output must decode to the same pixels under Pillow (which
+    reads Adam7 but cannot write it, so the cross-check runs in the
+    our-encoder -> their-decoder direction) across sizes covering
+    every pass-grid residue class."""
+    import io
+
+    import numpy as np
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    rng = np.random.default_rng(5)
+    for w, h in ((13, 9), (8, 8), (3, 2), (1, 1), (20, 5), (7, 31)):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_png(arr, interlace=True)
+        back = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        assert np.array_equal(back, arr), (w, h)
+        # and our own parser agrees with Pillow on the same bytes
+        assert np.array_equal(parse_png(payload).arr, back), (w, h)

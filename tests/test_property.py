@@ -621,3 +621,48 @@ def test_wav_roundtrip_property(arr):
     h = parse_wav(encode_wav(data, rate=8000, sample_width=width))
     assert h.sample_width == width and h.rate == 8000
     assert np.array_equal(h.data, data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arr=st.integers(1, 4).flatmap(
+        lambda c: hnp.arrays(
+            dtype="uint8",
+            shape=st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(c)),
+        )
+    )
+)
+def test_png_adam7_roundtrip_property(arr):
+    """encode_png(interlace=True) -> parse_png is byte-lossless on
+    arbitrary uint8 rasters for every channel count — fuzzes the Adam7
+    pass grid over every (w mod 8, h mod 8) residue class, including
+    the degenerate sizes where most passes are empty (w or h < 8)."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    out = parse_png(encode_png(arr, interlace=True))
+    got = out.arr if out.arr.ndim == 3 else out.arr[:, :, None]
+    assert got.shape == arr.shape
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype="uint16",
+        shape=st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3)),
+    )
+)
+def test_png_adam7_16bit_roundtrip_property(arr):
+    """Adam7 + 16-bit: per-pass byte unfiltering must keep bpp =
+    channels x 2 so the high-byte scale-to-8 policy sees the samples
+    big-endian-aligned — the interaction the sequential 16-bit test
+    cannot cover."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    out = parse_png(encode_png(arr, interlace=True))
+    assert out.arr.shape == arr.shape
+    assert np.array_equal(out.arr, (arr >> 8).astype("uint8"))
