@@ -1314,3 +1314,87 @@ def q_topic_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "q_seek_to_timestamp",
+    oracle="""
+    WITH routed AS (
+      SELECT CAST(coalesce(user_id, 0) % 8 AS BIGINT) AS bucket,
+             event_id, ts
+      FROM events WHERE event_id < 3000
+    )
+    SELECT bucket,
+           CAST(sum(CASE WHEN epoch_ms(ts) < 1705276800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS start_seq,
+           CAST(sum(CASE WHEN epoch_ms(ts) >= 1705276800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rows,
+           coalesce(bit_xor(CASE WHEN epoch_ms(ts) >= 1705276800000
+               THEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+               END), 0) AS ids_hash
+    FROM routed GROUP BY bucket
+    """,
+    tags=("pubsub", "consumer", "timestamp", "seek"),
+)
+def q_seek_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-anchored consumer positioning (Kafka offsetsForTimes +
+    seek, TopicStore.offsets_for_times/seek_to_timestamp): produce a
+    month of events, seek a consumer to 2024-01-15T00:00Z, and verify
+    the committed offsets land on EXACTLY the first at/after-T message
+    per bucket. The oracle recomputes both sides from first
+    principles: start_seq must equal the count of before-T rows (seq
+    order IS (ts, event_id) order per bucket — the produce invariant
+    that makes time seeks exact), and the from-offset read must hash
+    to exactly the at/after-T rows. The emitted rows come from the
+    COMMITTED offsets joined back against the log, not from a ts
+    filter, so a wrong offset surfaces as a hash/count mismatch.
+
+    Scale: offsets_for_times is one job whose ts predicate pushes into
+    the parquet scan (row-group pruning below T) + a per-bucket
+    min(seq) partial agg; the replay read is bucket-pruned with the
+    seq floor in row-group stats."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    T_MS = 1705276800000  # 2024-01-15T00:00:00Z
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_seek_ts_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("tt", n_buckets=8)
+    store.produce(ev, "tt", key_col="user_id")
+    offsets = store.seek_to_timestamp("time-traveler", "tt", T_MS)
+    # read FROM the committed offsets (broadcast the 8-row offset map),
+    # not from a ts filter — this is what proves the seek landed right
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in sorted(offsets.items())], "bucket int, start_seq long"
+    )
+    log = store.read_topic("tt")
+    return (
+        log.join(F.broadcast(off_df), "bucket")
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.first("start_seq").alias("start_seq"),
+            F.sum(F.when(F.col("seq") >= F.col("start_seq"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(CASE WHEN seq >= start_seq THEN "
+                    "cast(conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10) as bigint)"
+                    " END)"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("ids_hash"),
+        )
+    )

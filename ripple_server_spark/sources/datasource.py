@@ -290,7 +290,9 @@ def _latest_cursors(root: str, topic: str) -> dict[str, int]:
     return {b: mx + 1 for b, mx in maxima.items()}
 
 
-_START_AT_DOC = "start_at must be earliest|latest|consumer:<id>, got "
+_START_AT_DOC = (
+    "start_at must be earliest|latest|consumer:<id>|timestamp:<epoch_ms>, got "
+)
 
 
 def _required_opt(options: dict, key: str) -> str:
@@ -323,9 +325,13 @@ def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
     that consumer's committed offsets point (TopicStore.commit writes
     next-seq cursors, the same unit as stream offsets; an unregistered
     or never-committed consumer starts at 0 per bucket, matching
-    register_consumer's contract)."""
+    register_consumer's contract). ``timestamp:<epoch_ms>`` starts at
+    the first event at/after that instant per bucket (Kafka
+    offsetsForTimes — see :func:`_timestamp_cursors`)."""
     if start_at == "latest":
         return _latest_cursors(root, topic)
+    if start_at.startswith("timestamp:"):
+        return _timestamp_cursors(root, topic, int(start_at.split(":", 1)[1]))
     if start_at.startswith("consumer:"):
         consumer_id = start_at.split(":", 1)[1]
         path = os.path.join(root, "offsets", f"{consumer_id}--{topic}.json")
@@ -336,9 +342,50 @@ def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
     return {}
 
 
+def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
+    """Kafka ``offsetsForTimes`` parity: per-bucket first seq whose
+    event ``ts`` is >= the given epoch-millisecond instant; buckets
+    with nothing at/after it start at their high-water mark (tail
+    only, Kafka's null-offset-means-end convention).
+
+    Exact by the produce invariant: per-bucket seq order IS (ts,
+    event_id) order, so ts is non-decreasing in seq and "first seq
+    with ts >= T" replays exactly the rows with ts >= T. One
+    column-pruned (seq, ts) read per bucket, once at query start —
+    never on the per-trigger path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    _, maxima, _ = _log_bounds(root, topic)
+    cursors = {b: mx + 1 for b, mx in maxima.items()}  # default: tail
+    for b, files in _bucket_files(root, topic):
+        tbl = ds.dataset(files, format="parquet").to_table(columns=["seq", "ts"])
+        if not tbl.num_rows:
+            continue
+        # floor-truncate to epoch ms by hand: a direct cast to
+        # timestamp[ms] raises on sub-ms precision loss (pyarrow is
+        # strict), and floor_temporal only floors, never re-units
+        t = tbl.column("ts").combine_chunks()
+        unit = t.type.unit
+        div = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+        raw = pc.cast(t, pa.int64())
+        ms = pc.divide(raw, div) if div > 1 else raw
+        if unit == "s":
+            ms = pc.multiply(raw, 1000)
+        seqs = pc.filter(tbl.column("seq"), pc.greater_equal(ms, epoch_ms))
+        if len(seqs):
+            cursors[str(b)] = int(pc.min(seqs).as_py())
+    return cursors
+
+
 def _check_start_at(start_at: str) -> str:
     if start_at not in ("earliest", "latest") and not (
-        start_at.startswith("consumer:") and len(start_at) > len("consumer:")
+        (start_at.startswith("consumer:") and len(start_at) > len("consumer:"))
+        or (
+            start_at.startswith("timestamp:")
+            and start_at.split(":", 1)[1].lstrip("-").isdigit()
+        )
     ):
         raise ValueError(_START_AT_DOC + repr(start_at))
     if start_at.startswith("consumer:"):

@@ -795,6 +795,47 @@ class TopicStore:
         )
         return batch, offset + delivered
 
+    def offsets_for_times(self, topic: str, epoch_ms: int) -> dict[int, int]:
+        """Kafka ``offsetsForTimes``: per-bucket offset of the FIRST
+        message whose event ``ts`` is at/after the epoch-millisecond
+        instant; buckets with nothing at/after it map to their
+        high-water mark (Kafka's null-offset-means-end convention).
+
+        Exact by the produce invariant — per-bucket seq order IS
+        (ts, event_id) order, so ts is non-decreasing in seq and the
+        returned offset replays exactly the rows with ts >= T. One
+        Spark job: the ts predicate pushes into the parquet scan
+        (row-group stats prune below-T row groups), then a per-bucket
+        min(seq) partial agg — O(matching rows), never a full sort."""
+        got = {
+            int(r["bucket"]): int(r["o"])
+            for r in (
+                self.read_topic(topic)
+                .filter(F.unix_millis(F.col("ts")) >= int(epoch_ms))
+                .groupBy("bucket")
+                .agg(F.min("seq").alias("o"))
+                .collect()
+            )
+        }
+        maxima = self._bucket_maxima(topic)
+        return {b: got.get(b, mx + 1) for b, mx in maxima.items()}
+
+    def seek_to_timestamp(
+        self, consumer_id: str, topic: str, epoch_ms: int
+    ) -> dict[int, int]:
+        """Position a batch consumer at a point in TIME (Kafka
+        ``offsetsForTimes`` + ``seek``): registers the consumer and
+        commits every bucket's timestamp offset, so the next
+        ``consume`` serves exactly the messages at/after the instant.
+        Returns the committed {bucket: offset} map. The streaming
+        analog is the ``ripple_topic`` source's
+        ``start_at=timestamp:<epoch_ms>`` option."""
+        offsets = self.offsets_for_times(topic, epoch_ms)
+        self.register_consumer(consumer_id, topic)
+        for b, o in offsets.items():
+            self.commit(consumer_id, topic, b, o)
+        return offsets
+
     def assign_buckets(
         self, topic: str, group_id: str, n_members: int
     ) -> dict[str, list[int]]:

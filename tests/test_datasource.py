@@ -1562,3 +1562,70 @@ def test_subscribe_pattern_discovery_survives_restart(spark, sf_dir, tmp_path):
     for t, _b, _s in delivered:
         per_topic[t] = per_topic.get(t, 0) + 1
     assert per_topic == {"rst_a": 80, "rst_b": 100}, per_topic
+
+
+@pytest.mark.parametrize("tier", ["partitioned", "simple"])
+def test_stream_starts_at_timestamp(spark, sf_dir, tmp_path, tier):
+    """start_at=timestamp:<epoch_ms> (Kafka offsetsForTimes parity,
+    both reader tiers): the first checkpoint's cursors land on the
+    first at/after-T message per bucket, so the stream delivers
+    exactly the rows with ts >= T — and a bucket with nothing after T
+    starts at its high-water mark instead of replaying."""
+    st = TopicStore(spark, str(tmp_path / f"ts_topics_{tier}"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("ts1", n_buckets=4)
+    st.produce(ev, "ts1")  # full fixture month: T lands mid-stream
+    spark.dataSource.register(RippleTopicDataSource)
+    t_ms = 1705276800000  # 2024-01-15T00:00:00Z, mid-fixture
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "ts1")
+        .option("start_at", f"timestamp:{t_ms}")
+        .option("reader_tier", tier)
+        .load()
+        .writeStream.format("memory")
+        .queryName(f"m_ts_{tier}")
+        .option("checkpointLocation", str(tmp_path / f"ck_ts_{tier}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["bucket"], r["seq"])
+        for r in spark.sql(f"SELECT bucket, seq FROM m_ts_{tier}").collect()
+    }
+    expect = {
+        (r["bucket"], r["seq"])
+        for r in st.read_topic("ts1")
+        .filter(F.unix_millis("ts") >= t_ms)
+        .select("bucket", "seq")
+        .collect()
+    }
+    assert got == expect and expect  # exact at/after-T replay
+    # batch surface agrees: offsets_for_times == first delivered seqs
+    offs = st.offsets_for_times("ts1", t_ms)
+    first = {}
+    for b, s in got:
+        first[b] = min(s, first.get(b, 1 << 60))
+    for b, o in offs.items():
+        assert first.get(b, st._bucket_maxima("ts1")[b] + 1) == o
+    # a far-future T tails (nothing replayed), per-bucket HWM offsets
+    future = st.offsets_for_times("ts1", 4102444800000)  # 2100-01-01
+    assert future == {b: mx + 1 for b, mx in st._bucket_maxima("ts1").items()}
+    # malformed timestamps are loud
+    with pytest.raises(Exception, match="start_at must be"):
+        spark.read.format("ripple_topic").option("root", st.root).option(
+            "topic", "ts1"
+        )  # batch reader has no start_at; validate via stream reader class
+        from ripple_server_spark.sources.datasource import (
+            RippleTopicPartitionedStreamReader,
+        )
+
+        RippleTopicPartitionedStreamReader(
+            {"root": st.root, "topic": "ts1", "start_at": "timestamp:tomorrow"}
+        )
