@@ -1420,7 +1420,7 @@ def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS akey,
              (doc_id % 4 = 1) AS variant
-      FROM documents WHERE doc_id < 600
+      FROM documents
     ),
     idx AS (SELECT doc_id, akey, variant, unnest(range(800)) AS i FROM d),
     s AS (
@@ -1483,7 +1483,10 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the catalog, never with waveform data."""
     from ripple_server_spark import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    # no doc cap (unlike q_audio_energy_windows, whose oracle cost is
+    # bounded for the driver): dedup must scale with the corpus, and
+    # the scale experiments replicate documents past any fixed id
+    docs = load_table(spark, sf_dir, "documents")
     sig = mm.audio_energy_windows(
         mm.synth_audio_payloads(docs, plant_dups=True), n_windows=8
     )

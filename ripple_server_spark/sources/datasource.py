@@ -351,8 +351,10 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
     Exact by the produce invariant: per-bucket seq order IS (ts,
     event_id) order, so ts is non-decreasing in seq and "first seq
     with ts >= T" replays exactly the rows with ts >= T. One
-    column-pruned (seq, ts) read per bucket, once at query start —
-    never on the per-trigger path."""
+    column-pruned (seq, ts) read per bucket with the ts predicate
+    PUSHED into the dataset scan (row-group stats prune everything
+    below T, so the read is O(tail), never the retained log — review
+    r09), once at query start — never on the per-trigger path."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
@@ -360,31 +362,36 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
     _, maxima, _ = _log_bounds(root, topic)
     cursors = {b: mx + 1 for b, mx in maxima.items()}  # default: tail
     for b, files in _bucket_files(root, topic):
-        tbl = ds.dataset(files, format="parquet").to_table(columns=["seq", "ts"])
-        if not tbl.num_rows:
-            continue
-        # floor-truncate to epoch ms by hand: a direct cast to
-        # timestamp[ms] raises on sub-ms precision loss (pyarrow is
-        # strict), and floor_temporal only floors, never re-units
-        t = tbl.column("ts").combine_chunks()
-        unit = t.type.unit
-        div = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
-        raw = pc.cast(t, pa.int64())
-        ms = pc.divide(raw, div) if div > 1 else raw
-        if unit == "s":
-            ms = pc.multiply(raw, 1000)
-        seqs = pc.filter(tbl.column("seq"), pc.greater_equal(ms, epoch_ms))
-        if len(seqs):
-            cursors[str(b)] = int(pc.min(seqs).as_py())
+        dset = ds.dataset(files, format="parquet")
+        ts_type = dset.schema.field("ts").type
+        # T as a scalar in the COLUMN's own unit/tz (ms -> unit; tz
+        # attaches verbatim: epoch values are tz-independent), so the
+        # comparison pushes to row-group statistics. ts >= T with T on
+        # an exact ms boundary is equivalent to floor_ms(ts) >= T_ms.
+        mult = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}[ts_type.unit]
+        if mult is None:  # second-precision column: ceil-divide T
+            t_scalar = pa.scalar(-(-epoch_ms // 1000), type=ts_type)
+        else:
+            t_scalar = pa.scalar(epoch_ms * mult, type=ts_type)
+        tbl = dset.to_table(
+            columns=["seq"], filter=pc.field("ts") >= t_scalar
+        )
+        if tbl.num_rows:
+            cursors[str(b)] = int(pc.min(tbl.column("seq")).as_py())
     return cursors
 
 
 def _check_start_at(start_at: str) -> str:
+    import re
+
     if start_at not in ("earliest", "latest") and not (
         (start_at.startswith("consumer:") and len(start_at) > len("consumer:"))
         or (
             start_at.startswith("timestamp:")
-            and start_at.split(":", 1)[1].lstrip("-").isdigit()
+            # a real integer literal, not merely digit-bearing: lstrip
+            # would admit 'timestamp:--5' and crash int() later with an
+            # internals error instead of this documented one
+            and re.fullmatch(r"-?\d+", start_at.split(":", 1)[1])
         )
     ):
         raise ValueError(_START_AT_DOC + repr(start_at))
@@ -842,6 +849,33 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
             self._subs[topic] = r
         return r
 
+    def _offset_topics(self, end: dict) -> list[str]:
+        """The offset keys this reader may serve. Pattern mode trusts
+        the checkpoint (every key was discovered under this pattern);
+        a FIXED list must filter to its subscription — a checkpoint
+        written with topic="a,b" then restarted with topic="a" would
+        otherwise resurrect "b" via _sub() and keep serving an
+        unsubscribed topic forever (review r09)."""
+        if self._pattern:
+            return list(end)
+        return [t for t in end if t in self._subs]
+
+    def _topic_ready(self, topic: str) -> bool:
+        """A topic is admissible once its on-disk layout is complete:
+        a committed manifest, or (legacy manifest-less) a data dir.
+        create_topic makes the topic dir, data/ and manifest v1 in
+        separate syscalls, so a concurrent _discover() listing can see
+        the bare directory mid-create — admitting it then would crash
+        this trigger's latestOffset on the missing pieces; waiting one
+        trigger is the correct race outcome (review r09)."""
+        base = os.path.join(self._root, "topics", topic)
+        try:
+            if any(n.endswith(".json") for n in os.listdir(os.path.join(base, "_log"))):
+                return True
+        except OSError:
+            pass
+        return os.path.isdir(os.path.join(base, "data"))
+
     def _discover(self) -> None:
         """Admit topics that newly match the pattern (trigger-boundary
         discovery). A fresh sub-reader's first offer is its full
@@ -854,7 +888,11 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
         tdir = os.path.join(self._root, "topics")
         names = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
         for n in names:
-            if n not in self._subs and re.fullmatch(self._pattern, n):
+            if (
+                n not in self._subs
+                and re.fullmatch(self._pattern, n)
+                and self._topic_ready(n)
+            ):
                 self._sub(n)
 
     def initialOffset(self) -> dict:
@@ -867,10 +905,11 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[BucketPartition]:
         parts: list[BucketPartition] = []
         empty = {"cursors": "{}"}
-        # END's topic keys drive (not self._subs): crash recovery calls
-        # partitions() straight from checkpointed offsets, which may
-        # name topics discovered in a previous incarnation
-        for t in end:
+        # END's topic keys drive (filtered to the subscription): crash
+        # recovery calls partitions() straight from checkpointed
+        # offsets, which may name topics discovered in a previous
+        # incarnation (pattern mode materializes their sub-readers here)
+        for t in self._offset_topics(end):
             for p in self._sub(t).partitions(start.get(t, empty), end[t]):
                 p.topic = t
                 parts.append(p)
@@ -882,7 +921,7 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
         return _read_bucket_arrow(partition)
 
     def commit(self, end: dict) -> None:
-        for t in end:
+        for t in self._offset_topics(end):
             self._sub(t).commit(end[t])
 
 

@@ -331,7 +331,10 @@ class TopicStore:
         the applied-batch id become visible in the SAME manifest
         commit, so a crash anywhere before the commit leaves only
         orphan files no reader sees (vacuum reclaims them) and the
-        retry re-appends cleanly. Applied ids are bounded (last 1000).
+        retry re-appends cleanly. Applied ids are bounded (the last
+        ``config.APPLIED_IDS_KEEP`` = 4096 — the SAME window the native
+        sink keeps, so neither commit path can shrink the other's
+        exactly-once replay horizon).
 
         NULL routing keys land in bucket 0 (the deterministic analog of
         Kafka's null-key routing): pmod(NULL) is NULL, which would
@@ -453,15 +456,13 @@ class TopicStore:
                 mx[str(b)] = state["maxima"][b]
             m["maxima"] = mx
             # the empty-batch early return above guarantees staged files
-            # exist here, so the batch schema always lands on disk
-            prev = m.get("schema")
-            if prev is None:
-                m["schema"] = fields
-            elif set(prev) != set(fields):
-                m["schema"] = list(prev) + [
-                    f for f in fields if f not in prev
-                ]
-                m["schema_evolved"] = True
+            # exist here, so the batch schema always lands on disk.
+            # ONE schema-merge policy for both producers of this
+            # manifest (the sink's helper): a drift between the two
+            # paths silently de-synchronizes the evolution flag
+            from ripple_server_spark.sources.datasink import _merge_schema
+
+            _merge_schema(m, fields)
             if batch_id is not None:
                 # retention MUST match the native sink's window
                 # (config.APPLIED_IDS_KEEP): a shorter truncation here

@@ -1629,3 +1629,65 @@ def test_stream_starts_at_timestamp(spark, sf_dir, tmp_path, tier):
         RippleTopicPartitionedStreamReader(
             {"root": st.root, "topic": "ts1", "start_at": "timestamp:tomorrow"}
         )
+
+
+def test_fixed_list_restart_does_not_resurrect_removed_topic(
+    spark, sf_dir, tmp_path
+):
+    """Review r09: restarting a checkpoint written with topic="a,b"
+    under topic="a,c" must NOT keep serving "b" — the checkpointed
+    offset still names it, but a FIXED-list reader only serves its
+    current subscription (pattern mode is the one that trusts offset
+    keys); the newly-listed "c" joins from its retained log."""
+    st = TopicStore(spark, str(tmp_path / "shrink_topics"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("shr_a", n_buckets=2)
+    st.create_topic("shr_b", n_buckets=2)
+    st.create_topic("shr_c", n_buckets=2)
+    st.produce(_wave(ev, 0, 40), "shr_a")
+    st.produce(_wave(ev, 100, 150), "shr_b")
+    spark.dataSource.register(RippleTopicDataSource)
+    ck = str(tmp_path / "shrink_ck")
+    delivered: list[tuple[str, int, int]] = []
+
+    def sink(df, _epoch):
+        delivered.extend(
+            (r["topic"], r["bucket"], r["seq"])
+            for r in df.select("topic", "bucket", "seq").collect()
+        )
+
+    def start(topics):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", topics)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start("shr_a,shr_b")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {t for t, _, _ in delivered} == {"shr_a", "shr_b"}
+    delivered.clear()
+    # restart with "shr_b" dropped and "shr_c" added; produce everywhere
+    st.produce(_wave(ev, 40, 70), "shr_a")
+    st.produce(_wave(ev, 150, 180), "shr_b")
+    st.produce(_wave(ev, 200, 210), "shr_c")
+    q = start("shr_a,shr_c")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {}
+    for t, _b, _s in delivered:
+        got[t] = got.get(t, 0) + 1
+    assert got == {"shr_a": 30, "shr_c": 10}, (
+        f"removed topic resurrected or added topic missed: {got}"
+    )
