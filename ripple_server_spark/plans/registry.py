@@ -323,6 +323,31 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_type_correlation": 8,
     "q_user_type_entropy": 8,
     "q_welch_ttest": 8,
+    # round-9 idle-slot rotation (since=8): with 5 never-verified
+    # queries + 25 queued above, ~20 of the 50-query budget is idle —
+    # rotate the oldest standing rows (green r05, the oldest cohort
+    # after this round's r04 drain). Code UNCHANGED (pure rotation);
+    # overflow past the budget defers automatically.
+    "q_agg_multi": 8,
+    "q_bucket_depth_counts": 8,
+    "q_cdc_apply": 8,
+    "q_consume_offset_range": 8,
+    "q_cube_type_bucket": 8,
+    "q_date_trunc_day": 8,
+    "q_enrich_broadcast_join": 8,
+    "q_fact_join": 8,
+    "q_fanout_replicas": 8,
+    "q_filter_compound": 8,
+    "q_filter_topic_bucket": 8,
+    "q_funnel_conversion": 8,
+    "q_global_rank": 8,
+    "q_join_semi_anti": 8,
+    "q_json_props_extract": 8,
+    "q_latest_event_per_user": 8,
+    "q_min_seq_leader": 8,
+    "q_moving_avg_time": 8,
+    "q_pagerank_types": 8,
+    "q_percentile_value": 8,
 }
 
 
