@@ -55,6 +55,19 @@ SHOWCASE = {
         "Corpus scoring joins stay broadcast (vocab + 1-row total): the "
         "token stream shuffles only at the per-doc aggregate."
     ),
+    "q_video_dedup_dhash": (
+        "Video near-dup: one Arrow kernel pass emits 8 16-bit band rows "
+        "per clip (pixel data never shuffles); candidates come from "
+        "(frame_idx, band, value) hash equi-joins — no CartesianProduct/"
+        "NLJ anywhere — and the verify is bit_count(xor) + two partial "
+        "aggregates on candidate pairs only."
+    ),
+    "q_audio_dedup_fingerprint": (
+        "Audio near-dup: the WAV decode + integer energy signature is "
+        "one map-side Arrow pass (8 rows/clip); candidate generation is "
+        "a (win, energy) hash equi-join on essentially collision-free "
+        "64-bit keys, verification 8 integer comparisons per pair."
+    ),
     "q_span_dedup": (
         "Span dedup: Arrow segmentation kernel (ArrowEvalPython), "
         "broadcast drop join, within-group array_sort reassembly — no "
