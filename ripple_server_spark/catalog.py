@@ -74,11 +74,18 @@ def register_topic_view(
     query it like any table, and every scan goes through the normal
     batch reader (bucket pruning, seq row-group filters intact).
 
-    Extra reader options pass through verbatim (e.g.
-    ``start_at="consumer:analytics"`` for offset-anchored reads).
-    The view is session-scoped, like every temp view — re-register
-    after a new session, exactly as with ``register_views``.
+    Extra reader options pass through verbatim (e.g. ``offset="10"``
+    for a per-bucket floor). The view is session-scoped, like every
+    temp view — re-register after a new session, exactly as with
+    ``register_views``. The helper registers the ``ripple_topic``
+    data source itself (idempotently), so it works in a fresh session
+    without a prior ``spark.dataSource.register`` call — it exists to
+    CLOSE a UX hole, so it must not have a registration prerequisite
+    of its own (review r09).
     """
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+
+    spark.dataSource.register(RippleTopicDataSource)
     reader = (
         spark.read.format("ripple_topic")
         .option("root", root)

@@ -348,13 +348,16 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
     with nothing at/after it start at their high-water mark (tail
     only, Kafka's null-offset-means-end convention).
 
-    Exact by the produce invariant: per-bucket seq order IS (ts,
-    event_id) order, so ts is non-decreasing in seq and "first seq
-    with ts >= T" replays exactly the rows with ts >= T. One
-    column-pruned (seq, ts) read per bucket with the ts predicate
-    PUSHED into the dataset scan (row-group stats prune everything
-    below T, so the read is O(tail), never the retained log — review
-    r09), once at query start — never on the per-trigger path."""
+    Per-bucket seq order is (ts, event_id) order within each produce
+    batch, so the cursor replays exactly the rows with ts >= T when
+    batches arrive in event-time order; late produces carrying earlier
+    timestamps are still replayed (first-at/after-T, Kafka's
+    offsetsForTimes semantics). One column-pruned seq read per bucket
+    with the ts predicate PUSHED into the dataset scan (row-group
+    stats prune below-T row groups) and the min folded over scanner
+    BATCHES — driver memory stays one batch even when T matches the
+    whole retained log (review r09) — once at query start, never on
+    the per-trigger path."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
@@ -373,11 +376,16 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
             t_scalar = pa.scalar(-(-epoch_ms // 1000), type=ts_type)
         else:
             t_scalar = pa.scalar(epoch_ms * mult, type=ts_type)
-        tbl = dset.to_table(
+        lo: int | None = None
+        scanner = dset.scanner(
             columns=["seq"], filter=pc.field("ts") >= t_scalar
         )
-        if tbl.num_rows:
-            cursors[str(b)] = int(pc.min(tbl.column("seq")).as_py())
+        for rb in scanner.to_batches():
+            if rb.num_rows:
+                m = int(pc.min(rb.column("seq")).as_py())
+                lo = m if lo is None else min(lo, m)
+        if lo is not None:
+            cursors[str(b)] = lo
     return cursors
 
 
@@ -406,6 +414,23 @@ def _check_start_at(start_at: str) -> str:
                 "(no path separators or '..')"
             )
     return start_at
+
+
+def _topic_ready(root: str, topic: str) -> bool:
+    """A topic is admissible once its on-disk layout is complete: a
+    committed manifest, or (legacy manifest-less) a data dir.
+    create_topic makes the topic dir, data/ and manifest v1 in
+    separate syscalls, so a concurrent directory listing can see the
+    bare directory mid-create — admitting it then would crash on the
+    missing pieces; skipping it (query-start resolution) or waiting
+    one trigger (discovery) is the correct race outcome (review r09)."""
+    base = os.path.join(root, "topics", topic)
+    try:
+        if any(n.endswith(".json") for n in os.listdir(os.path.join(base, "_log"))):
+            return True
+    except OSError:
+        pass
+    return os.path.isdir(os.path.join(base, "data"))
 
 
 def _topics_list(options: dict) -> list[str]:
@@ -446,9 +471,17 @@ def _subscription(options: dict) -> tuple[list[str], bool]:
     if pattern is not None:
         import re
 
-        tdir = os.path.join(_required_opt(options, "root"), "topics")
+        root = _required_opt(options, "root")
+        tdir = os.path.join(root, "topics")
         names = sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []
-        matched = [n for n in names if re.fullmatch(pattern, n)]
+        # readiness-filtered: a topic whose create is mid-flight (bare
+        # dir, no manifest/data yet) would crash the first read; it
+        # joins at the next (re)resolution instead (review r09)
+        matched = [
+            n
+            for n in names
+            if re.fullmatch(pattern, n) and _topic_ready(root, n)
+        ]
         if not matched:
             raise ValueError(
                 f"subscribePattern {pattern!r} matches no topics under "
@@ -860,22 +893,6 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
             return list(end)
         return [t for t in end if t in self._subs]
 
-    def _topic_ready(self, topic: str) -> bool:
-        """A topic is admissible once its on-disk layout is complete:
-        a committed manifest, or (legacy manifest-less) a data dir.
-        create_topic makes the topic dir, data/ and manifest v1 in
-        separate syscalls, so a concurrent _discover() listing can see
-        the bare directory mid-create — admitting it then would crash
-        this trigger's latestOffset on the missing pieces; waiting one
-        trigger is the correct race outcome (review r09)."""
-        base = os.path.join(self._root, "topics", topic)
-        try:
-            if any(n.endswith(".json") for n in os.listdir(os.path.join(base, "_log"))):
-                return True
-        except OSError:
-            pass
-        return os.path.isdir(os.path.join(base, "data"))
-
     def _discover(self) -> None:
         """Admit topics that newly match the pattern (trigger-boundary
         discovery). A fresh sub-reader's first offer is its full
@@ -891,7 +908,7 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
             if (
                 n not in self._subs
                 and re.fullmatch(self._pattern, n)
-                and self._topic_ready(n)
+                and _topic_ready(self._root, n)
             ):
                 self._sub(n)
 

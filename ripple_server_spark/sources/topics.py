@@ -802,17 +802,26 @@ class TopicStore:
         instant; buckets with nothing at/after it map to their
         high-water mark (Kafka's null-offset-means-end convention).
 
-        Exact by the produce invariant — per-bucket seq order IS
-        (ts, event_id) order, so ts is non-decreasing in seq and the
-        returned offset replays exactly the rows with ts >= T. One
-        Spark job: the ts predicate pushes into the parquet scan
-        (row-group stats prune below-T row groups), then a per-bucket
-        min(seq) partial agg — O(matching rows), never a full sort."""
+        Per-bucket seq order is (ts, event_id) order WITHIN each
+        produce batch (the FIFO arrival analog), so the returned
+        offset replays exactly the rows with ts >= T whenever batches
+        arrive in event-time order; a LATER produce carrying EARLIER
+        timestamps gets higher seqs, and the replay then also includes
+        those pre-T late arrivals — the same over-delivery Kafka's
+        offsetsForTimes has on out-of-order-appended partitions (the
+        offset is "first at/after T", never "only at/after T"). One
+        Spark job: the ts predicate is an attribute-vs-literal compare
+        (NOT a function of ts — that would be unpushable) so it pushes
+        into the parquet scan and row-group stats prune below-T row
+        groups, then a per-bucket min(seq) partial agg — O(matching
+        rows), never a full sort."""
         got = {
             int(r["bucket"]): int(r["o"])
             for r in (
                 self.read_topic(topic)
-                .filter(F.unix_millis(F.col("ts")) >= int(epoch_ms))
+                .filter(
+                    F.col("ts") >= F.timestamp_millis(F.lit(int(epoch_ms)))
+                )
                 .groupBy("bucket")
                 .agg(F.min("seq").alias("o"))
                 .collect()
@@ -827,9 +836,11 @@ class TopicStore:
         """Position a batch consumer at a point in TIME (Kafka
         ``offsetsForTimes`` + ``seek``): registers the consumer and
         commits every bucket's timestamp offset, so the next
-        ``consume`` serves exactly the messages at/after the instant.
-        Returns the committed {bucket: offset} map. The streaming
-        analog is the ``ripple_topic`` source's
+        ``consume`` starts at the first message at/after the instant
+        (see :meth:`offsets_for_times` for the exactness contract —
+        late produces carrying earlier timestamps are still replayed,
+        Kafka's semantics). Returns the committed {bucket: offset}
+        map. The streaming analog is the ``ripple_topic`` source's
         ``start_at=timestamp:<epoch_ms>`` option."""
         offsets = self.offsets_for_times(topic, epoch_ms)
         self.register_consumer(consumer_id, topic)
