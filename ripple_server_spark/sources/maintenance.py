@@ -33,6 +33,7 @@ Safety under concurrency (tests/test_maintenance.py):
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 
 from ripple_server_spark.sources.topics import TopicStore
@@ -59,6 +60,13 @@ class TopicMaintenance:
     granularity, so the retained floor is conservative). ``None``
     disables retention (compact + vacuum only).
 
+    ``retain_ms``: TIME-based retention (Kafka ``retention.ms``) — a
+    cycle ages out files wholly older than ``now - retain_ms`` via
+    ``TopicStore.truncate_before_timestamp``. Composes with
+    ``retain_seqs`` (both None disables retention; both set applies
+    both bounds — whichever retains more is what survives, since each
+    pass only drops files wholly below ITS bound).
+
     ``compact_when_files_over``: compact only when the live file count
     exceeds this; defaults to ``n_buckets`` (the post-compact state is
     exactly one file per non-empty bucket, so more files than buckets
@@ -69,6 +77,7 @@ class TopicMaintenance:
     topic: str
     interval_s: float = 30.0
     retain_seqs: int | None = None
+    retain_ms: int | None = None
     compact_when_files_over: int | None = None
     vacuum_grace_s: float = DEFAULT_VACUUM_GRACE_S
     history: list[CycleStats] = field(default_factory=list)
@@ -94,6 +103,12 @@ class TopicMaintenance:
                     if before > 0:
                         st.truncated_files = self.store.truncate(self.topic, before)
                         v, m = self.store.latest_manifest(self.topic)
+            if self.retain_ms is not None:
+                cutoff_ms = int(time.time() * 1000) - int(self.retain_ms)
+                st.truncated_files += self.store.truncate_before_timestamp(
+                    self.topic, cutoff_ms
+                )
+                v, m = self.store.latest_manifest(self.topic)
             threshold = (
                 self.compact_when_files_over
                 if self.compact_when_files_over is not None

@@ -690,6 +690,32 @@ class TopicStore:
         snapshot readers are unaffected. Compact first for tight floors
         (one file per bucket => exact truncation). Returns files
         dropped."""
+        return self._truncate_bounds(topic, lambda _b: before_seq)
+
+    def truncate_before_timestamp(self, topic: str, epoch_ms: int) -> int:
+        """TIME-based retention (Kafka ``retention.ms``): age out log
+        files wholly older than the epoch-ms instant. Composes the two
+        primitives this log already has — :meth:`offsets_for_times`
+        maps T to each bucket's first at/after-T offset (one Spark job;
+        the ts predicate pushes to the scan), then the seq-granularity
+        file drop reuses :meth:`truncate`'s machinery with that
+        PER-BUCKET bound (seq footer stats only — the topic's INT96
+        timestamps carry no parquet statistics, so seq, which does, is
+        the droppable unit). A file ages out only when every row in it
+        precedes its bucket's at/after-T offset; out-of-order produces
+        (late data with old timestamps above the cutoff seq) are
+        therefore RETAINED, exactly Kafka's offset-granularity
+        retention behavior. Same consistency contract as truncate:
+        floors rise, consumers clamp, vacuum deletes later."""
+        cut = self.offsets_for_times(topic, epoch_ms)
+        return self._truncate_bounds(
+            topic, lambda b: cut.get(int(b), 0)
+        )
+
+    def _truncate_bounds(self, topic: str, bound_for_bucket) -> int:
+        """Shared retention kernel: drop files whose max seq falls
+        below ``bound_for_bucket(bucket)`` (footer stats only), commit
+        risen floors. See :meth:`truncate` for the full contract."""
         import pyarrow.parquet as pq
 
         data = self.data_dir(topic)
@@ -700,6 +726,7 @@ class TopicStore:
         for rel in base["files"]:
             bdir = rel.split("/", 1)[0]
             b = bdir.split("=", 1)[1]
+            before_seq = int(bound_for_bucket(b))
             md = pq.read_metadata(os.path.join(data, rel))
             idx = md.schema.to_arrow_schema().get_field_index("seq")
             stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]

@@ -157,3 +157,45 @@ def test_retention_truncates_and_consumers_resume_at_floor(spark, sf_dir, fresh_
         assert r["mx"] == mx_after[r["bucket"]]
         # contiguity from the retained floor, not 0
         assert r["n"] == r["mx"] - floors.get(r["bucket"], 0) + 1
+
+
+def test_maintenance_time_based_retention(spark, sf_dir, tmp_path):
+    """retain_ms (Kafka retention.ms): a maintenance cycle ages out
+    files wholly older than now - retain_ms and keeps the fresh tail.
+    Fixture events are all from 2024, so any sane retain_ms from 'now'
+    ages out EVERYTHING; a huge retain_ms ages out nothing."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.maintenance import TopicMaintenance
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "ret_ms_topics"))
+    st.create_topic("rm", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.produce(ev.limit(100), "rm")
+    # enormous window: nothing is older than ~100 years
+    keep_all = TopicMaintenance(
+        st, "rm", retain_ms=100 * 365 * 24 * 3600 * 1000, vacuum_grace_s=0.0
+    )
+    s1 = keep_all.run_once()
+    assert s1.error is None and s1.truncated_files == 0
+    assert st.read_topic("rm").count() == 100
+    # 1-day window from now: the 2024 fixture rows all age out
+    drop_all = TopicMaintenance(
+        st, "rm", retain_ms=24 * 3600 * 1000, vacuum_grace_s=0.0
+    )
+    s2 = drop_all.run_once()
+    assert s2.error is None and s2.truncated_files >= 1
+    assert st.read_topic("rm").count() == 0
+    # floors survived: a consumer clamps, and a fresh produce resumes seqs
+    floors = st._bucket_floors("rm")
+    assert any(f > 0 for f in floors.values())
+    st.produce(ev.filter(F.col("event_id") >= 500).limit(20), "rm")
+    assert st.read_topic("rm").count() == 20
+    maxima = st._bucket_maxima("rm")
+    for b, fl in floors.items():
+        if b in maxima:
+            assert maxima[b] >= fl  # seq space continued, no reset to 0

@@ -129,3 +129,56 @@ def test_total_truncation_then_reproduce_continues_seq(spark, sf_dir, tmp_path):
     for r in per:
         assert r["mn"] >= floors[r["bucket"]]  # above the floor, no reset
         assert r["mx"] - r["mn"] + 1 == r["n"]  # contiguous above it
+
+
+def test_truncate_before_timestamp_ages_out_old_files(spark, sf_dir, tmp_path):
+    """retention.ms parity: truncate_before_timestamp composes
+    offsets_for_times (first at/after-T offset per bucket) with the
+    seq-granularity file drop — files wholly older than T age out,
+    everything at/after T survives, floors rise to T's offsets, and a
+    pre-retention consumer clamps to the floor instead of spinning
+    through phantom seqs."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "age_topics"))
+    st.create_topic("age", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # two produce waves split by event time: separate files per bucket,
+    # so the old wave's files are wholly below T and can age out
+    t_ms = 1705276800000  # 2024-01-15T00:00:00Z, mid-fixture
+    old = ev.filter(F.unix_millis("ts") < t_ms)
+    new = ev.filter(F.unix_millis("ts") >= t_ms)
+    n_old, n_new = old.count(), new.count()
+    assert n_old and n_new
+    st.produce(old, "age")
+    st.produce(new, "age")
+
+    cut = st.offsets_for_times("age", t_ms)
+    dropped = st.truncate_before_timestamp("age", t_ms)
+    assert dropped >= 2  # wave-1 files (one per non-empty bucket) aged out
+    floors = st._bucket_floors("age")
+    live = st.read_topic("age")
+    # nothing at/after T was lost, and everything before T is gone
+    # (wave files align exactly with the time split here)
+    assert live.filter(F.unix_millis("ts") >= t_ms).count() == n_new
+    assert live.filter(F.unix_millis("ts") < t_ms).count() == 0
+    # floors rose exactly to T's offsets
+    for b, fl in floors.items():
+        assert fl == cut[b], (b, fl, cut)
+    # a fresh consumer starts at the retained floor, not seq 0
+    batch, _nxt = st.consume("late-joiner", "age", bucket=0, count=5)
+    if batch.count():
+        assert batch.agg(F.min("seq")).first()[0] >= floors.get(0, 0)
+    # idempotent: a second pass with the same T drops nothing more
+    assert st.truncate_before_timestamp("age", t_ms) == 0
+    # a LATE produce with pre-T timestamps is RETAINED (offset-
+    # granularity retention, Kafka semantics): its seqs sit above the
+    # cutoff, so age-out by the same T must not touch it
+    st.produce(old.withColumn("event_id", F.col("event_id") + 100000), "age")
+    assert st.truncate_before_timestamp("age", t_ms) == 0
+    assert st.read_topic("age").filter(F.col("event_id") >= 100000).count() == n_old
