@@ -1398,3 +1398,82 @@ def q_seek_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_hash"),
         )
     )
+
+
+@query(
+    "q_retention_by_time",
+    oracle="""
+    WITH routed AS (
+      SELECT CAST(coalesce(user_id, 0) % 8 AS BIGINT) AS bucket,
+             event_id, ts
+      FROM events WHERE event_id < 3000
+    )
+    SELECT bucket,
+           CAST(sum(CASE WHEN epoch_ms(ts) < 1705276800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS floor_seq,
+           CAST(sum(CASE WHEN epoch_ms(ts) >= 1705276800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+           coalesce(bit_xor(CASE WHEN epoch_ms(ts) >= 1705276800000
+               THEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+               END), 0) AS ids_hash
+    FROM routed GROUP BY bucket
+    """,
+    tags=("pubsub", "retention", "timestamp", "maintenance"),
+)
+def q_retention_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based retention end-to-end (Kafka retention.ms,
+    TopicStore.truncate_before_timestamp): produce a month of events
+    as two time-split waves, age out everything before
+    2024-01-15T00:00Z, and verify from the SURVIVING LOG that (a) the
+    per-bucket retained floor equals the count of pre-T rows (seq
+    order is (ts, event_id) per bucket, so pre-T rows occupy exactly
+    seqs [0, floor)), (b) exactly the at/after-T rows survive, hashed
+    row-by-row. The emitted rows come from the post-retention manifest
+    state — a floor that rose too far or a file wrongly retained
+    surfaces as a count/hash mismatch.
+
+    Scale: retention is O(manifest) + one pushed offsets_for_times job
+    + footer-stats file drops — no data is read or rewritten; vacuum
+    does physical deletion later."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    T_MS = 1705276800000  # 2024-01-15T00:00:00Z
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_ret_time_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("rt", n_buckets=8)
+    t_lit = F.timestamp_millis(F.lit(T_MS))
+    store.produce(ev.filter(F.col("ts") < t_lit), "rt", key_col="user_id")
+    store.produce(ev.filter(F.col("ts") >= t_lit), "rt", key_col="user_id")
+    store.truncate_before_timestamp("rt", T_MS)
+    floors = store._bucket_floors("rt")
+    floor_df = spark.createDataFrame(
+        [(b, f) for b, f in sorted(floors.items())], "bucket int, floor_seq long"
+    )
+    live = store.read_topic("rt")
+    return (
+        live.join(F.broadcast(floor_df), "bucket", "right")
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.first("floor_seq").alias("floor_seq"),
+            F.count("event_id").cast("bigint").alias("n_retained"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10) as bigint))"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("ids_hash"),
+        )
+    )
