@@ -1287,10 +1287,10 @@ def q_topic_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ripple_server_spark.catalog import register_topic_view
-    from ripple_server_spark.sources.datasource import RippleTopicDataSource
     from ripple_server_spark.sources.topics import TopicStore
 
-    spark.dataSource.register(RippleTopicDataSource)
+    # no dataSource.register here: register_topic_view self-registers —
+    # the zero-prerequisite property this query exists to demonstrate
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") < 1500)

@@ -372,10 +372,14 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
         # comparison pushes to row-group statistics. ts >= T with T on
         # an exact ms boundary is equivalent to floor_ms(ts) >= T_ms.
         mult = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}[ts_type.unit]
-        if mult is None:  # second-precision column: ceil-divide T
-            t_scalar = pa.scalar(-(-epoch_ms // 1000), type=ts_type)
-        else:
-            t_scalar = pa.scalar(epoch_ms * mult, type=ts_type)
+        t_units = -(-epoch_ms // 1000) if mult is None else epoch_ms * mult
+        if t_units > (1 << 62):
+            # T beyond the unit's representable range (e.g. a far-
+            # future sentinel on an INT96->ns column overflows int64):
+            # nothing can be >= T, keep the tail default instead of
+            # crashing pa.scalar (review r09)
+            continue
+        t_scalar = pa.scalar(t_units, type=ts_type)
         lo: int | None = None
         scanner = dset.scanner(
             columns=["seq"], filter=pc.field("ts") >= t_scalar
@@ -424,13 +428,12 @@ def _topic_ready(root: str, topic: str) -> bool:
     bare directory mid-create — admitting it then would crash on the
     missing pieces; skipping it (query-start resolution) or waiting
     one trigger (discovery) is the correct race outcome (review r09)."""
-    base = os.path.join(root, "topics", topic)
     try:
-        if any(n.endswith(".json") for n in os.listdir(os.path.join(base, "_log"))):
-            return True
+        if _latest_version(root, topic) is not None:
+            return True  # committed manifest: layout complete
     except OSError:
         pass
-    return os.path.isdir(os.path.join(base, "data"))
+    return os.path.isdir(os.path.join(root, "topics", topic, "data"))
 
 
 def _topics_list(options: dict) -> list[str]:
@@ -840,10 +843,13 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
 
     Subscription dynamics (Kafka connector parity):
 
-    - ``topic`` list: fixed. Changing the list of an existing
-      checkpoint is not supported (same rule as Kafka): topics absent
-      from a checkpointed offset start empty and replay from their
-      initial position only on a fresh checkpoint.
+    - ``topic`` list: fixed while the query runs. Restarting a
+      checkpoint with a CHANGED list is supported with the obvious
+      semantics (review r09, test-pinned): topics removed from the
+      list stop being served (their checkpointed offset keys are
+      ignored, never resurrected), and topics added to the list join
+      from their initial position (full retained log) — deliveries for
+      continuing topics resume exactly from the checkpoint.
     - ``subscribePattern``: the regex re-resolves at every
       ``latestOffset`` (trigger boundary), so a topic created
       mid-query is admitted into the next trigger's nested offset and
@@ -883,14 +889,22 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
         return r
 
     def _offset_topics(self, end: dict) -> list[str]:
-        """The offset keys this reader may serve. Pattern mode trusts
-        the checkpoint (every key was discovered under this pattern);
-        a FIXED list must filter to its subscription — a checkpoint
-        written with topic="a,b" then restarted with topic="a" would
-        otherwise resurrect "b" via _sub() and keep serving an
-        unsubscribed topic forever (review r09)."""
+        """The offset keys this reader may serve — filtered to the
+        CURRENT subscription in both modes: a checkpoint written with
+        topic="a,b" then restarted with topic="a" (or a pattern
+        narrowed between restarts) would otherwise resurrect the
+        removed topic via _sub() and keep serving it forever (review
+        r09, both passes). Pattern mode accepts already-admitted
+        topics plus any offset key the CURRENT pattern matches (crash
+        recovery re-materializes those sub-readers here)."""
         if self._pattern:
-            return list(end)
+            import re
+
+            return [
+                t
+                for t in end
+                if t in self._subs or re.fullmatch(self._pattern, t)
+            ]
         return [t for t in end if t in self._subs]
 
     def _discover(self) -> None:

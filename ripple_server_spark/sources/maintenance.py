@@ -63,9 +63,14 @@ class TopicMaintenance:
     ``retain_ms``: TIME-based retention (Kafka ``retention.ms``) — a
     cycle ages out files wholly older than ``now - retain_ms`` via
     ``TopicStore.truncate_before_timestamp``. Composes with
-    ``retain_seqs`` (both None disables retention; both set applies
-    both bounds — whichever retains more is what survives, since each
-    pass only drops files wholly below ITS bound).
+    ``retain_seqs`` (both None disables retention; both set drops the
+    UNION of what each bound ages out, so whichever bound retains
+    LESS determines what survives — Kafka's either-limit-violating
+    deletion). The time pass costs a Spark job over the retained log
+    (INT96 topic timestamps carry no parquet statistics to prune
+    with), so it is rate-limited by ``retention_check_interval_s``
+    (Kafka's ``log.retention.check.interval.ms``, default 5 min)
+    rather than run every cycle.
 
     ``compact_when_files_over``: compact only when the live file count
     exceeds this; defaults to ``n_buckets`` (the post-compact state is
@@ -78,6 +83,7 @@ class TopicMaintenance:
     interval_s: float = 30.0
     retain_seqs: int | None = None
     retain_ms: int | None = None
+    retention_check_interval_s: float = 300.0
     compact_when_files_over: int | None = None
     vacuum_grace_s: float = DEFAULT_VACUUM_GRACE_S
     history: list[CycleStats] = field(default_factory=list)
@@ -85,6 +91,7 @@ class TopicMaintenance:
     def __post_init__(self) -> None:
         self._stop_evt: threading.Event | None = None
         self._thread: threading.Thread | None = None
+        self._last_time_check: float = float("-inf")
 
     # -- one cycle (Trigger.AvailableNow analog) ---------------------------
     def run_once(self) -> CycleStats:
@@ -103,8 +110,13 @@ class TopicMaintenance:
                     if before > 0:
                         st.truncated_files = self.store.truncate(self.topic, before)
                         v, m = self.store.latest_manifest(self.topic)
-            if self.retain_ms is not None:
-                cutoff_ms = int(time.time() * 1000) - int(self.retain_ms)
+            now = time.time()
+            if (
+                self.retain_ms is not None
+                and now - self._last_time_check >= self.retention_check_interval_s
+            ):
+                self._last_time_check = now
+                cutoff_ms = int(now * 1000) - int(self.retain_ms)
                 st.truncated_files += self.store.truncate_before_timestamp(
                     self.topic, cutoff_ms
                 )

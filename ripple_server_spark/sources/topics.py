@@ -706,8 +706,11 @@ class TopicStore:
         (late data with old timestamps above the cutoff seq) are
         therefore RETAINED, exactly Kafka's offset-granularity
         retention behavior. Same consistency contract as truncate:
-        floors rise, consumers clamp, vacuum deletes later."""
+        floors rise, consumers clamp, vacuum deletes later. A topic
+        with no produced data is a no-op (returns 0)."""
         cut = self.offsets_for_times(topic, epoch_ms)
+        if not cut:
+            return 0
         return self._truncate_bounds(
             topic, lambda b: cut.get(int(b), 0)
         )
@@ -842,6 +845,14 @@ class TopicStore:
         into the parquet scan and row-group stats prune below-T row
         groups, then a per-bucket min(seq) partial agg — O(matching
         rows), never a full sort."""
+        maxima = self._bucket_maxima(topic)
+        if not maxima:
+            # created-but-never-produced topic: no offsets exist and
+            # read_topic's empty fallback frame has no ts column to
+            # filter — {} is the correct "nothing to seek" answer
+            # (review r09: a maintenance loop started before the first
+            # produce must not error every cycle)
+            return {}
         got = {
             int(r["bucket"]): int(r["o"])
             for r in (
@@ -854,7 +865,6 @@ class TopicStore:
                 .collect()
             )
         }
-        maxima = self._bucket_maxima(topic)
         return {b: got.get(b, mx + 1) for b, mx in maxima.items()}
 
     def seek_to_timestamp(

@@ -1691,3 +1691,74 @@ def test_fixed_list_restart_does_not_resurrect_removed_topic(
     assert got == {"shr_a": 30, "shr_c": 10}, (
         f"removed topic resurrected or added topic missed: {got}"
     )
+
+
+def test_timestamp_start_far_future_tails_not_crashes(spark, sf_dir, tmp_path):
+    """Review r09: a far-future timestamp anchor (beyond the ns-unit
+    int64 range after ms->ns conversion) must tail from the HWM — the
+    Kafka null-offset-means-end convention — not overflow pa.scalar."""
+    from ripple_server_spark.sources.datasource import _timestamp_cursors
+
+    st = TopicStore(spark, str(tmp_path / "far_topics"))
+    st.create_topic("far", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.produce(ev.limit(60), "far")
+    hwm = {str(b): mx + 1 for b, mx in st._bucket_maxima("far").items()}
+    # year ~2262+ in ms: * 1e6 for an ns column exceeds int64
+    assert _timestamp_cursors(st.root, "far", 9_300_000_000_000) == hwm
+    # and an absurd sentinel far past any unit's range
+    assert _timestamp_cursors(st.root, "far", 10**17) == hwm
+
+
+def test_pattern_narrowing_restart_does_not_resurrect(spark, sf_dir, tmp_path):
+    """Review r09 (second pass): narrowing a subscribePattern between
+    restarts must drop the no-longer-matching topics even when the
+    checkpointed offsets still name them — same rule as fixed lists."""
+    st = TopicStore(spark, str(tmp_path / "nar_topics"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("nar_a1", n_buckets=2)
+    st.create_topic("nar_b1", n_buckets=2)
+    st.produce(_wave(ev, 0, 30), "nar_a1")
+    st.produce(_wave(ev, 100, 140), "nar_b1")
+    spark.dataSource.register(RippleTopicDataSource)
+    ck = str(tmp_path / "nar_ck")
+    delivered: list[tuple[str, int, int]] = []
+
+    def sink(df, _epoch):
+        delivered.extend(
+            (r["topic"], r["bucket"], r["seq"])
+            for r in df.select("topic", "bucket", "seq").collect()
+        )
+
+    def start(pattern):
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("subscribePattern", pattern)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start("nar_.*")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {t for t, _, _ in delivered} == {"nar_a1", "nar_b1"}
+    delivered.clear()
+    st.produce(_wave(ev, 30, 50), "nar_a1")
+    st.produce(_wave(ev, 140, 160), "nar_b1")
+    q = start("nar_a.*")  # narrowed: nar_b1 no longer matches
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert delivered
+    assert {t for t, _, _ in delivered} == {"nar_a1"}, delivered[:5]
+    assert len(delivered) == 20

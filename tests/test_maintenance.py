@@ -199,3 +199,47 @@ def test_maintenance_time_based_retention(spark, sf_dir, tmp_path):
     for b, fl in floors.items():
         if b in maxima:
             assert maxima[b] >= fl  # seq space continued, no reset to 0
+
+
+def test_time_retention_on_never_produced_topic_is_noop(spark, tmp_path):
+    """Review r09: create topic -> start maintenance -> producers
+    arrive later is a normal deployment order; the retain_ms pass must
+    no-op on the schemaless empty topic, not error every cycle (and
+    offsets_for_times returns {} instead of raising on the missing ts
+    column)."""
+    from ripple_server_spark.sources.maintenance import TopicMaintenance
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "fresh_ret"))
+    st.create_topic("f", n_buckets=2)
+    assert st.offsets_for_times("f", 0) == {}
+    assert st.truncate_before_timestamp("f", 10**13) == 0
+    m = TopicMaintenance(st, "f", retain_ms=1000, vacuum_grace_s=0.0)
+    s = m.run_once()
+    assert s.error is None and s.truncated_files == 0
+
+
+def test_time_retention_pass_is_rate_limited(spark, sf_dir, tmp_path):
+    """The retain_ms pass costs a Spark job over the log (no ts stats
+    to prune with), so it runs at most every retention_check_interval_s
+    (Kafka log.retention.check.interval.ms), not every cycle."""
+    from ripple_server_spark.catalog import load_table
+    from ripple_server_spark.sources.maintenance import TopicMaintenance
+    from ripple_server_spark.sources.topics import TopicStore
+
+    st = TopicStore(spark, str(tmp_path / "rl_ret"))
+    st.create_topic("rl", n_buckets=2)
+    st.produce(load_table(spark, sf_dir, "events").limit(40).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"), "rl")
+    m = TopicMaintenance(
+        st, "rl", retain_ms=100 * 365 * 24 * 3600 * 1000,
+        retention_check_interval_s=3600.0, vacuum_grace_s=0.0,
+    )
+    calls = []
+    orig = st.truncate_before_timestamp
+    st.truncate_before_timestamp = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    m.run_once()
+    m.run_once()
+    m.run_once()
+    assert len(calls) == 1, "time pass must be rate-limited across cycles"
+    assert all(c.error is None for c in m.history)
