@@ -66,11 +66,12 @@ class TopicMaintenance:
     ``retain_seqs`` (both None disables retention; both set drops the
     UNION of what each bound ages out, so whichever bound retains
     LESS determines what survives — Kafka's either-limit-violating
-    deletion). The time pass costs a Spark job over the retained log
-    (INT96 topic timestamps carry no parquet statistics to prune
-    with), so it is rate-limited by ``retention_check_interval_s``
-    (Kafka's ``log.retention.check.interval.ms``, default 5 min)
-    rather than run every cycle.
+    deletion). The time pass costs a Spark job (row-group-pruned on
+    round-9+ files, which carry micros ts statistics; pre-round-9
+    INT96 files scan), so it is rate-limited by
+    ``retention_check_interval_s`` (Kafka's
+    ``log.retention.check.interval.ms``, default 5 min) rather than
+    run every cycle.
 
     ``compact_when_files_over``: compact only when the live file count
     exceeds this; defaults to ``n_buckets`` (the post-compact state is

@@ -699,9 +699,10 @@ class TopicStore:
         maps T to each bucket's first at/after-T offset (one Spark job;
         the ts predicate pushes to the scan), then the seq-granularity
         file drop reuses :meth:`truncate`'s machinery with that
-        PER-BUCKET bound (seq footer stats only — the topic's INT96
-        timestamps carry no parquet statistics, so seq, which does, is
-        the droppable unit). A file ages out only when every row in it
+        PER-BUCKET bound (seq footer stats are the droppable unit —
+        exact for any file layout; ts stats, which round-9+ files also
+        carry, only prune the offsets_for_times scan). A file ages out
+        only when every row in it
         precedes its bucket's at/after-T offset; out-of-order produces
         (late data with old timestamps above the cutoff seq) are
         therefore RETAINED, exactly Kafka's offset-granularity

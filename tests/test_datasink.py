@@ -156,10 +156,11 @@ def test_null_routing_key_lands_in_bucket_zero(spark, store):
 
 
 def test_mixed_produce_and_sink_files_interleave(spark, store, sf_dir):
-    """produce() (Spark parquet writer, INT96 ts) and the sink (pyarrow
-    writer, INT96 ts) must coexist in one topic: seqs continue densely
-    and both read paths (Spark parquet + pyarrow dataset) serve the
-    union."""
+    """produce() (Spark parquet writer) and the sink (pyarrow writer)
+    must coexist in one topic — both emit TIMESTAMP(MICROS) since r09
+    (stats-bearing, unlike the INT96 both used before): seqs continue
+    densely and both read paths (Spark parquet + pyarrow dataset)
+    serve the union with exact ts round-trips."""
     store.create_topic("w_mix", n_buckets=4)
     a = _events(spark, sf_dir, n=100)
     b = (
