@@ -36,13 +36,6 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Topic/rollup writes carry TIMESTAMP(MICROS) — unlike Spark's
-    # INT96 default, micros columns have parquet min/max statistics,
-    # so time predicates (offsets_for_times, truncate_before_timestamp,
-    # start_at=timestamp:...) prune row groups instead of scanning the
-    # retained log. Pre-round-9 INT96 files still read fine (same
-    # logical type); they just can't be pruned.
-    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # 64 MiB broadcast threshold: dimension tables (region/nation/
     # customer/part at test SFs; any <= a few hundred MB at 100 TB with
     # executor memory to spare) should never shuffle-join.

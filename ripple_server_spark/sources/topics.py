@@ -36,12 +36,40 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 from ripple_server_spark.operators.relational import bucket_of
+
+
+@_contextmanager
+def _micros_ts_writes(spark: SparkSession):
+    """Scope ``outputTimestampType=TIMESTAMP_MICROS`` to one engine
+    write: micros columns carry parquet min/max statistics (Spark's
+    INT96 default does not), so time predicates over TOPIC files —
+    offsets_for_times, truncate_before_timestamp, start_at=timestamp —
+    prune row groups instead of scanning the retained log. Scoped, not
+    a session conf: user-session parquet writes outside the log store
+    must keep whatever type the user configured (a session-wide switch
+    changed how DuckDB typed test-written fixtures — naive TIMESTAMP
+    became TIMESTAMPTZ — and would do the same to any user pipeline
+    that round-trips its own parquet; round-9 regression)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset/unknown conf
+        old = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 class TopicStore:
@@ -372,9 +400,10 @@ class TopicStore:
             F.count(F.when(F.col("bucket") == b, 1)).alias(f"c{b}")
             for b in range(n_buckets)
         ]
-        routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(staging)
+        with _micros_ts_writes(self.spark):
+            routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(staging)
         got = obs.get
         # Message schema of the staged files (bucket is a partition dir,
         # not a file column): tracked in the manifest so reads only pay
@@ -507,9 +536,10 @@ class TopicStore:
                 restage = os.path.join(
                     self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
                 )
-                shifted.write.mode("overwrite").partitionBy("bucket").parquet(
-                    restage
-                )
+                with _micros_ts_writes(self.spark):
+                    shifted.write.mode("overwrite").partitionBy(
+                        "bucket"
+                    ).parquet(restage)
                 state["files"] = self._move_staged(topic, restage)
                 state["existing"] = new_existing
                 state["maxima"] = {
@@ -642,14 +672,15 @@ class TopicStore:
             staging = os.path.join(
                 self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
             )
-            (
-                self.read_topic(topic, version=base_v)
-                .repartition(n_buckets, F.col("bucket"))
-                .sortWithinPartitions("seq")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(staging)
-            )
+            with _micros_ts_writes(self.spark):
+                (
+                    self.read_topic(topic, version=base_v)
+                    .repartition(n_buckets, F.col("bucket"))
+                    .sortWithinPartitions("seq")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(staging)
+                )
             new_files = self._move_staged(topic, staging)
 
             def apply(
