@@ -334,11 +334,12 @@ def _task_append(
             bdir = f"bucket={bb}"
             os.makedirs(os.path.join(data_dir, bdir), exist_ok=True)
             rel = f"{bdir}/dsw-{tag}.parquet"
-            # TIMESTAMP(MICROS) matches produce's Spark writer (session
-            # conf outputTimestampType) — one physical ts type across a
-            # topic's files, and unlike the INT96 both writers used
-            # before round 9, micros columns carry min/max statistics
-            # so time seeks/retention prune row groups
+            # TIMESTAMP(MICROS) matches produce's Spark writer (the
+            # write-scoped _micros_ts_writes conf window, topics.py) —
+            # one physical ts type across a topic's round-9+ files, and
+            # unlike the INT96 both writers used before round 9, micros
+            # columns carry min/max statistics so time seeks/retention
+            # prune row groups (readers handle mixed-era topics)
             pq.write_table(out, os.path.join(data_dir, rel))
             rel_files.append(rel)
         counts = {bb: parts[bb].num_rows for bb in parts}

@@ -200,8 +200,9 @@ def _read_bucket(part: BucketPartition):
     utc = _dt.timezone.utc
 
     def conv(v):
-        # stored timestamps are naive-UTC; Spark's TimestampType
-        # converter requires tz-aware values
+        # pre-round-9 INT96 files decode as naive-UTC datetimes (Spark's
+        # TimestampType converter requires tz-aware values); round-9+
+        # MICROS files decode tz-aware already and pass through
         if isinstance(v, _dt.datetime) and v.tzinfo is None:
             return v.replace(tzinfo=utc)
         return v
@@ -222,8 +223,10 @@ def _read_bucket_arrow(part: BucketPartition):
     no per-row Python tuple materialization, so the worker hands the
     batches straight to the JVM Arrow stream. Columns are normalized to
     the exact Arrow schema Spark derives from TOPIC_SCHEMA_DDL
-    (timestamps: stored naive-UTC; the engine session is pinned to UTC,
-    session.py, so attaching tz=UTC is a reinterpretation, not a shift).
+    (timestamps: round-9+ files are tz-aware MICROS already; pre-round-9
+    INT96 files decode naive-UTC and the engine session is pinned to
+    UTC, session.py, so attaching tz=UTC is a reinterpretation, not a
+    shift).
     """
     import pyarrow as pa
     import pyarrow.dataset as ds
@@ -365,29 +368,36 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
     _, maxima, _ = _log_bounds(root, topic)
     cursors = {b: mx + 1 for b, mx in maxima.items()}  # default: tail
     for b, files in _bucket_files(root, topic):
-        dset = ds.dataset(files, format="parquet")
-        ts_type = dset.schema.field("ts").type
-        # T as a scalar in the COLUMN's own unit/tz (ms -> unit; tz
-        # attaches verbatim: epoch values are tz-independent), so the
-        # comparison pushes to row-group statistics. ts >= T with T on
-        # an exact ms boundary is equivalent to floor_ms(ts) >= T_ms.
-        mult = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}[ts_type.unit]
-        t_units = -(-epoch_ms // 1000) if mult is None else epoch_ms * mult
-        if t_units > (1 << 62):
-            # T beyond the unit's representable range (e.g. a far-
-            # future sentinel on an INT96->ns column overflows int64):
-            # nothing can be >= T, keep the tail default instead of
-            # crashing pa.scalar (review r09)
-            continue
-        t_scalar = pa.scalar(t_units, type=ts_type)
         lo: int | None = None
-        scanner = dset.scanner(
-            columns=["seq"], filter=pc.field("ts") >= t_scalar
-        )
-        for rb in scanner.to_batches():
-            if rb.num_rows:
-                m = int(pc.min(rb.column("seq")).as_py())
-                lo = m if lo is None else min(lo, m)
+        # PER-FILE scalars: a topic upgraded across round 9 holds both
+        # INT96 files (pyarrow: naive timestamp[ns]) and MICROS files
+        # (timestamp[us, tz=UTC]); one dataset-level scalar typed from
+        # the first fragment crashes the scan on the other era's files
+        # (ArrowNotImplementedError kernel mismatch — review r09).
+        # Epoch values are tz-independent, so the same T converts
+        # per-file into that file's own unit/tz and compares exactly.
+        for fpath in files:
+            dset = ds.dataset(fpath, format="parquet")
+            ts_type = dset.schema.field("ts").type
+            # ms -> the file's unit; ts >= T with T on an exact ms
+            # boundary is equivalent to floor_ms(ts) >= T_ms. Pushes to
+            # row-group statistics where the file has them (micros);
+            # INT96 files scan, batch-folded, one batch of driver RAM.
+            mult = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}[ts_type.unit]
+            t_units = -(-epoch_ms // 1000) if mult is None else epoch_ms * mult
+            if t_units > (1 << 62):
+                # T beyond the unit's representable range (e.g. a far-
+                # future sentinel on an ns column overflows int64):
+                # nothing in this file can be >= T
+                continue
+            t_scalar = pa.scalar(t_units, type=ts_type)
+            scanner = dset.scanner(
+                columns=["seq"], filter=pc.field("ts") >= t_scalar
+            )
+            for rb in scanner.to_batches():
+                if rb.num_rows:
+                    m = int(pc.min(rb.column("seq")).as_py())
+                    lo = m if lo is None else min(lo, m)
         if lo is not None:
             cursors[str(b)] = lo
     return cursors

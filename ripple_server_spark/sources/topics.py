@@ -35,8 +35,12 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 from contextlib import contextmanager as _contextmanager
+
+# serializes the outputTimestampType conf window across driver threads
+_MICROS_WRITE_LOCK = threading.Lock()
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,19 +60,27 @@ def _micros_ts_writes(spark: SparkSession):
     must keep whatever type the user configured (a session-wide switch
     changed how DuckDB typed test-written fixtures — naive TIMESTAMP
     became TIMESTAMPTZ — and would do the same to any user pipeline
-    that round-trips its own parquet; round-9 regression)."""
+    that round-trips its own parquet; round-9 regression).
+
+    SQL confs are session-global across driver threads, so the window
+    is serialized by a module lock: without it, two overlapping engine
+    writes could interleave set/restore, write a stats-less INT96
+    engine file, and leave the session permanently pinned to MICROS
+    (review r09). Spark ignores a per-write
+    ``.option("outputTimestampType", ...)`` — probed — so the conf
+    window is the only mechanism; the native sink path writes via
+    pyarrow and never needs it, so task-parallel writes are unaffected.
+    The write-scoped parquet option has no per-write equivalent,
+    hence lock + conf rather than an option."""
     key = "spark.sql.parquet.outputTimestampType"
-    try:
+    with _MICROS_WRITE_LOCK:
+        # conf.get of a defined SQL conf returns its default ('INT96')
+        # when unset — never raises — so restore is always a plain set
         old = spark.conf.get(key)
-    except Exception:  # noqa: BLE001 - unset/unknown conf
-        old = None
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            yield
+        finally:
             spark.conf.set(key, old)
 
 

@@ -1762,3 +1762,82 @@ def test_pattern_narrowing_restart_does_not_resurrect(spark, sf_dir, tmp_path):
     assert delivered
     assert {t for t, _, _ in delivered} == {"nar_a1"}, delivered[:5]
     assert len(delivered) == 20
+
+
+def test_mixed_era_topic_timestamp_surfaces(spark, sf_dir, tmp_path):
+    """Upgrade path (review r09): a topic holding pre-round-9 INT96
+    files (pyarrow: naive ns, no ts stats) AND round-9+ MICROS files
+    (tz-aware us, stats) must serve every time surface — batch read,
+    offsets_for_times, start_at=timestamp streams on both tiers, and
+    truncate_before_timestamp — without kernel-mismatch crashes and
+    with exact at/after-T results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    st = TopicStore(spark, str(tmp_path / "era_topics"))
+    st.create_topic("era", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    t_ms = 1705276800000  # 2024-01-15T00:00:00Z
+    old_w = ev.filter(F.unix_millis("ts") < t_ms)
+    new_w = ev.filter(F.unix_millis("ts") >= t_ms)
+    # wave 1 lands as round-9 MICROS files via produce
+    st.produce(old_w, "era")
+    # wave 2: rewrite produce's staged output as INT96 files in place,
+    # simulating a pre-round-9 era (same rows, same seqs, INT96 ts)
+    st.produce(new_w, "era")
+    _v, m = st.latest_manifest("era")
+    data = st.data_dir("era")
+    n_rewritten = 0
+    for rel in m["files"]:
+        p = os.path.join(data, rel)
+        tbl = pq.read_table(p)
+        md = pq.read_metadata(p)
+        i = md.schema.to_arrow_schema().get_field_index("ts")
+        if md.schema.column(i).physical_type == "INT96":
+            continue
+        # only wave-2 files (those holding any at/after-T row)
+        import pyarrow.compute as pc
+
+        ms = pc.cast(pc.cast(tbl.column("ts"), pa.timestamp("us")), pa.int64())
+        if pc.max(ms).as_py() // 1000 < t_ms:
+            continue
+        pq.write_table(tbl, p, use_deprecated_int96_timestamps=True)
+        n_rewritten += 1
+    assert n_rewritten >= 1, "no file rewritten to INT96 — fixture drift"
+
+    n_new = new_w.count()
+    # batch read spans both eras with exact ts values
+    got = st.read_topic("era")
+    assert got.count() == ev.count()
+    assert got.filter(F.unix_millis("ts") >= t_ms).count() == n_new
+    # offsets_for_times + the pyarrow streaming path agree across eras
+    from ripple_server_spark.sources.datasource import _timestamp_cursors
+
+    offs = st.offsets_for_times("era", t_ms)
+    cur = _timestamp_cursors(st.root, "era", t_ms)
+    assert {str(b): o for b, o in offs.items()} == cur
+    spark.dataSource.register(RippleTopicDataSource)
+    for tier in ("partitioned", "simple"):
+        q = (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "era")
+            .option("start_at", f"timestamp:{t_ms}")
+            .option("reader_tier", tier)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"m_era_{tier}")
+            .option("checkpointLocation", str(tmp_path / f"ck_era_{tier}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n = spark.sql(f"SELECT count(*) c FROM m_era_{tier}").first()["c"]
+        assert n == n_new, (tier, n, n_new)
+    # retention across the era split
+    assert st.truncate_before_timestamp("era", t_ms) >= 1
+    assert st.read_topic("era").count() == n_new
