@@ -385,10 +385,12 @@ def _timestamp_cursors(root: str, topic: str, epoch_ms: int) -> dict[str, int]:
             # INT96 files scan, batch-folded, one batch of driver RAM.
             mult = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}[ts_type.unit]
             t_units = -(-epoch_ms // 1000) if mult is None else epoch_ms * mult
-            if t_units > (1 << 62):
-                # T beyond the unit's representable range (e.g. a far-
-                # future sentinel on an ns column overflows int64):
-                # nothing in this file can be >= T
+            if t_units > (1 << 63) - 1:
+                # T beyond int64 (e.g. a far-future sentinel on an ns
+                # column overflows the unit): nothing representable in
+                # this file can be >= T. Exact bound — values in
+                # (2^62, 2^63) are valid int64 timestamps and must
+                # still be compared, not skipped (ADVICE r09).
                 continue
             t_scalar = pa.scalar(t_units, type=ts_type)
             scanner = dset.scanner(

@@ -116,11 +116,16 @@ class TopicMaintenance:
                 self.retain_ms is not None
                 and now - self._last_time_check >= self.retention_check_interval_s
             ):
-                self._last_time_check = now
                 cutoff_ms = int(now * 1000) - int(self.retain_ms)
                 st.truncated_files += self.store.truncate_before_timestamp(
                     self.topic, cutoff_ms
                 )
+                # Stamp AFTER the pass succeeds: a transient failure
+                # bubbles to the cycle handler (recorded in st.error)
+                # without consuming the rate-limit window, so retention
+                # retries next cycle instead of silently lagging a full
+                # retention_check_interval_s (ADVICE r09).
+                self._last_time_check = now
                 v, m = self.store.latest_manifest(self.topic)
             threshold = (
                 self.compact_when_files_over

@@ -37,10 +37,8 @@ import shutil
 import tempfile
 import threading
 import uuid
+import weakref
 from contextlib import contextmanager as _contextmanager
-
-# serializes the outputTimestampType conf window across driver threads
-_MICROS_WRITE_LOCK = threading.Lock()
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,40 +46,80 @@ from pyspark.sql import functions as F
 from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 from ripple_server_spark.operators.relational import bucket_of
 
+# One cloned engine session per user session (SparkContext shared).
+# Engine topic writes execute there with outputTimestampType pinned to
+# TIMESTAMP_MICROS ONCE, so no shared-session SQL conf is ever mutated:
+# the pre-r10 set/restore window — even serialized by a module lock —
+# still re-typed a USER parquet write that ran on another driver thread
+# during an engine produce/compact (review r09/ADVICE r09). A dedicated
+# session has no such window: user writes keep the user's configured
+# type unconditionally, engine files always carry micros stats.
+_ENGINE_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
+_ENGINE_LOCK = threading.Lock()
+
+# Runtime confs mirrored from the user session at clone time:
+# newSession() starts from the builder's initial confs, not the user's
+# current runtime values, and these affect engine-write plans
+# (shuffle width of the seq window; AQE; ANSI arithmetic semantics).
+# Session timezone is NOT mirrored: TimestampType is instant-based, so
+# the physical parquet encoding is timezone-independent.
+_ENGINE_MIRRORED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.ansi.enabled",
+)
+
+
+def _engine_session(spark: SparkSession) -> SparkSession:
+    """The per-user-session engine clone (created lazily, cached weakly
+    so a stopped user session does not pin its clone)."""
+    with _ENGINE_LOCK:
+        eng = _ENGINE_SESSIONS.get(spark)
+        if eng is None:
+            eng = spark.newSession()
+            for k in _ENGINE_MIRRORED_CONFS:
+                try:
+                    eng.conf.set(k, spark.conf.get(k))
+                except Exception:
+                    pass  # conf undefined in this Spark build — keep default
+            eng.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            _ENGINE_SESSIONS[spark] = eng
+        return eng
+
 
 @_contextmanager
-def _micros_ts_writes(spark: SparkSession):
-    """Scope ``outputTimestampType=TIMESTAMP_MICROS`` to one engine
-    write: micros columns carry parquet min/max statistics (Spark's
+def _micros_ts_writes(df: DataFrame):
+    """Yield ``df`` rebound to the engine session, whose
+    ``outputTimestampType=TIMESTAMP_MICROS`` is pinned once at clone
+    time: micros columns carry parquet min/max statistics (Spark's
     INT96 default does not), so time predicates over TOPIC files —
     offsets_for_times, truncate_before_timestamp, start_at=timestamp —
-    prune row groups instead of scanning the retained log. Scoped, not
-    a session conf: user-session parquet writes outside the log store
-    must keep whatever type the user configured (a session-wide switch
-    changed how DuckDB typed test-written fixtures — naive TIMESTAMP
-    became TIMESTAMPTZ — and would do the same to any user pipeline
-    that round-trips its own parquet; round-9 regression).
+    prune row groups instead of scanning the retained log.
 
-    SQL confs are session-global across driver threads, so the window
-    is serialized by a module lock: without it, two overlapping engine
-    writes could interleave set/restore, write a stats-less INT96
-    engine file, and leave the session permanently pinned to MICROS
-    (review r09). Spark ignores a per-write
-    ``.option("outputTimestampType", ...)`` — probed — so the conf
-    window is the only mechanism; the native sink path writes via
-    pyarrow and never needs it, so task-parallel writes are unaffected.
-    The write-scoped parquet option has no per-write equivalent,
-    hence lock + conf rather than an option."""
-    key = "spark.sql.parquet.outputTimestampType"
-    with _MICROS_WRITE_LOCK:
-        # conf.get of a defined SQL conf returns its default ('INT96')
-        # when unset — never raises — so restore is always a plain set
-        old = spark.conf.get(key)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
-        try:
-            yield
-        finally:
-            spark.conf.set(key, old)
+    Why a cloned session and not a conf window: SQL confs are
+    session-global across driver threads, and Spark ignores a per-write
+    ``.option("outputTimestampType", ...)`` (probed), so any set/restore
+    on the SHARED session races a concurrent user parquet write on
+    another thread — the exact re-typing regression the round-9 scoping
+    was meant to prevent (naive TIMESTAMP became TIMESTAMPTZ for
+    pipelines that round-trip their own parquet). The clone shares the
+    SparkContext, so the rebind is a global-temp-view handoff of the
+    ANALYZED plan — lazy, zero data movement, and the view is dropped
+    once the write completes. The native sink path writes via pyarrow
+    and never needs any of this."""
+    spark = df.sparkSession
+    eng = _engine_session(spark)
+    name = f"ripple_micros_{uuid.uuid4().hex}"
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        gdb = spark.conf.get("spark.sql.globalTempDatabase")
+        yield eng.table(f"{gdb}.{name}")
+    finally:
+        spark.catalog.dropGlobalTempView(name)
 
 
 class TopicStore:
@@ -412,8 +450,8 @@ class TopicStore:
             F.count(F.when(F.col("bucket") == b, 1)).alias(f"c{b}")
             for b in range(n_buckets)
         ]
-        with _micros_ts_writes(self.spark):
-            routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
+        with _micros_ts_writes(routed) as engine_routed:
+            engine_routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(staging)
         got = obs.get
@@ -548,8 +586,8 @@ class TopicStore:
                 restage = os.path.join(
                     self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
                 )
-                with _micros_ts_writes(self.spark):
-                    shifted.write.mode("overwrite").partitionBy(
+                with _micros_ts_writes(shifted) as engine_shifted:
+                    engine_shifted.write.mode("overwrite").partitionBy(
                         "bucket"
                     ).parquet(restage)
                 state["files"] = self._move_staged(topic, restage)
@@ -684,12 +722,14 @@ class TopicStore:
             staging = os.path.join(
                 self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
             )
-            with _micros_ts_writes(self.spark):
+            plan = (
+                self.read_topic(topic, version=base_v)
+                .repartition(n_buckets, F.col("bucket"))
+                .sortWithinPartitions("seq")
+            )
+            with _micros_ts_writes(plan) as engine_plan:
                 (
-                    self.read_topic(topic, version=base_v)
-                    .repartition(n_buckets, F.col("bucket"))
-                    .sortWithinPartitions("seq")
-                    .write.mode("overwrite")
+                    engine_plan.write.mode("overwrite")
                     .partitionBy("bucket")
                     .parquet(staging)
                 )
@@ -897,6 +937,22 @@ class TopicStore:
             # (review r09: a maintenance loop started before the first
             # produce must not error every cycle)
             return {}
+        recorded = self.latest_manifest(topic)[1].get("schema")
+        if recorded is not None and not any(
+            s.split(":", 1)[0] == "ts" for s in recorded
+        ):
+            # A ts-less topic (native sink with a custom schema) cannot
+            # be time-positioned: fail with a named contract error, not
+            # the opaque AnalysisException the Spark filter would raise
+            # — the message is what a retain_ms maintenance cycle or a
+            # start_at=timestamp stream surfaces (ADVICE r09).
+            raise ValueError(
+                f"topic {topic!r} has no 'ts' column (recorded schema: "
+                f"{[s.split(':', 1)[0] for s in recorded]}); time-based "
+                "positioning (offsets_for_times / seek_to_timestamp / "
+                "start_at=timestamp / retain_ms) requires a timestamp "
+                "column named 'ts'"
+            )
         got = {
             int(r["bucket"]): int(r["o"])
             for r in (

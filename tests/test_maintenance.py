@@ -243,3 +243,37 @@ def test_time_retention_pass_is_rate_limited(spark, sf_dir, tmp_path):
     m.run_once()
     assert len(calls) == 1, "time pass must be rate-limited across cycles"
     assert all(c.error is None for c in m.history)
+
+
+def test_failed_time_retention_does_not_consume_rate_limit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r09: _last_time_check is stamped only after the time-
+    retention pass SUCCEEDS — a transient failure is recorded in
+    CycleStats.error and the next cycle retries immediately instead of
+    silently extending retention lag by retention_check_interval_s."""
+    st = TopicStore(spark, str(tmp_path / "tr_topics"))
+    st.create_topic("tr", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    st.produce(ev, "tr")
+
+    maint = TopicMaintenance(
+        st, "tr", retain_ms=10**12, retention_check_interval_s=3600.0
+    )
+    calls = {"n": 0}
+    orig = st.truncate_before_timestamp
+
+    def flaky(topic, epoch_ms):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient spark failure")
+        return orig(topic, epoch_ms)
+
+    monkeypatch.setattr(st, "truncate_before_timestamp", flaky)
+    s1 = maint.run_once()
+    assert s1.error and "transient" in s1.error
+    s2 = maint.run_once()  # window NOT consumed by the failure: retries now
+    assert s2.error is None
+    assert calls["n"] == 2
+    maint.run_once()  # success stamped the window: now rate-limited
+    assert calls["n"] == 2

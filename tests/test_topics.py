@@ -630,3 +630,112 @@ def test_assign_buckets_range_assignor(spark, sf_dir, tmp_path):
         for b in buckets:
             batch, _ = st.consume(member, "g1", bucket=b, count=10_000)
             assert batch.count() == 0
+
+
+def test_engine_micros_session_isolated_from_user_writes(spark, sf_dir, tmp_path):
+    """ADVICE r09 (medium): engine topic writes run on a dedicated
+    cloned session with outputTimestampType pinned ONCE, so a user
+    parquet write racing an engine produce/compact on another driver
+    thread keeps the user's configured type — the pre-r10 set/restore
+    window on the shared session conf re-typed such writes."""
+    import glob
+    import threading
+
+    import pyarrow.parquet as pq
+
+    from ripple_server_spark.sources.topics import _engine_session
+
+    st = TopicStore(spark, str(tmp_path / "iso_topics"))
+    st.create_topic("iso", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").limit(300).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    eng = _engine_session(spark)
+    assert eng is not spark
+    assert (
+        eng.conf.get("spark.sql.parquet.outputTimestampType")
+        == "TIMESTAMP_MICROS"
+    )
+    assert _engine_session(spark) is eng  # cached per user session
+
+    user_dir = str(tmp_path / "user_out")
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def user_writer():
+        i = 0
+        try:
+            while not stop.is_set() or i == 0:
+                ev.limit(50).write.mode("overwrite").parquet(
+                    f"{user_dir}/w{i % 3}"
+                )
+                i += 1
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(e)
+
+    t = threading.Thread(target=user_writer)
+    t.start()
+    try:
+        for k in range(3):
+            st.produce(ev.filter(F.col("event_id") % 3 == k), "iso")
+        st.compact("iso")
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs
+
+    # every ENGINE file carries micros ts (row-group-stats capable)...
+    eng_files = glob.glob(
+        str(tmp_path / "iso_topics/topics/iso/data/bucket=*/*.parquet")
+    )
+    assert eng_files
+    for f in eng_files:
+        typ = str(pq.ParquetFile(f).schema_arrow.field("ts").type)
+        assert typ.startswith("timestamp[us"), (f, typ)
+    # ...every USER file keeps the session default (INT96 -> arrow ns)
+    user_files = glob.glob(f"{user_dir}/*/*.parquet")
+    assert user_files
+    for f in user_files:
+        typ = str(pq.ParquetFile(f).schema_arrow.field("ts").type)
+        assert typ.startswith("timestamp[ns"), (f, typ)
+    # user session conf untouched; plan-handoff views cleaned up
+    assert spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+    assert [v.name for v in spark.catalog.listTables("global_temp")] == []
+
+
+def test_time_positioning_on_ts_less_topic_raises_named_error(spark, tmp_path):
+    """ADVICE r09: a topic whose recorded schema has no ``ts`` column
+    (e.g. populated by a foreign writer through the manifest protocol)
+    must fail time positioning with a named contract error, not an
+    opaque AnalysisException surfaced once per maintenance cycle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    st = TopicStore(spark, str(tmp_path / "notss"))
+    st.create_topic("nt", n_buckets=2)
+    # foreign writer: stage a keyed, ts-less file and commit it via the
+    # manifest protocol (files + maxima + schema are the contract)
+    bdir = os.path.join(st.data_dir("nt"), "bucket=0")
+    os.makedirs(bdir, exist_ok=True)
+    pq.write_table(
+        pa.table({"seq": [0, 1, 2], "k": [7, 7, 7], "payload": [1, 2, 3]}),
+        os.path.join(bdir, "foreign-0.parquet"),
+    )
+
+    def apply(m: dict) -> dict:
+        m["files"] = ["bucket=0/foreign-0.parquet"]
+        m["maxima"] = {"0": 2}
+        m["schema"] = ["seq:bigint", "k:bigint", "payload:bigint"]
+        return m
+
+    st._commit("nt", st._latest_version("nt"), apply)
+
+    with pytest.raises(ValueError, match="no 'ts' column"):
+        st.offsets_for_times("nt", 1_700_000_000_000)
+    with pytest.raises(ValueError, match="no 'ts' column"):
+        st.truncate_before_timestamp("nt", 1_700_000_000_000)
+    # seq-based reads are unaffected by the missing ts
+    assert st.read_topic("nt").count() == 3
