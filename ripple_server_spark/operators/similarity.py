@@ -239,7 +239,9 @@ ANN_AUDIT_ORACLE = """
 """
 
 
-def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
+def _train_sample(
+    emb: DataFrame, sample_cap: int, n: int | None = None
+) -> np.ndarray:
     """Deterministic driver-side training sample as an L2-normalized
     (rows, dim) float64 matrix — shared by IVF and PQ training.
 
@@ -255,8 +257,16 @@ def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
     - if the stride filter matches nothing (ids all in one off-zero
       residue class), fall back to the first sample_cap vectors by
       vec_id rather than crashing np.stack on an empty list.
+
+    ``n`` (the corpus size) is accepted from callers that already know
+    it so one Spark job serves both their size decision and the sample
+    stride — ivf_topk's flat-cutoff check used to be a separate
+    limit-probe job on top of the recount here, a fixed two-job
+    overhead that dominated the query's wall time at bench scale
+    (VERDICT r09 adjudication item).
     """
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     stride = max(1, n // sample_cap)
     rows = (
         emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
@@ -283,7 +293,11 @@ def _train_sample(emb: DataFrame, sample_cap: int) -> np.ndarray:
 
 
 def train_centroids(
-    emb: DataFrame, nlist: int, sample_cap: int = 4096, iters: int = 8
+    emb: DataFrame,
+    nlist: int,
+    sample_cap: int = 4096,
+    iters: int = 8,
+    n: int | None = None,
 ) -> np.ndarray:
     """Deterministic spherical k-means for the IVF coarse quantizer.
 
@@ -295,7 +309,7 @@ def train_centroids(
     Returns an L2-normalized (nlist, dim) float64 matrix; assignment by
     dot product == assignment by cosine.
     """
-    x = _train_sample(emb, sample_cap)
+    x = _train_sample(emb, sample_cap, n=n)
     # deterministic init: evenly spaced sample rows
     cent = x[np.linspace(0, len(x) - 1, nlist).astype(int)].copy()
     for _ in range(iters):
@@ -338,12 +352,17 @@ def ivf_topk(
     qmx = _query_matrix(queries)
     if qmx is None:
         return _empty_topk_result(emb)
-    # cheap bounded probe: only needs to distinguish "tiny" from "big"
+    # ONE driver job serves both fixed decisions: the flat-vs-IVF
+    # cutoff (n <= 4*nlist, same predicate the old limit-probe
+    # expressed) and the training-sample stride (n // sample_cap) —
+    # previously two separate jobs whose fixed scheduling overhead was
+    # the bulk of this query's bench wall time (VERDICT r09).
+    n = emb.count()
     flat_cutoff = 4 * nlist
-    if len(emb.select("vec_id").limit(flat_cutoff + 1).collect()) <= flat_cutoff:
+    if n <= flat_cutoff:
         return cosine_topk_scan_arrow(emb, queries, k=k, margin=margin)
     qids, qm, qn = qmx
-    cent = train_centroids(emb, nlist)
+    cent = train_centroids(emb, nlist, n=n)
     # per-query probed cells -> cell -> query row indices
     probe = np.argsort(-((qm / np.maximum(qn[:, None], 1e-12)) @ cent.T), axis=1)[
         :, :nprobe

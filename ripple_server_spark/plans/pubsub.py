@@ -1477,3 +1477,83 @@ def q_retention_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_hash"),
         )
     )
+
+
+@query(
+    "q_topic_key_compaction",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts, user_id, (event_id % 3) AS wave
+      FROM events WHERE event_id < 3000
+    ),
+    ranked AS (
+      SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY wave DESC, ts DESC, event_id DESC) AS rn
+      FROM src
+    ),
+    latest AS (
+      SELECT event_id, user_id FROM ranked WHERE user_id IS NULL OR rn = 1
+    )
+    SELECT CAST(coalesce(user_id, 0) % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           coalesce(bit_xor(
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           ), 0) AS ids_hash
+    FROM latest GROUP BY 1
+    """,
+    tags=("pubsub", "compaction", "cdc", "maintenance"),
+)
+def q_topic_key_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY compaction end-to-end (Kafka ``cleanup.policy=compact``,
+    TopicStore.compact_by_key — the storage-side counterpart of
+    q_cdc_apply's read-side latest-per-key): produce three waves of
+    events keyed by user_id (wave = event_id % 3, so most keys carry
+    multiple versions), compact, and fingerprint the SURVIVING LOG
+    per bucket. Latest-wins is deterministic end-to-end: wave k's
+    produce lands after wave k-1 (higher seqs), and within a wave seq
+    order is (ts, event_id) per bucket — so the surviving row per key
+    is exactly the oracle's rank-1 under (wave, ts, event_id) DESC.
+    NULL keys are retained, never collapsed (Kafka rejects unkeyed
+    writes on compacted topics; retain-all is the safe analog), which
+    the oracle mirrors with ``user_id IS NULL OR rn = 1``.
+
+    Scale: one map-side-combined max_by shuffle over the live log
+    (never all rows to one node), one bucket-partitioned rewrite;
+    pinned readers keep the old snapshot until vacuum. A count/hash
+    mismatch here means a superseded row survived or a latest row was
+    dropped."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_key_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("kc", n_buckets=8)
+    for w in range(3):
+        store.produce(ev.filter(F.col("event_id") % 3 == w), "kc")
+    store.compact_by_key("kc", key_col="user_id")
+    live = store.read_topic("kc")
+    return live.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("event_id").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_keys"),
+        F.coalesce(
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10) as bigint))"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("ids_hash"),
+    )

@@ -756,6 +756,141 @@ class TopicStore:
                 base_v, base = self.latest_manifest(topic)
         raise RuntimeError(f"compaction superseded 20 times on topic {topic!r}")
 
+    def compact_by_key(
+        self,
+        topic: str,
+        key_col: str = "user_id",
+        base_version: int | None = None,
+    ) -> int:
+        """KEY compaction (Kafka ``cleanup.policy=compact``): rewrite
+        the log so each bucket retains, per ``key_col`` value, ONLY the
+        record with the highest seq — the latest version of that key.
+        The storage-side counterpart of the read-side CDC apply
+        (plans/pipeline6.q_cdc_apply); the reference's queue is keyless
+        (internal/broker/queue/queue.go:16-19), so this is extension
+        territory, but it is the standard log-store feature a CDC-topic
+        user expects. Returns the number of superseded rows dropped.
+
+        Semantics (Kafka parity):
+
+        - **Latest wins by offset**: per (bucket, key), the max-seq row
+          survives; keys route to exactly one bucket (produce's
+          ``bucket_of``), so per-bucket latest == global latest.
+        - **Null keys are retained, never collapsed** (Kafka rejects
+          unkeyed writes to compacted topics; retaining is the safe
+          analog — each null-key row is its own group).
+        - **Seqs keep their values** — compaction introduces GAPS, and
+          readers are gap-tolerant by construction: ``consume`` filters
+          a closed seq range (missing seqs just aren't delivered, the
+          Kafka compacted-fetch behavior), offsets/HWMs stay valid, and
+          the per-bucket max-seq row always survives (it is the latest
+          for its own key), so maxima never move.
+        - **Stale duplicates may remain** after a concurrent produce:
+          files landed mid-compaction are preserved verbatim by the
+          swap (they are not in our input set), so a key updated
+          mid-pass briefly has two versions — exactly Kafka's
+          dirty-vs-cleaned segment split; the next pass collapses it.
+          Readers that want strict latest-per-key compose with the
+          read-side CDC window.
+
+        Scale shape: ONE wide shuffle. ``max_by(struct(*), seq)`` under
+        ``groupBy(bucket, key)`` is a hash aggregate with MAP-SIDE
+        partial combine — each scan task pre-collapses its local
+        duplicates, so the shuffle carries ~one row per live key per
+        task, not the raw log (a window/rank formulation would shuffle
+        every row). Null keys group by a per-row synthetic key (single
+        branch — no self-union, no second scan). The bucket-layout
+        rewrite then reuses :meth:`compact`'s commit protocol:
+        snapshot-pinned readers keep the old files until vacuum, a
+        concurrent truncate supersedes the attempt (retry from the new
+        base) rather than resurrecting aged-out rows.
+        """
+        n_buckets = self.topic_meta(topic)["n_buckets"]
+        if base_version is None:
+            base_v, base = self.latest_manifest(topic)
+        else:
+            base_v = base_version
+            with open(self._manifest_path(topic, base_v)) as f:
+                base = json.load(f)
+
+        class _InputSuperseded(Exception):
+            pass
+
+        for _ in range(20):
+            compacted_input = set(base["files"])
+            src = self.read_topic(topic, version=base_v)
+            if key_col not in src.columns:
+                raise ValueError(
+                    f"topic {topic!r} has no {key_col!r} column; key "
+                    "compaction requires the compaction key in the "
+                    f"message schema (columns: {src.columns})"
+                )
+            if "seq" not in src.columns or not base["files"]:
+                return 0  # empty topic: nothing to compact
+            cols = src.columns
+            staging = os.path.join(
+                self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
+            )
+            obs_in, obs_out = Observation(), Observation()
+            # Build the whole plan on the ENGINE session (rebind the
+            # scan, then aggregate there): both observations then hang
+            # off the session that actually executes, so input/output
+            # row counts — hence the dropped count — are exact, free
+            # (one action), and gap-proof (a seq-span estimate would
+            # overcount on every pass after the first).
+            with _micros_ts_writes(src) as esrc:
+                esrc = esrc.observe(obs_in, F.count(F.lit(1)).alias("n"))
+                # per-row synthetic group for null keys: bucket:seq can
+                # never collide with a real key under the \x00 prefix
+                gkey = F.when(
+                    F.col(key_col).isNull(),
+                    F.concat_ws(
+                        ":", F.lit("\x00null"), F.col("bucket"), F.col("seq")
+                    ),
+                ).otherwise(F.col(key_col).cast("string"))
+                survivors = (
+                    esrc.groupBy(F.col("bucket").alias("_b"), gkey.alias("_gk"))
+                    .agg(F.max_by(F.struct(*cols), F.col("seq")).alias("_r"))
+                    .select("_r.*")
+                )
+                plan = survivors.repartition(
+                    n_buckets, F.col("bucket")
+                ).sortWithinPartitions("seq")
+                (
+                    plan.observe(obs_out, F.count(F.lit(1)).alias("n"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(staging)
+                )
+            dropped = int(obs_in.get["n"]) - int(obs_out.get["n"])
+            if dropped == 0:
+                # already fully compacted: do NOT burn a manifest
+                # version or swap identical content under pinned
+                # readers ("version == change", the produce invariant)
+                shutil.rmtree(staging, ignore_errors=True)
+                return 0
+            new_files = self._move_staged(topic, staging)
+
+            def apply(
+                m: dict, compacted_input=compacted_input, new_files=new_files
+            ) -> dict:
+                if compacted_input - set(m["files"]):
+                    raise _InputSuperseded()
+                kept = [f for f in m["files"] if f not in compacted_input]
+                m["files"] = new_files + kept
+                if not kept:
+                    m["schema_evolved"] = False
+                return m
+
+            try:
+                self._commit(topic, base_v, apply)
+                return dropped
+            except _InputSuperseded:
+                base_v, base = self.latest_manifest(topic)
+        raise RuntimeError(
+            f"key compaction superseded 20 times on topic {topic!r}"
+        )
+
     def truncate(self, topic: str, before_seq: int) -> int:
         """Retention: drop log FILES wholly below ``before_seq`` in every
         bucket (the Kafka segment-retention analog — the reference's

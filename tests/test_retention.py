@@ -182,3 +182,125 @@ def test_truncate_before_timestamp_ages_out_old_files(spark, sf_dir, tmp_path):
     st.produce(old.withColumn("event_id", F.col("event_id") + 100000), "age")
     assert st.truncate_before_timestamp("age", t_ms) == 0
     assert st.read_topic("age").filter(F.col("event_id") >= 100000).count() == n_old
+
+
+# -- key compaction (Kafka cleanup.policy=compact) -------------------------
+
+
+def _mk_versions(spark, n_keys=10, waves=3, rows=30):
+    def wave(w):
+        return spark.range(rows).select(
+            (F.col("id") + w * 1000).alias("event_id"),
+            (
+                F.lit("2026-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id") + w * 100)
+            ).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.lit(w).alias("wave"),
+        )
+
+    return wave
+
+
+def test_compact_by_key_latest_wins_and_gap_tolerant_consume(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "kc_topics"))
+    st.create_topic("kc", n_buckets=4)
+    wave = _mk_versions(spark)
+    for w in range(3):
+        st.produce(wave(w), "kc")
+    maxima = st._bucket_maxima("kc")
+    dropped = st.compact_by_key("kc", key_col="user_id")
+    assert dropped == 80  # 90 rows, 10 keys -> 10 survivors
+
+    live = st.read_topic("kc")
+    assert live.count() == 10
+    # latest wins: every survivor is from the last wave
+    assert live.filter(F.col("wave") != 2).count() == 0
+    # seqs keep their values; maxima (HWM) never move
+    assert st._bucket_maxima("kc") == maxima
+    # gap-tolerant consume: the range filter just skips compacted-away
+    # seqs (Kafka compacted-fetch), offset advances past the gap
+    st.register_consumer("c", "kc")
+    for b in range(4):
+        batch, nxt = st.consume("c", "kc", bucket=b, count=10_000)
+        got = batch.select("seq").collect()
+        assert len(got) == live.filter(F.col("bucket") == b).count()
+        assert nxt == maxima[b] + 1
+    # idempotent: second pass drops nothing and burns no version
+    v = st._latest_version("kc")
+    assert st.compact_by_key("kc") == 0
+    assert st._latest_version("kc") == v
+
+
+def test_compact_by_key_preserves_concurrent_produce(spark, tmp_path):
+    """A produce landing mid-compaction is preserved verbatim (its
+    files are not in the compacted input set) — even when it carries
+    NEWER versions of already-compacted keys, which then coexist with
+    the stale survivor until the next pass (Kafka's dirty-segment
+    window)."""
+    st = TopicStore(spark, str(tmp_path / "kc_race"))
+    st.create_topic("kr", n_buckets=4)
+    wave = _mk_versions(spark)
+    for w in range(2):
+        st.produce(wave(w), "kr")
+    base_v = st._latest_version("kr")
+    # compact against the pinned base while a wave-2 produce lands
+    # "mid-pass" (committed after the base snapshot was taken)
+    st.produce(wave(2), "kr")
+    st.compact_by_key("kr", key_col="user_id", base_version=base_v)
+
+    live = st.read_topic("kr")
+    # all 30 wave-2 rows survive untouched + 10 wave-1 survivors
+    assert live.filter(F.col("wave") == 2).count() == 30
+    assert live.filter(F.col("wave") == 1).count() == 10
+    assert live.filter(F.col("wave") == 0).count() == 0
+    # the NEXT pass collapses the dirty window to true latest-per-key
+    assert st.compact_by_key("kr", key_col="user_id") == 30
+    live2 = st.read_topic("kr")
+    assert live2.count() == 10
+    assert live2.filter(F.col("wave") != 2).count() == 0
+
+
+def test_compact_by_key_snapshot_pinned_reader_unaffected(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "kc_snap"))
+    st.create_topic("ks", n_buckets=4)
+    wave = _mk_versions(spark)
+    for w in range(2):
+        st.produce(wave(w), "ks")
+    v_pin = st._latest_version("ks")
+    pinned = st.read_topic("ks", version=v_pin)
+    st.compact_by_key("ks", key_col="user_id")
+    # the pinned snapshot still reads the full pre-compaction log
+    # (old files persist until vacuum)
+    assert pinned.count() == 60
+    assert st.read_topic("ks").count() == 10
+
+
+def test_compact_by_key_null_keys_retained(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "kc_null"))
+    st.create_topic("kn", n_buckets=2)
+    df = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.when(F.col("id") < 6, None)
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("user_id"),
+    )
+    st.produce(df, "kn")
+    st.compact_by_key("kn")
+    # 6 null-key rows all retained + 1 survivor for key 1
+    assert st.read_topic("kn").count() == 7
+
+
+def test_compact_by_key_missing_key_column_raises(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "kc_nok"))
+    st.create_topic("nk", n_buckets=2)
+    df = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    st.produce(df, "nk")
+    with pytest.raises(ValueError, match="no 'nope' column"):
+        st.compact_by_key("nk", key_col="nope")
