@@ -46,6 +46,13 @@ from pyspark.sql import functions as F
 from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 from ripple_server_spark.operators.relational import bucket_of
 
+
+class StaleGenerationError(RuntimeError):
+    """A group-scoped commit was fenced: the member's generation is
+    older than the group's current epoch, or the bucket is outside the
+    member's range under the current assignment (Kafka
+    ILLEGAL_GENERATION / FENCED_INSTANCE_ID analog)."""
+
 # One cloned engine session per user session (SparkContext shared).
 # Engine topic writes execute there with outputTimestampType pinned to
 # TIMESTAMP_MICROS ONCE, so no shared-session SQL conf is ever mutated:
@@ -1120,6 +1127,33 @@ class TopicStore:
             self.commit(consumer_id, topic, b, o)
         return offsets
 
+    @staticmethod
+    def _range_split(
+        n_buckets: int, group_id: str, n_members: int
+    ) -> dict[str, list[int]]:
+        """The pure Kafka range-assignor function: member k of the
+        group owns a contiguous run of buckets; runs differ in size by
+        at most one; coverage is exhaustive and disjoint."""
+        base, extra = divmod(n_buckets, n_members)
+        out: dict[str, list[int]] = {}
+        start = 0
+        for k in range(n_members):
+            size = base + (1 if k < extra else 0)
+            out[f"{group_id}-{k}"] = list(range(start, start + size))
+            start += size
+        return out
+
+    def group_state(self, topic: str, group_id: str) -> dict | None:
+        """{"generation": g, "n_members": n} for a group recorded in
+        the topic manifest, or None before its first assignment."""
+        entry = self.latest_manifest(topic)[1].get("groups", {}).get(group_id)
+        if entry is None:
+            return None
+        return {
+            "generation": int(entry["generation"]),
+            "n_members": int(entry["n_members"]),
+        }
+
     def assign_buckets(
         self, topic: str, group_id: str, n_members: int
     ) -> dict[str, list[int]]:
@@ -1136,30 +1170,128 @@ class TopicStore:
         The assignment composes with the existing per-consumer offset
         surface: each member id is an ordinary consumer (register /
         consume / commit per owned bucket), so offsets stay independent
-        and a member crash replays only its own buckets. Pure function
-        of (n_buckets, group_id, n_members) — every member computes the
-        same split with no coordination, exactly why Kafka's range
-        assignor needs no state either. Rebalancing = calling again
-        with a new n_members and draining from the members' committed
-        offsets (same at-least-once contract as any consumer restart).
+        and a member crash replays only its own buckets. The split is a
+        pure function of (n_buckets, group_id, n_members) — every
+        member computes the same runs with no coordination, exactly why
+        Kafka's range assignor needs no state either. Rebalancing =
+        calling again with a new n_members and draining from the
+        members' committed offsets (same at-least-once contract as any
+        consumer restart).
+
+        GENERATION FENCING (Kafka group-epoch zombie fencing): the
+        group's generation lives in the topic manifest and is bumped
+        exactly when ``n_members`` changes — a rebalance is a state
+        change, so it is a (metadata-only) manifest commit, and the
+        O_EXCL version claim serializes concurrent rebalances. Calling
+        with the CURRENT n_members never bumps (idempotent: every
+        member of one generation converges on one epoch with no
+        coordination). Fenced commits — :meth:`commit` with
+        ``group_id``/``generation`` — then reject a member whose epoch
+        is stale or whose bucket no longer falls in its range, closing
+        the window where a zombie from the pre-rebalance generation
+        silently commits to a bucket it no longer owns. Fetch the
+        current epoch with :meth:`group_state`.
         """
         if n_members < 1:
             raise ValueError(f"assign_buckets: n_members must be >= 1, got {n_members}")
         n_buckets = int(self.topic_meta(topic)["n_buckets"])
-        base, extra = divmod(n_buckets, n_members)
-        out: dict[str, list[int]] = {}
-        start = 0
-        for k in range(n_members):
-            size = base + (1 if k < extra else 0)
-            member = f"{group_id}-{k}"
-            out[member] = list(range(start, start + size))
-            start += size
+
+        class _AlreadyCurrent(Exception):
+            pass
+
+        v, m = self.latest_manifest(topic)
+        entry = m.get("groups", {}).get(group_id)
+        if entry is None or int(entry["n_members"]) != n_members:
+
+            def apply(mm: dict) -> dict:
+                groups = dict(mm.get("groups", {}))
+                cur = groups.get(group_id)
+                if cur is not None and int(cur["n_members"]) == n_members:
+                    # another member of THIS generation won the race:
+                    # adopt its epoch, do not double-bump
+                    raise _AlreadyCurrent()
+                groups[group_id] = {
+                    "generation": (int(cur["generation"]) + 1) if cur else 1,
+                    "n_members": n_members,
+                }
+                mm["groups"] = groups
+                return mm
+
+            try:
+                self._commit(topic, v, apply)
+            except _AlreadyCurrent:
+                pass
+
+        out = self._range_split(n_buckets, group_id, n_members)
+        for member in out:
             self.register_consumer(member, topic)
         return out
 
-    def commit(self, consumer_id: str, topic: str, bucket: int, offset: int) -> None:
+    def _fence_group_commit(
+        self,
+        topic: str,
+        group_id: str,
+        generation: int | None,
+        consumer_id: str,
+        bucket: int,
+    ) -> None:
+        """Reject a group-scoped commit from a stale generation or for
+        a bucket the member does not own under the CURRENT assignment
+        (Kafka ILLEGAL_GENERATION / fenced-member errors)."""
+        entry = self.group_state(topic, group_id)
+        if entry is None:
+            raise StaleGenerationError(
+                f"group {group_id!r} has no recorded assignment on topic "
+                f"{topic!r} — call assign_buckets first"
+            )
+        if generation is None:
+            raise ValueError(
+                "group-scoped commit requires generation= (fetch it with "
+                "group_state); omit group_id for ungated independent-"
+                "consumer commits"
+            )
+        if int(generation) != entry["generation"]:
+            raise StaleGenerationError(
+                f"commit by {consumer_id!r} carries generation "
+                f"{int(generation)}, but group {group_id!r} on topic "
+                f"{topic!r} is at generation {entry['generation']} — the "
+                "group rebalanced; this member must re-join (re-run "
+                "assign_buckets) before committing"
+            )
+        n_buckets = int(self.topic_meta(topic)["n_buckets"])
+        owned = self._range_split(n_buckets, group_id, entry["n_members"]).get(
+            consumer_id
+        )
+        if owned is None or bucket not in owned:
+            raise StaleGenerationError(
+                f"member {consumer_id!r} does not own bucket {bucket} of "
+                f"topic {topic!r} under generation {entry['generation']} "
+                f"(owned: {owned}) — stale assignment"
+            )
+
+    def commit(
+        self,
+        consumer_id: str,
+        topic: str,
+        bucket: int,
+        offset: int,
+        *,
+        group_id: str | None = None,
+        generation: int | None = None,
+    ) -> None:
         """Atomically persist a consumer offset (tmp-file + rename — the
-        single-writer-per-consumer model the reference also assumes)."""
+        single-writer-per-consumer model the reference also assumes).
+
+        With ``group_id`` + ``generation`` the commit is GROUP-FENCED:
+        it is rejected (:class:`StaleGenerationError`) when the group
+        has rebalanced past the member's generation or the bucket is
+        outside the member's current range — Kafka's zombie fencing.
+        Without them the consumer is an independent fan-out reader and
+        commits are ungated (the reference's model)."""
+        if group_id is not None:
+            self._fence_group_commit(
+                topic, group_id, generation, consumer_id, bucket
+            )
         offsets = self.committed_offsets(consumer_id, topic)
         offsets[bucket] = offset
         self._write_json(

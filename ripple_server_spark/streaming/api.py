@@ -395,6 +395,8 @@ def commit_stream_position(
     checkpoint: str,
     topic: str,
     consumer_id: str,
+    group_id: str | None = None,
+    generation: int | None = None,
 ) -> dict[int, int]:
     """Hand a STREAM's position over to a batch CONSUMER GROUP — the
     reverse of the ``ripple_topic`` source's ``start_at=consumer:<id>``
@@ -410,6 +412,15 @@ def commit_stream_position(
     itself recovers from). Raises if the checkpoint has no committed
     batch yet, or if the query subscribed to multiple sources and none
     (or more than one) carries cursors for ``topic``.
+
+    With ``group_id`` + ``generation`` the handover is GROUP-FENCED:
+    every cursor bucket is validated against the group's CURRENT epoch
+    and this member's range BEFORE anything is written, so a stream
+    handing cursors to a member whose generation has rotated fails
+    loudly with :class:`~ripple_server_spark.sources.topics.
+    StaleGenerationError` and commits NOTHING — never a partial or
+    stale cursor set (Kafka zombie fencing extended to the
+    stream-to-batch bridge).
 
     Returns the committed {bucket: next_seq} offsets.
     """
@@ -497,6 +508,12 @@ def commit_stream_position(
                 f"{topic!r}'s high-water mark {hwm} — is this "
                 "checkpoint from a different topic?"
             )
+    if group_id is not None:
+        # fence EVERY bucket before writing ANY offset: a stale
+        # generation must fail the whole handover atomically, not
+        # leave a partially-committed cursor set behind
+        for b in cursors:
+            store._fence_group_commit(topic, group_id, generation, consumer_id, b)
     store.register_consumer(consumer_id, topic)
     for b, c in cursors.items():
         store.commit(consumer_id, topic, b, c)

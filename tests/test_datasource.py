@@ -1841,3 +1841,68 @@ def test_mixed_era_topic_timestamp_surfaces(spark, sf_dir, tmp_path):
     # retention across the era split
     assert st.truncate_before_timestamp("era", t_ms) >= 1
     assert st.read_topic("era").count() == n_new
+
+
+def test_stream_handover_fenced_by_group_generation(spark, sf_dir, tmp_path):
+    """VERDICT r09 item 7: a stream handing its cursors to a consumer-
+    group member whose generation has rotated must fail LOUDLY and
+    commit NOTHING — never a partial or stale cursor set."""
+    from ripple_server_spark.sources.topics import StaleGenerationError
+    from ripple_server_spark.streaming.api import commit_stream_position
+
+    st = TopicStore(spark, str(tmp_path / "genh_topics"))
+    st.create_topic("gh", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+    st.produce(_wave(ev, 0, 80), "gh")
+    spark.dataSource.register(RippleTopicDataSource)
+    ckpt = str(tmp_path / "genh_ck")
+    q = (
+        spark.readStream.format("ripple_topic")
+        .option("root", st.root)
+        .option("topic", "gh")
+        .option("batch_size", 40)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one-member group: the sole member owns both buckets
+    st.assign_buckets("gh", "mg", 1)
+    gen1 = st.group_state("gh", "mg")["generation"]
+    # the group rotates before the handover lands
+    st.assign_buckets("gh", "mg", 2)
+
+    with pytest.raises(StaleGenerationError, match="rebalanced"):
+        commit_stream_position(
+            st, ckpt, "gh", "mg-0", group_id="mg", generation=gen1
+        )
+    # atomic: NOTHING was committed for the fenced member
+    assert st.committed_offsets("mg-0", "gh") == {}
+
+    # with the current epoch, the handover only covers the member's own
+    # range — bucket 1 now belongs to mg-1, so the full-cursor handover
+    # is fenced too (hand over per-member, after re-joining)
+    gen2 = st.group_state("gh", "mg")["generation"]
+    with pytest.raises(StaleGenerationError, match="does not own"):
+        commit_stream_position(
+            st, ckpt, "gh", "mg-0", group_id="mg", generation=gen2
+        )
+    assert st.committed_offsets("mg-0", "gh") == {}
+
+    # shrink back to one member: epoch bumps again, and the handover
+    # with the fresh epoch commits the full cursor set exactly once
+    st.assign_buckets("gh", "mg", 1)
+    gen3 = st.group_state("gh", "mg")["generation"]
+    assert gen3 == gen2 + 1
+    committed = commit_stream_position(
+        st, ckpt, "gh", "mg-0", group_id="mg", generation=gen3
+    )
+    maxima = st._bucket_maxima("gh")
+    assert committed == {b: mx + 1 for b, mx in maxima.items()}
+    assert st.committed_offsets("mg-0", "gh") == committed
+    # ungrouped handover (the pre-fencing surface) still works
+    committed2 = commit_stream_position(st, ckpt, "gh", "plain")
+    assert committed2 == committed

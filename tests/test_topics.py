@@ -739,3 +739,57 @@ def test_time_positioning_on_ts_less_topic_raises_named_error(spark, tmp_path):
         st.truncate_before_timestamp("nt", 1_700_000_000_000)
     # seq-based reads are unaffected by the missing ts
     assert st.read_topic("nt").count() == 3
+
+
+def test_group_generation_fencing(spark, sf_dir, tmp_path):
+    """VERDICT r09 item 3 (Kafka zombie fencing): rebalancing 2 -> 3
+    members bumps the group epoch in the topic manifest; a member of
+    the old generation can no longer commit — neither with its stale
+    epoch nor to a bucket outside its new range."""
+    from ripple_server_spark.sources.topics import StaleGenerationError
+
+    st = TopicStore(spark, str(tmp_path / "gen_topics"))
+    st.create_topic("g", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    st.produce(ev, "g")
+
+    asg2 = st.assign_buckets("g", "w", 2)
+    gen2 = st.group_state("g", "w")["generation"]
+    assert gen2 == 1
+    # idempotent join: same n_members never bumps the epoch
+    assert st.assign_buckets("g", "w", 2) == asg2
+    assert st.group_state("g", "w")["generation"] == gen2
+
+    # member w-0 drains bucket 0 and commits with the current epoch
+    batch, nxt = st.consume("w-0", "g", bucket=0, count=10)
+    st.commit("w-0", "g", 0, nxt, group_id="w", generation=gen2)
+
+    # REBALANCE to 3 members: epoch bumps, coverage stays disjoint
+    asg3 = st.assign_buckets("g", "w", 3)
+    gen3 = st.group_state("g", "w")["generation"]
+    assert gen3 == gen2 + 1
+    assert sorted(b for v in asg3.values() for b in v) == [0, 1, 2, 3]
+
+    # zombie: w-1 still believes generation gen2 and owns bucket 2-3;
+    # under gen3 its range shrank — the stale-epoch commit is fenced
+    with pytest.raises(StaleGenerationError, match="rebalanced"):
+        st.commit("w-1", "g", 3, 5, group_id="w", generation=gen2)
+    # even with the CURRENT epoch, a bucket outside the member's new
+    # range is fenced (w-1 owns [2] under gen3; bucket 3 moved to w-2)
+    with pytest.raises(StaleGenerationError, match="does not own bucket 3"):
+        st.commit("w-1", "g", 3, 5, group_id="w", generation=gen3)
+    # the same commit under the new assignment by the RIGHT member works
+    st.commit("w-2", "g", 3, 5, group_id="w", generation=gen3)
+    assert st.committed_offsets("w-2", "g")[3] == 5
+
+    # group-scoped commit without a generation is a usage error;
+    # an unknown group is fenced loudly
+    with pytest.raises(ValueError, match="requires generation"):
+        st.commit("w-0", "g", 0, 1, group_id="w")
+    with pytest.raises(StaleGenerationError, match="no recorded assignment"):
+        st.commit("x-0", "g", 0, 1, group_id="x", generation=1)
+    # ungated independent consumers (the reference's fan-out model)
+    # remain unaffected by any group's epochs
+    st.register_consumer("solo", "g")
+    st.commit("solo", "g", 0, 7)
+    assert st.committed_offsets("solo", "g")[0] == 7
