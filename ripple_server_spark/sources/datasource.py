@@ -698,6 +698,18 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         # anchor. None until initialOffset/partitions/commit runs
         # (i.e. until the first offset state of this reader's life).
         self._last_cursors: dict[str, int] | None = None
+        # Set by the multi reader for topics discovered MID-STREAM
+        # (pattern mode, after this incarnation's first batch
+        # boundary): such a topic provably has no checkpointed cursor
+        # to regress below, so its first offer is safely capped at
+        # batch_size per bucket instead of the full retained log —
+        # a newly-matched 10B-row topic then drains across ordinary
+        # triggers rather than making one micro-batch the whole log's
+        # failure/replay granularity (VERDICT r09 item 4). Never set
+        # for construction-time or checkpoint-recovered readers, whose
+        # uncapped first offer IS correctness-required (see class
+        # docstring).
+        self._capped_first_offer = False
         # Per-version manifest caches: a steady-state tail triggers
         # every few seconds and would otherwise re-parse the FULL
         # manifest (file list included) twice per trigger
@@ -792,6 +804,13 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         for b, mx in maxima.items():
             hwm = mx + 1
             if last is None:
+                if self._capped_first_offer:
+                    # mid-stream discovered topic: no checkpointed
+                    # cursor exists to regress below, so admit from the
+                    # retained floor at the ordinary batch_size cap
+                    eff = floors.get(b, 0)
+                    cursors[b] = min(hwm, eff + self.batch_size)
+                    continue
                 # post-restart catch-up: the checkpointed start cursor
                 # is invisible here, so offer everything retained; the
                 # batch stays executor-parallel via chunked partitions
@@ -864,10 +883,13 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
       continuing topics resume exactly from the checkpoint.
     - ``subscribePattern``: the regex re-resolves at every
       ``latestOffset`` (trigger boundary), so a topic created
-      mid-query is admitted into the next trigger's nested offset and
-      delivers its FULL retained log (new topics start at their
-      floor — Kafka's new-partition earliest rule — regardless of
-      ``start_at``, which governs only the initially-matched set).
+      mid-query is admitted into the next trigger's nested offset,
+      starting from its retained floor (Kafka's new-partition earliest
+      rule — regardless of ``start_at``, which governs only the
+      initially-matched set) and draining at the ordinary batch_size
+      cap per trigger: a mid-stream discovery provably has no
+      checkpointed cursor, so capping is safe and keeps micro-batch
+      replay granularity bounded even when a huge topic newly matches.
       Once admitted, a topic is never dropped: the pattern can only
       stop matching a topic by the topic being deleted, and deleting a
       subscribed log mid-query fails loudly (same contract as fixed
@@ -887,6 +909,12 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
             k: v for k, v in options.items() if k.lower() != "subscribepattern"
         }
         self._subs = {t: self._make_sub(t) for t in self.topics}
+        # False until this incarnation's first partitions()/commit():
+        # only topics discovered AFTER a batch boundary are provably
+        # absent from the checkpoint (a checkpointed topic is either in
+        # the construction-time subs or re-materialized by that first
+        # call), so only those get the capped first offer.
+        self._saw_batch = False
 
     def _make_sub(self, topic: str) -> RippleTopicPartitionedStreamReader:
         return RippleTopicPartitionedStreamReader(
@@ -921,9 +949,14 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
 
     def _discover(self) -> None:
         """Admit topics that newly match the pattern (trigger-boundary
-        discovery). A fresh sub-reader's first offer is its full
-        retained log (uncapped catch-up), which is exactly the
-        new-topic-at-earliest admission Kafka performs."""
+        discovery) — Kafka's new-topic-at-earliest admission. Before
+        this incarnation's first batch boundary a fresh sub-reader's
+        first offer is its full retained log (it may be a checkpointed
+        topic whose cursor this API cannot see — regressing below it
+        would re-serve rows after a second restart); AFTER a batch
+        boundary the topic is provably checkpoint-free, so admission
+        starts at the floor and is capped at batch_size per bucket like
+        any other trigger (VERDICT r09 item 4)."""
         if not self._pattern:
             return
         import re
@@ -936,7 +969,7 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
                 and re.fullmatch(self._pattern, n)
                 and _topic_ready(self._root, n)
             ):
-                self._sub(n)
+                self._sub(n)._capped_first_offer = self._saw_batch
 
     def initialOffset(self) -> dict:
         return {t: r.initialOffset() for t, r in self._subs.items()}
@@ -956,6 +989,7 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
             for p in self._sub(t).partitions(start.get(t, empty), end[t]):
                 p.topic = t
                 parts.append(p)
+        self._saw_batch = True
         return parts
 
     def read(self, partition: BucketPartition | None) -> Iterator:
@@ -966,6 +1000,7 @@ class RippleTopicMultiStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         for t in self._offset_topics(end):
             self._sub(t).commit(end[t])
+        self._saw_batch = True
 
 
 class RippleTopicDataSource(DataSource):

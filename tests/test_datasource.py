@@ -1906,3 +1906,67 @@ def test_stream_handover_fenced_by_group_generation(spark, sf_dir, tmp_path):
     # ungrouped handover (the pre-fencing surface) still works
     committed2 = commit_stream_position(st, ckpt, "gh", "plain")
     assert committed2 == committed
+
+
+def test_mid_stream_discovered_topic_admission_is_capped(spark, sf_dir, tmp_path):
+    """VERDICT r09 item 4: a topic discovered at a trigger boundary has
+    no checkpointed cursor to protect, so it is admitted at batch_size
+    seqs per bucket per trigger — a newly-matched huge topic drains
+    across ordinary micro-batches instead of landing in one batch whose
+    replay granularity is the whole retained log. Restart mid-history
+    stays exact (no dupes, no gaps)."""
+    st = TopicStore(spark, str(tmp_path / "cap_topics"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    st.create_topic("cap_a", n_buckets=2)
+    st.produce(_wave(ev, 0, 20), "cap_a")
+    spark.dataSource.register(RippleTopicDataSource)
+    ck = str(tmp_path / "cap_ck")
+    batches: list[tuple[int, str, int, int]] = []  # (epoch, topic, bucket, n)
+
+    def sink(df, epoch):
+        for r in df.groupBy("topic", "bucket").count().collect():
+            batches.append((epoch, r["topic"], r["bucket"], r["count"]))
+
+    def start():
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("subscribePattern", "cap_.*")
+            .option("batch_size", 25)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # cap_a drained; batch boundary passed
+        # a LARGE topic newly matches mid-stream: 300 rows, 2 buckets
+        st.create_topic("cap_big", n_buckets=2)
+        st.produce(_wave(ev, 100, 400), "cap_big")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    big = [(e, b, n) for (e, t, b, n) in batches if t == "cap_big"]
+    assert big, "discovered topic never delivered"
+    # every micro-batch delivered <= batch_size rows per bucket of the
+    # discovered topic — including its FIRST batch (the capped offer)
+    assert all(n <= 25 for (_e, _b, n) in big), big
+    # the drain spanned multiple triggers (~150 rows/bucket / 25)
+    assert len({e for (e, _b, _n) in big}) >= 3
+    assert sum(n for (_e, _b, n) in big) == 300  # nothing lost
+    # restart mid-history: append to the discovered topic, replay exact
+    st.produce(_wave(ev, 400, 440), "cap_big")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = sum(n for (_e, t, _b, n) in batches if t == "cap_big")
+    assert total == 340, "duplicate or lost rows across restart"
+    # pre-existing topics were untouched by the discovery cap
+    assert sum(n for (_e, t, _b, n) in batches if t == "cap_a") == 20
