@@ -348,6 +348,37 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_moving_avg_time": 8,
     "q_pagerank_types": 8,
     "q_percentile_value": 8,
+    # --- round-10 evidence rotation (since=9, VERDICT r09 item 5):
+    # the remaining r05 tail — the oldest standing green rows —
+    # re-earns current evidence. Code UNCHANGED (pure rotation); a
+    # green r10+ row expires each entry automatically.
+    # (q_percentile_value, the 27th tail row, is queued above at 8.)
+    "q_project_typed_columns": 9,
+    "q_quality_filter_funnel": 9,
+    "q_rollup_type_day": 9,
+    "q_running_value": 9,
+    "q_scalar_md5_route": 9,
+    "q_scan_events": 9,
+    "q_seq_gap_detection": 9,
+    "q_set_intersect_except": 9,
+    "q_text_pii_flags": 9,
+    "q_text_quality": 9,
+    "q_text_repetition": 9,
+    "q_text_tfidf": 9,
+    "q_token_budget_select": 9,
+    "q_topic_time_travel": 9,
+    "q_topk_hot_users": 9,
+    "q_topn_per_group": 9,
+    "q_tpch_q1": 9,
+    "q_tpch_q11_important": 9,
+    "q_tpch_q3_topk": 9,
+    "q_tpch_q5_region": 9,
+    "q_tpch_q6": 9,
+    "q_union_topics": 9,
+    "q_upsample_by_weight": 9,
+    "q_user_zscore_pandas": 9,
+    "q_window_distribution": 9,
+    "q_zipf_slope": 9,
 }
 
 
