@@ -48,6 +48,7 @@ class CycleStats:
     files_after: int = 0
     truncated_files: int = 0
     vacuumed_files: int = 0
+    key_dropped: int = 0
     error: str | None = None
 
 
@@ -77,6 +78,19 @@ class TopicMaintenance:
     exceeds this; defaults to ``n_buckets`` (the post-compact state is
     exactly one file per non-empty bucket, so more files than buckets
     means produce segments have accumulated).
+
+    ``cleanup_policy`` (Kafka ``cleanup.policy``): ``"delete"`` (the
+    default — retention only), ``"compact"`` (periodic
+    ``compact_by_key`` on ``key_col``: retain-latest-per-key, the
+    Kafka log-cleaner thread), or ``"compact,delete"`` (both, Kafka's
+    combined mode — retention ages out whole old segments AND the
+    cleaner collapses superseded keys in what survives). Key
+    compaction costs a full live-log scan + rewrite, so it is
+    rate-limited by ``key_compaction_interval_s`` (the
+    ``log.cleaner.backoff.ms`` analog), stamped only after a
+    successful pass — same retry-on-failure contract as time
+    retention. A pass that drops nothing burns no manifest version, so
+    a quiet topic under ``"compact"`` stays at "version == change".
     """
 
     store: TopicStore
@@ -86,6 +100,10 @@ class TopicMaintenance:
     retain_ms: int | None = None
     retention_check_interval_s: float = 300.0
     compact_when_files_over: int | None = None
+    cleanup_policy: str = "delete"
+    key_col: str = "user_id"
+    tombstone_col: str | None = None
+    key_compaction_interval_s: float = 300.0
     vacuum_grace_s: float = DEFAULT_VACUUM_GRACE_S
     history: list[CycleStats] = field(default_factory=list)
 
@@ -93,6 +111,14 @@ class TopicMaintenance:
         self._stop_evt: threading.Event | None = None
         self._thread: threading.Thread | None = None
         self._last_time_check: float = float("-inf")
+        self._last_key_compaction: float = float("-inf")
+        policies = {p.strip() for p in self.cleanup_policy.split(",") if p.strip()}
+        if not policies <= {"delete", "compact"}:
+            raise ValueError(
+                f"cleanup_policy must be 'delete', 'compact' or "
+                f"'compact,delete', got {self.cleanup_policy!r}"
+            )
+        self._compact_keys = "compact" in policies
 
     # -- one cycle (Trigger.AvailableNow analog) ---------------------------
     def run_once(self) -> CycleStats:
@@ -126,6 +152,23 @@ class TopicMaintenance:
                 # retries next cycle instead of silently lagging a full
                 # retention_check_interval_s (ADVICE r09).
                 self._last_time_check = now
+                v, m = self.store.latest_manifest(self.topic)
+            # KEY compaction (cleanup.policy=compact) runs AFTER
+            # retention (the cleaner scans only what retention kept)
+            # and BEFORE the file-count check (its output is already
+            # one file per bucket, so a cleaner pass usually makes the
+            # OPTIMIZE below a no-op). Same stamp-after-success rule.
+            if (
+                self._compact_keys
+                and now - self._last_key_compaction
+                >= self.key_compaction_interval_s
+            ):
+                st.key_dropped = self.store.compact_by_key(
+                    self.topic,
+                    key_col=self.key_col,
+                    tombstone_col=self.tombstone_col,
+                )
+                self._last_key_compaction = now
                 v, m = self.store.latest_manifest(self.topic)
             threshold = (
                 self.compact_when_files_over

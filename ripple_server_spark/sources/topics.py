@@ -768,6 +768,7 @@ class TopicStore:
         topic: str,
         key_col: str = "user_id",
         base_version: int | None = None,
+        tombstone_col: str | None = None,
     ) -> int:
         """KEY compaction (Kafka ``cleanup.policy=compact``): rewrite
         the log so each bucket retains, per ``key_col`` value, ONLY the
@@ -786,6 +787,13 @@ class TopicStore:
         - **Null keys are retained, never collapsed** (Kafka rejects
           unkeyed writes to compacted topics; retaining is the safe
           analog — each null-key row is its own group).
+        - **Tombstones** (optional, ``tombstone_col``): a record whose
+          ``tombstone_col`` is NULL marks its key deleted — when it is
+          the key's LATEST record, the key is removed from the log
+          entirely (older versions AND the tombstone itself), Kafka's
+          null-value delete with an immediate
+          ``delete.retention.ms=0``. A tombstone superseded by a later
+          non-null record deletes nothing.
         - **Seqs keep their values** — compaction introduces GAPS, and
           readers are gap-tolerant by construction: ``consume`` filters
           a closed seq range (missing seqs just aren't delivered, the
@@ -825,6 +833,10 @@ class TopicStore:
 
         for _ in range(20):
             compacted_input = set(base["files"])
+            if not base["files"]:
+                return 0  # empty topic: nothing to compact (and no
+                # schema yet to validate — a maintenance loop started
+                # before the first produce must not error every cycle)
             src = self.read_topic(topic, version=base_v)
             if key_col not in src.columns:
                 raise ValueError(
@@ -832,8 +844,12 @@ class TopicStore:
                     "compaction requires the compaction key in the "
                     f"message schema (columns: {src.columns})"
                 )
-            if "seq" not in src.columns or not base["files"]:
-                return 0  # empty topic: nothing to compact
+            if tombstone_col is not None and tombstone_col not in src.columns:
+                raise ValueError(
+                    f"topic {topic!r} has no {tombstone_col!r} column; "
+                    "tombstone compaction requires the value column in "
+                    f"the message schema (columns: {src.columns})"
+                )
             cols = src.columns
             staging = os.path.join(
                 self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
@@ -860,6 +876,15 @@ class TopicStore:
                     .agg(F.max_by(F.struct(*cols), F.col("seq")).alias("_r"))
                     .select("_r.*")
                 )
+                if tombstone_col is not None:
+                    # a keyed survivor with a NULL value is a tombstone:
+                    # the key's latest state is "deleted", so drop it
+                    # (null-KEY rows are unkeyed records, not deletes —
+                    # they pass through)
+                    survivors = survivors.filter(
+                        F.col(key_col).isNull()
+                        | F.col(tombstone_col).isNotNull()
+                    )
                 plan = survivors.repartition(
                     n_buckets, F.col("bucket")
                 ).sortWithinPartitions("seq")

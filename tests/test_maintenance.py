@@ -277,3 +277,57 @@ def test_failed_time_retention_does_not_consume_rate_limit(
     assert calls["n"] == 2
     maint.run_once()  # success stamped the window: now rate-limited
     assert calls["n"] == 2
+
+
+def test_cleanup_policy_compact_runs_key_compaction(spark, tmp_path):
+    """cleanup.policy=compact (Kafka log cleaner): the maintenance
+    cycle retains latest-per-key, is rate-limited by
+    key_compaction_interval_s with the stamp-after-success rule, and a
+    no-op pass burns no manifest version."""
+    st = TopicStore(spark, str(tmp_path / "kcm_topics"))
+    st.create_topic("kcm", n_buckets=2)
+
+    def wave(w):
+        return spark.range(20).select(
+            (F.col("id") + w * 100).alias("event_id"),
+            (
+                F.lit("2026-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id") + w * 50)
+            ).alias("ts"),
+            (F.col("id") % 5).alias("user_id"),
+            F.lit(w).alias("wave"),
+        )
+
+    for w in range(3):
+        st.produce(wave(w), "kcm")
+
+    maint = TopicMaintenance(
+        st,
+        "kcm",
+        cleanup_policy="compact",
+        key_col="user_id",
+        key_compaction_interval_s=3600.0,
+        vacuum_grace_s=0.0,
+    )
+    s1 = maint.run_once()
+    assert s1.error is None
+    assert s1.key_dropped == 55  # 60 rows, 5 keys
+    live = st.read_topic("kcm")
+    assert live.count() == 5 and live.filter(F.col("wave") != 2).count() == 0
+
+    # rate-limited: the next cycle within the window does not re-scan
+    s2 = maint.run_once()
+    assert s2.key_dropped == 0 and s2.error is None
+
+    # combined mode parses; bad policies are loud
+    TopicMaintenance(st, "kcm", cleanup_policy="compact,delete")
+    with pytest.raises(ValueError, match="cleanup_policy"):
+        TopicMaintenance(st, "kcm", cleanup_policy="zap")
+
+    # an empty compacted topic under the policy is a quiet no-op
+    st.create_topic("kcm_empty", n_buckets=2)
+    m2 = TopicMaintenance(
+        st, "kcm_empty", cleanup_policy="compact", vacuum_grace_s=0.0
+    )
+    s3 = m2.run_once()
+    assert s3.error is None and s3.key_dropped == 0

@@ -304,3 +304,48 @@ def test_compact_by_key_missing_key_column_raises(spark, tmp_path):
     st.produce(df, "nk")
     with pytest.raises(ValueError, match="no 'nope' column"):
         st.compact_by_key("nk", key_col="nope")
+
+
+def test_compact_by_key_tombstones_delete_keys(spark, tmp_path):
+    """Kafka null-value tombstones: a key whose LATEST record has a
+    NULL tombstone_col is removed entirely (older versions + the
+    tombstone); a tombstone superseded by a later non-null record
+    deletes nothing; null-KEY rows are unkeyed records, never
+    deletes."""
+    st = TopicStore(spark, str(tmp_path / "kc_tomb"))
+    st.create_topic("kt", n_buckets=2)
+    base_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def rec(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, value double"
+        ).select(
+            "event_id",
+            (base_ts + F.make_interval(secs=F.col("event_id"))).alias("ts"),
+            "user_id",
+            "value",
+        )
+
+    # wave 1: keys 0..4 with values
+    st.produce(rec([(i, i % 5, float(i)) for i in range(10)]), "kt")
+    # wave 2: tombstone keys 0 and 1 (value NULL); update key 2
+    st.produce(
+        rec([(100, 0, None), (101, 1, None), (102, 2, 42.0)]), "kt"
+    )
+    # wave 3: key 1 resurrected with a new value (supersedes tombstone);
+    # one unkeyed record with NULL value (not a delete)
+    st.produce(rec([(200, 1, 7.0), (201, None, None)]), "kt")
+
+    st.compact_by_key("kt", key_col="user_id", tombstone_col="value")
+    live = st.read_topic("kt")
+    rows = {r["user_id"]: r for r in live.collect()}
+    assert 0 not in rows  # tombstoned, gone entirely
+    assert rows[1]["value"] == 7.0 and rows[1]["event_id"] == 200  # resurrected
+    assert rows[2]["value"] == 42.0 and rows[2]["event_id"] == 102
+    assert rows[3]["event_id"] == 8 and rows[4]["event_id"] == 9
+    # the unkeyed null-value record passed through
+    assert None in rows and rows[None]["event_id"] == 201
+    assert live.count() == 5
+    # a missing tombstone column is a named error
+    with pytest.raises(ValueError, match="no 'nope' column"):
+        st.compact_by_key("kt", key_col="user_id", tombstone_col="nope")
