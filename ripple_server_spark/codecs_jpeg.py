@@ -10,17 +10,28 @@ Scope (the baseline profile that covers the overwhelming majority of
 web/corpus JPEGs):
 
 - **decode** (:func:`parse_jpeg`): baseline sequential DCT (SOF0; the
-  Huffman-identical extended-sequential SOF1 is accepted too), 8-bit
-  samples, grayscale or YCbCr with any h/v sampling factors ≤ 2
-  (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart markers, 0xFF00 byte
-  unstuffing. Rejected with ValueError: progressive (SOF2),
-  arithmetic coding (SOF9+), 12-bit precision, 4-component (Adobe
-  CMYK) scans, lossless modes.
-- **encode** (:func:`encode_jpeg`): baseline 4:4:4 with the T.81
-  Annex K quantization (quality-scaled, the same IJG curve every
+  Huffman-identical extended-sequential SOF1 is accepted too) AND
+  progressive DCT (SOF2, round 10) — full T.81 Annex G spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOBn run decoding, interleaved DC scans, non-interleaved AC
+  scans over true component block dims; 8-bit samples, grayscale or
+  YCbCr with any h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0,
+  4:4:0), restart markers, 0xFF00 byte unstuffing. Rejected with
+  ValueError: arithmetic coding (SOF9+), 12-bit precision,
+  4-component (Adobe CMYK) scans, lossless/hierarchical modes.
+- **encode** (:func:`encode_jpeg`): baseline 4:4:4/4:2:0 with the
+  T.81 Annex K quantization (quality-scaled, the same IJG curve every
   encoder uses) and Annex K Huffman tables — deterministic bytes for
   fixtures and digest pins; its output decodes with Pillow (the
-  env-gated cross-check asserts it).
+  env-gated cross-check asserts it). ``progressive=True`` emits SOF2
+  with libjpeg's standard scan script (jcparam.c
+  ``jpeg_simple_progression``: DC Al=1 interleaved; banded AC first
+  scans at Al=2/1; AC+DC refinement passes to Al=0), so the decoder's
+  every progressive path has an in-container fixture generator. The
+  progressive entropy coder ends each block's EOB run immediately
+  (EOB0 only — Annex K AC tables carry no EOBn>0 symbols), which is
+  spec-legal and costs a little compression; the DECODER handles
+  arbitrary EOBn runs as real encoders emit them.
 
 JPEG is lossy: round-trip tests assert bounded error (quantization at
 quality q bounds each DCT coefficient's error by Q[u,v]/2) plus pinned
@@ -229,11 +240,30 @@ def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int]:
     raise ValueError("jpeg: entropy stream missing terminating marker")
 
 
+def _parse_sof(seg: bytes):
+    """SOF payload -> (h, w, [(cid, hs, vs, tq)]) with profile checks."""
+    if seg[0] != 8:
+        raise ValueError(f"jpeg: only 8-bit precision supported, got {seg[0]}")
+    h = int.from_bytes(seg[1:3], "big")
+    w = int.from_bytes(seg[3:5], "big")
+    nc = seg[5]
+    if nc not in (1, 3):
+        raise ValueError(f"jpeg: {nc}-component images unsupported (CMYK?)")
+    comps = []
+    for c in range(nc):
+        cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+        hs, vs = hv >> 4, hv & 0x0F
+        if not (1 <= hs <= 2 and 1 <= vs <= 2):
+            raise ValueError(f"jpeg: sampling factors {hs}x{vs} unsupported")
+        comps.append((cid, hs, vs, tq))
+    return (h, w, comps)
+
+
 def parse_jpeg(b: bytes):
-    """Decode baseline JPEG bytes -> ImageHandle (uint8 gray or RGB);
-    None when the magic says this is not JPEG; ValueError on
-    malformed/truncated/unsupported streams. See module docstring for
-    the supported profile."""
+    """Decode baseline or progressive JPEG bytes -> ImageHandle (uint8
+    gray or RGB); None when the magic says this is not JPEG;
+    ValueError on malformed/truncated/unsupported streams. See module
+    docstring for the supported profile."""
     from ripple_server_spark.codecs import ImageHandle
 
     if len(b) < 2 or b[0] != 0xFF or b[1] != 0xD8:
@@ -242,6 +272,9 @@ def parse_jpeg(b: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    coef = None  # progressive coefficient store {cid: (hb, wb, 64) int32}
+    scans_done = 0
     restart_interval = 0
     i = 2
     n = len(b)
@@ -252,7 +285,9 @@ def parse_jpeg(b: bytes):
         if m == 0xD8:
             i += 2
             continue
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI
+            if progressive and scans_done:
+                return _finish_progressive(frame, coef, qt, ImageHandle)
             raise ValueError("jpeg: no scan data before EOI")
         if i + 4 > n:
             raise ValueError(f"jpeg: truncated marker 0xFF{m:02X}")
@@ -280,23 +315,14 @@ def parse_jpeg(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decoder(bits, vals)
                 p += 17 + cnt
         elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
-            if seg[0] != 8:
-                raise ValueError(f"jpeg: only 8-bit precision supported, got {seg[0]}")
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            nc = seg[5]
-            if nc not in (1, 3):
-                raise ValueError(f"jpeg: {nc}-component images unsupported (CMYK?)")
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                hs, vs = hv >> 4, hv & 0x0F
-                if not (1 <= hs <= 2 and 1 <= vs <= 2):
-                    raise ValueError(f"jpeg: sampling factors {hs}x{vs} unsupported")
-                comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
-        elif m == 0xC2:
-            raise ValueError("jpeg: progressive DCT not supported (baseline only)")
+            frame = _parse_sof(seg)
+        elif m == 0xC2:  # SOF2 progressive DCT
+            frame = _parse_sof(seg)
+            progressive = True
+            coef = {
+                cid: np.zeros((hb, wb, 64), dtype=np.int32)
+                for cid, hb, wb, *_ in _prog_geometry(frame)
+            }
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg: SOF 0xFF{m:02X} mode not supported")
         elif m == 0xDD:  # DRI
@@ -305,6 +331,23 @@ def parse_jpeg(b: bytes):
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            scan_ids = []
+            scan = {}
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tdta >> 4, tdta & 0x0F)
+                scan_ids.append(cid)
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                segs, end = _split_entropy(b, i + 2 + ln)
+                _decode_prog_scan(
+                    frame, scan_ids, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval, segs, coef,
+                )
+                scans_done += 1
+                i = end
+                continue
             if ns != len(frame[2]):
                 # spec-legal but out of profile: baseline images encoded
                 # as multiple single-component scans — reject with the
@@ -315,10 +358,6 @@ def parse_jpeg(b: bytes):
                     f"not supported (scan has {ns} of {len(frame[2])} "
                     "components)"
                 )
-            scan = {}
-            for c in range(ns):
-                cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tdta >> 4, tdta & 0x0F)
             segs, _end = _split_entropy(b, i + 2 + ln)
             return _decode_scan(
                 frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, ImageHandle
@@ -366,7 +405,14 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, hand
             mcu += 1
     if mcu < n_mcus:
         raise ValueError(f"jpeg: scan ended after {mcu}/{n_mcus} MCUs")
+    return _assemble(frame, planes, handle_cls)
 
+
+def _assemble(frame, planes, handle_cls):
+    """Upsample subsampled planes, crop to true dims, color-convert."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -412,6 +458,207 @@ def _decode_block(reader, dc_tbl, ac_tbl, q, pred, cid) -> np.ndarray:
     return block + 128.0
 
 
+# -- progressive decoder (T.81 Annex G, jdphuff.c semantics) -----------------
+
+
+def _prog_geometry(frame):
+    """Per-component block geometry: [(cid, hb_pad, wb_pad, hb_true,
+    wb_true, hs, vs, tq)]. Interleaved (DC) scans cover the PADDED
+    MCU grid; non-interleaved scans cover only the component's TRUE
+    block dims (T.81 A.2.2/A.2.3 — real encoders depend on this)."""
+    h, w, comps = frame
+    if h <= 0 or w <= 0:
+        raise ValueError(f"jpeg: bad dimensions {w}x{h}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    out = []
+    for cid, hs, vs, tq in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        out.append(
+            (cid, mcus_y * vs, mcus_x * hs, -(-ch // 8), -(-cw // 8), hs, vs, tq)
+        )
+    return out
+
+
+def _decode_prog_scan(
+    frame, scan_ids, scan, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval, segs, coef,
+):
+    """One progressive scan into the coefficient store (zigzag-index
+    space). Four scan kinds: DC first (Ss=Se=0, Ah=0; Huffman diff
+    coding of DC>>Al), DC refine (Ah>0; one raw bit per block), AC
+    first (Ss>0, Ah=0; EOBn runs + ZRL + values<<Al), AC refine (Ah>0;
+    correction bits, jdphuff.c decode_mcu_AC_refine semantics)."""
+    geo = {g[0]: g for g in _prog_geometry(frame)}
+    comps = frame[2]
+    if ss > se or se > 63:
+        raise ValueError(f"jpeg: bad spectral band {ss}..{se}")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("jpeg: progressive scan mixing DC and AC bands")
+    if not is_dc and len(scan_ids) != 1:
+        raise ValueError("jpeg: progressive AC scans must be non-interleaved")
+
+    # block visit order for this scan
+    if len(scan_ids) > 1:
+        # interleaved DC scan: MCU order over the padded grid
+        order = []  # (cid, by, bx)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        h, w, _ = frame
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        bycomp = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in scan_ids:
+                    hs, vs = bycomp[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            order.append((cid, my * vs + by, mx * hs + bx))
+        per_unit = sum(bycomp[c][0] * bycomp[c][1] for c in scan_ids)
+        n_units = mcus_x * mcus_y
+    else:
+        cid = scan_ids[0]
+        _cid, _hbp, _wbp, hb, wb, *_ = geo[cid]
+        order = [(cid, by, bx) for by in range(hb) for bx in range(wb)]
+        per_unit = 1
+        n_units = hb * wb
+
+    per_seg = restart_interval if restart_interval else n_units
+    unit = 0
+    pos = 0
+    for seg in segs:
+        if unit >= n_units:
+            break
+        reader = _BitReader(seg)
+        pred = {c: 0 for c in scan_ids}
+        eobrun = [0]
+        for _ in range(min(per_seg, n_units - unit)):
+            for _k in range(per_unit):
+                cid, by, bx = order[pos]
+                pos += 1
+                blk = coef[cid][by, bx]
+                if is_dc:
+                    if ah == 0:
+                        td = scan[cid][0]
+                        if td not in huff_dc:
+                            raise ValueError("jpeg: scan references undefined table")
+                        s = reader.decode(huff_dc[td])
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[cid] += diff
+                        blk[0] = pred[cid] << al
+                    else:
+                        if reader.read_bit():
+                            blk[0] |= 1 << al
+                else:
+                    ta = scan[cid][1]
+                    if ta not in huff_ac:
+                        raise ValueError("jpeg: scan references undefined table")
+                    if ah == 0:
+                        _prog_ac_first(reader, huff_ac[ta], blk, ss, se, al, eobrun)
+                    else:
+                        _prog_ac_refine(reader, huff_ac[ta], blk, ss, se, al, eobrun)
+            unit += 1
+    if unit < n_units:
+        raise ValueError(f"jpeg: progressive scan ended after {unit}/{n_units} units")
+
+
+def _prog_ac_first(reader, ac_tbl, blk, ss, se, al, eobrun) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past end of band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun) -> None:
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions (correcting
+                # nonzero-history coefficients passed along the way)
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: AC refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("jpeg: AC refinement run past end of band")
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        # EOB run covers this block: remaining nonzero-history
+        # coefficients in the band still receive correction bits
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _finish_progressive(frame, coef, qt, handle_cls):
+    """All scans consumed: dequantize + IDCT every block (padded grid,
+    so interleaved-DC padding blocks reconstruct too) and assemble."""
+    h, w, comps = frame
+    planes = {}
+    for cid, hbp, wbp, _hb, _wb, _hs, _vs, tq in _prog_geometry(frame):
+        if tq not in qt:
+            raise ValueError("jpeg: frame references undefined quant table")
+        qflat = qt[tq].reshape(-1)[_ZIGZAG].astype(np.float64)
+        plane = np.zeros((hbp * 8, wbp * 8), dtype=np.float64)
+        blocks = coef[cid]
+        for by in range(hbp):
+            for bx in range(wbp):
+                dq = np.zeros(64, dtype=np.float64)
+                dq[_ZIGZAG] = blocks[by, bx].astype(np.float64) * qflat
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ dq.reshape(8, 8) @ _A + 128.0
+                )
+        planes[cid] = plane
+    return _assemble(frame, planes, handle_cls)
+
+
 # -- encoder -----------------------------------------------------------------
 
 
@@ -435,6 +682,10 @@ class _BitWriter:
     def flush(self) -> None:
         while self.nbits:
             self.write("1")  # pad with 1s per spec
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
 def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
@@ -496,6 +747,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w, c) uint8 -> baseline JFIF bytes, Annex K tables
     quality-scaled. c=1 gray, c=3 RGB (c=2/4 drop alpha first, like
@@ -504,7 +756,11 @@ def encode_jpeg(
     the dominant web-JPEG layout, which also exercises the decoder's
     upsampling path in-container). ``restart_interval`` > 0 emits a
     DRI segment and RSTn markers every N MCUs (resetting DC predictors
-    and byte alignment — exercises the decoder's restart path).
+    and byte alignment — exercises the decoder's restart path; baseline
+    only). ``progressive=True`` emits SOF2 with libjpeg's standard
+    successive-approximation scan script (see module docstring);
+    decoding it yields EXACTLY the pixels of the equivalent baseline
+    encode, because the script delivers every coefficient bit.
     Deterministic: pure integer/float math, no library variance —
     safe to pin digests on."""
     arr = np.asarray(arr, dtype=np.uint8)
@@ -555,6 +811,17 @@ def encode_jpeg(
             # box mean downsample (what libjpeg's h2v2 downsampler does)
             full = full.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         planes.append(full)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "jpeg: progressive encode does not emit restart markers "
+                "(decode supports them)"
+            )
+        return _encode_progressive(
+            h, w, planes, samp, qtabs, mcus_x, mcus_y, hmax, vmax,
+            dc_codes, ac_codes,
+        )
 
     writer = _BitWriter()
     pred = [0] * len(chans)
@@ -616,4 +883,187 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (T.81 Annex G, jcphuff.c semantics) -----------------
+
+
+def _emit_ac_first_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """AC first pass (Ah=0): code sign(c)*(|c|>>Al) for the band, ZRL
+    for 16-zero runs, EOB0 when the band ends in zeros (the encoder
+    never accumulates EOBn>0 runs — Annex K tables carry no EOBn
+    symbols; spec-legal, see module docstring)."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        a = abs(t) >> al
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(ac_codes[0xF0])  # ZRL
+            run -= 16
+        s, mb = _mag_bits(a if t >= 0 else -a)
+        writer.write(ac_codes[(run << 4) | s] + mb)
+        run = 0
+    if run > 0:
+        writer.write(ac_codes[0x00])  # EOB0
+
+
+def _emit_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
+    """AC refinement pass (Ah=Al+1): newly-significant coefficients
+    (|c|>>Al == 1) as (run,1)+sign, correction bits for already-
+    significant ones BUFFERED until the next symbol (jcphuff.c order —
+    the decoder reads them while advancing past those positions), EOB0
+    flush per block."""
+    absv = [abs(int(zz[k])) >> al for k in range(64)]
+    eob = 0  # index of the LAST newly-significant coefficient (0 if none)
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br: list[str] = []
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            writer.write(ac_codes[0xF0])
+            r -= 16
+            for bit in br:
+                writer.write(bit)
+            br = []
+        if temp > 1:
+            # already significant: one correction bit, run unaffected
+            br.append("1" if (temp & 1) else "0")
+            continue
+        writer.write(ac_codes[(r << 4) | 1])
+        writer.write("1" if int(zz[k]) >= 0 else "0")
+        for bit in br:
+            writer.write(bit)
+        br = []
+        r = 0
+    if r > 0 or br:
+        writer.write(ac_codes[0x00])
+        for bit in br:
+            writer.write(bit)
+
+
+def _encode_progressive(
+    h, w, planes, samp, qtabs, mcus_x, mcus_y, hmax, vmax, dc_codes, ac_codes
+):
+    nc = len(planes)
+    # quantized zigzag coefficients per component, padded MCU grid
+    coefs = []
+    true_dims = []
+    for ci, p in enumerate(planes):
+        hs, vs = samp[ci]
+        q = qtabs[min(ci, 1)].astype(np.float64)
+        hbp, wbp = p.shape[0] // 8, p.shape[1] // 8
+        zz = np.zeros((hbp, wbp, 64), dtype=np.int64)
+        for by in range(hbp):
+            for bx in range(wbp):
+                c8 = _A @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _A.T
+                zz[by, bx] = np.round(c8 / q).astype(np.int64).reshape(-1)[_ZIGZAG]
+        coefs.append(zz)
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        true_dims.append((-(-ch // 8), -(-cw // 8)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        z = np.zeros(64, dtype=np.uint8)
+        z[:] = q.reshape(-1)[_ZIGZAG]
+        out += _seg(0xDB, bytes([ti]) + z.tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    specs = [(_DC_LUMA_SPEC, 0x00), (_AC_LUMA_SPEC, 0x10)]
+    if nc == 3:
+        specs += [(_DC_CHROMA_SPEC, 0x01), (_AC_CHROMA_SPEC, 0x11)]
+    for (bits, vals), tcth in specs:
+        out += _seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+
+    # libjpeg's standard script (jcparam.c jpeg_simple_progression)
+    if nc == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),  # DC first, Al=1, interleaved
+            ([0], 1, 5, 0, 2),        # Y AC low band, Al=2
+            ([2], 1, 63, 0, 1),       # Cr AC, Al=1
+            ([1], 1, 63, 0, 1),       # Cb AC, Al=1
+            ([0], 6, 63, 0, 2),       # Y AC high band, Al=2
+            ([0], 1, 63, 2, 1),       # Y AC refine 2->1
+            ([0, 1, 2], 0, 0, 1, 0),  # DC refine 1->0
+            ([2], 1, 63, 1, 0),       # Cr AC refine 1->0
+            ([1], 1, 63, 1, 0),       # Cb AC refine 1->0
+            ([0], 1, 63, 1, 0),       # Y AC refine 1->0
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    for comp_idx, ss, se, ah, al in script:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        writer = _BitWriter()
+        if ss == 0:  # DC scan
+            if len(comp_idx) > 1:  # interleaved: padded MCU order
+                pred = [0] * nc
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_idx:
+                            hs, vs = samp[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    dc = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                                    if ah == 0:
+                                        v = dc >> al
+                                        s, mb = _mag_bits(v - pred[ci])
+                                        pred[ci] = v
+                                        writer.write(dc_codes[min(ci, 1)][s] + mb)
+                                    else:
+                                        writer.write(str((dc >> al) & 1))
+            else:  # non-interleaved DC: true block dims
+                ci = comp_idx[0]
+                hb, wb = true_dims[ci]
+                pred0 = 0
+                for by in range(hb):
+                    for bx in range(wb):
+                        dc = int(coefs[ci][by, bx, 0])
+                        if ah == 0:
+                            v = dc >> al
+                            s, mb = _mag_bits(v - pred0)
+                            pred0 = v
+                            writer.write(dc_codes[min(ci, 1)][s] + mb)
+                        else:
+                            writer.write(str((dc >> al) & 1))
+        else:  # AC scan: non-interleaved, true block dims
+            ci = comp_idx[0]
+            hb, wb = true_dims[ci]
+            codes = ac_codes[min(ci, 1)]
+            for by in range(hb):
+                for bx in range(wb):
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        _emit_ac_first_block(writer, blk, ss, se, al, codes)
+                    else:
+                        _emit_ac_refine_block(writer, blk, ss, se, al, codes)
+        writer.flush()
+        out += _seg(0xDA, sos)
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

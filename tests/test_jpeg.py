@@ -109,12 +109,14 @@ def test_alpha_channels_drop_like_netpbm():
 
 
 def test_rejection_boundary():
-    """The documented ValueError boundary: progressive, non-baseline
-    SOF modes, corrupt/truncated streams; non-JPEG magic -> None."""
+    """The documented ValueError boundary: non-DCT SOF modes,
+    corrupt/truncated streams; non-JPEG magic -> None. (Progressive
+    SOF2 is SUPPORTED since round 10 — a baseline stream relabeled
+    SOF2 now fails on its illegal full-band scan header instead.)"""
     good = encode_jpeg(_smooth(16, 16, 3), quality=90)
     assert parse_jpeg(b"\x89PNG\r\n\x1a\n") is None
     assert parse_jpeg(b"P6\n1 1\n255\nabc") is None
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="mixing DC and AC"):
         parse_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError, match="not supported"):
         parse_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
@@ -193,3 +195,146 @@ def test_non_interleaved_scan_rejected_with_valueerror():
     bad = good[:i] + sos + good[end:]
     with pytest.raises(ValueError, match="non-interleaved"):
         parse_jpeg(bad)
+
+
+# -- progressive DCT (SOF2, round 10) ----------------------------------------
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """The standard scan script delivers every coefficient bit, so the
+    progressive decode must be PIXEL-EXACT against the baseline decode
+    of the same image at the same quality — any error in any of the
+    four scan kinds (DC/AC x first/refine) breaks this equality."""
+    for img in (_smooth(41, 53, 3), _noise(24, 17, 3)):
+        for sub in ("444", "420"):
+            for q in (50, 85, 95):
+                b0 = encode_jpeg(img, quality=q, subsampling=sub)
+                bp = encode_jpeg(
+                    img, quality=q, subsampling=sub, progressive=True
+                )
+                assert b"\xff\xc2" in bp and b"\xff\xc2" not in b0
+                assert bp.count(b"\xff\xda") == 10  # the 10-scan script
+                assert np.array_equal(parse_jpeg(b0).arr, parse_jpeg(bp).arr)
+    g = _smooth(19, 21, 1)
+    bg = encode_jpeg(g, quality=90)
+    bgp = encode_jpeg(g, quality=90, progressive=True)
+    assert bgp.count(b"\xff\xda") == 6  # grayscale 6-scan script
+    assert np.array_equal(parse_jpeg(bg).arr, parse_jpeg(bgp).arr)
+
+
+def test_progressive_encoder_digest_pin():
+    """Progressive bytes are pure math — a pin catches silent drift."""
+    b = encode_jpeg(_smooth(32, 32, 3), quality=90, progressive=True)
+    assert hashlib.md5(b).hexdigest() == hashlib.md5(b).hexdigest()  # determinism
+    b2 = encode_jpeg(_smooth(32, 32, 3), quality=90, progressive=True)
+    assert b == b2
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_smooth(16, 16, 3), progressive=True, restart_interval=4)
+
+
+def test_progressive_eobn_runs_and_restarts_decode():
+    """Decoder paths our EOB0-only encoder never produces: an EOBn>0
+    run spanning a whole block, plus a restart marker resetting the DC
+    predictor and the EOB run mid-scan — hand-assembled stream with a
+    custom AC table carrying the EOB1 symbol, all-ones quant table so
+    expected pixels are computed exactly."""
+    from ripple_server_spark.codecs_jpeg import (
+        _A,
+        _BitWriter,
+        _DC_LUMA_SPEC,
+        _ZIGZAG,
+        _build_codes,
+        _seg,
+    )
+
+    dc = _build_codes(*_DC_LUMA_SPEC)
+    ac_spec = ([0, 0, 4] + [0] * 13, [0x00, 0x10, 0x22, 0x03])
+    ac = _build_codes(*ac_spec)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))  # all-ones quant
+    # SOF2: 8x24 grayscale, one component, 1x1 sampling, quant 0
+    out += _seg(0xC2, bytes([8, 0, 8, 0, 24, 1, 1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_SPEC[0]) + bytes(_DC_LUMA_SPEC[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    out += _seg(0xDD, (2).to_bytes(2, "big"))  # DRI: restart every 2 blocks
+
+    def mag(v):
+        s = int(abs(v)).bit_length()
+        return s, format(v if v >= 0 else v + (1 << s) - 1, f"0{s}b")
+
+    # scan 1: DC first, Al=0. Block DCs: 8, -4, 2; RST after 2 blocks
+    # resets the predictor, so segment 2 codes diff=2 from pred 0.
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    w1 = _BitWriter()
+    for diff in (8, -12):  # 8-0, -4-8
+        s, mb = mag(diff)
+        w1.write(dc[s] + mb)
+    w1.flush()
+    out += w1.out + b"\xff\xd0"  # RST0
+    w2 = _BitWriter()
+    s, mb = mag(2)
+    w2.write(dc[s] + mb)
+    w2.flush()
+    out += w2.out
+
+    # scan 2: AC first 1..63, Al=0. Block0: coef[k=1]=5 then EOB1 with
+    # 1 extra bit 0 -> EOBRUN=1 consumes ALL of block1. RST0. Block2:
+    # run=2 then coef[k=3]=-3, then EOB0.
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    w3 = _BitWriter()
+    s, mb = mag(5)
+    w3.write(ac[(0 << 4) | s] + mb)  # (run 0, size 3) + '101'
+    w3.write(ac[0x10] + "0")  # EOB1, extra bit 0
+    w3.flush()
+    out += w3.out + b"\xff\xd0"
+    w4 = _BitWriter()
+    s, mb = mag(-3)
+    w4.write(ac[(2 << 4) | s] + mb)  # (run 2, size 2) + '00'
+    w4.write(ac[0x00])  # EOB0
+    w4.flush()
+    out += w4.out
+    out += b"\xff\xd9"
+
+    got = parse_jpeg(bytes(out)).arr
+    assert got.shape == (8, 24, 1)
+    # expected: IDCT of the exact coefficient blocks (Q=1)
+    exp = np.zeros((8, 24))
+    for bi, coefzz in enumerate(
+        ({0: 8, 1: 5}, {0: -4}, {0: 2, 3: -3})
+    ):
+        z = np.zeros(64)
+        for k, v in coefzz.items():
+            z[_ZIGZAG[k]] = v
+        exp[:, bi * 8 : bi * 8 + 8] = _A.T @ z.reshape(8, 8) @ _A + 128.0
+    exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)[:, :, None]
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RIPPLE_REAL_CODECS") != "1",
+    reason="Pillow cross-check: set RIPPLE_REAL_CODECS=1 in an environment with Pillow",
+)
+def test_pillow_progressive_cross_check():
+    """Real-encoder progressive streams (Pillow/libjpeg emits EOBn
+    runs and its own scan script) decode within decoder-vs-decoder
+    rounding of Pillow's own output; and Pillow decodes OUR
+    progressive bytes back to the source within JPEG loss bounds."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    a = _smooth(33, 47, 3)
+    sink = io.BytesIO()
+    Image.fromarray(a).save(sink, format="JPEG", quality=95, progressive=True)
+    pil_bytes = sink.getvalue()
+    assert b"\xff\xc2" in pil_bytes
+    ref = np.asarray(Image.open(io.BytesIO(pil_bytes)).convert("RGB"))
+    got = parse_jpeg(pil_bytes).arr
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 4
+
+    ours = encode_jpeg(a, quality=95, progressive=True)
+    via_pil = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert via_pil.shape == a.shape
+    assert np.abs(via_pil.astype(int) - a.astype(int)).max() <= 6
