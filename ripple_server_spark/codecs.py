@@ -269,27 +269,44 @@ def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
     return out
 
 
+def _png_unpack_subbyte(
+    rows: np.ndarray, nrows: int, width: int, depth: int
+) -> np.ndarray:
+    """Unpack (nrows, stride_bytes) filtered-reconstructed scanlines of
+    a sub-byte-depth image into (nrows, width) raw sample values —
+    MSB-first bit order within each byte (PNG 7.2), per-scanline byte
+    padding discarded."""
+    rows = rows.reshape(nrows, -1)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    groups = bits.reshape(nrows, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
 def parse_png(b: bytes) -> ImageHandle | None:
     """Decode PNG bytes -> ImageHandle with stdlib zlib + numpy; None
     when the magic says this is not PNG; ValueError on
     malformed/truncated/unsupported PNG.
 
-    Covers the baseline still-image profile: 8- and 16-bit samples,
-    color types 0/2/3/4/6 (palette via PLTE lookup), all five scanline
-    filters, sequential AND Adam7-interlaced layouts (each interlace
-    pass unfilters as its own sub-image, then scatters onto the full
-    raster by the §8.2 pass grid — round 9; previously a documented
-    rejection). 16-bit rasters (common in scientific corpora) are
-    filter-reconstructed at full byte precision — PNG filters operate
-    on BYTES with the left neighbor at bpp = channels x
-    bytes-per-sample — then scaled to the uniform uint8 handle by
-    taking each big-endian sample's HIGH byte (v >> 8, the exact
-    inverse of the v*257 8->16 expansion; Pillow's I;16->L uses the
-    same convention). Rejected with ValueError: sub-byte depths,
-    16-bit palette (invalid per spec), missing PLTE. Chunk CRCs are
-    not verified (lenient, like most decoders — zlib's own checksum
-    still guards the pixel data). Pillow remains the preferred bulk
-    backend when installed.
+    Covers the full still-image profile: 1/2/4-bit packed samples
+    (gray scaled x255/85/17 to the uint8 handle; palette indices used
+    raw — round 10, previously a documented rejection), 8- and 16-bit
+    samples, color types 0/2/3/4/6 (palette via PLTE lookup), all five
+    scanline filters, sequential AND Adam7-interlaced layouts (each
+    interlace pass unfilters as its own sub-image — sub-byte passes
+    unpack to values before scattering, since per-pass bit phases
+    differ from the final raster's — then scatters onto the full
+    raster by the §8.2 pass grid). 16-bit rasters (common in
+    scientific corpora) are filter-reconstructed at full byte
+    precision — PNG filters operate on BYTES with the left neighbor at
+    bpp = max(1, channels x depth / 8) — then scaled to the uniform
+    uint8 handle by taking each big-endian sample's HIGH byte (v >> 8,
+    the exact inverse of the v*257 8->16 expansion; Pillow's I;16->L
+    uses the same convention). Rejected with ValueError: 16-bit
+    palette and sub-byte truecolor/alpha (both invalid per spec),
+    missing PLTE. Chunk CRCs are not verified (lenient, like most
+    decoders — zlib's own checksum still guards the pixel data).
+    Pillow remains the preferred bulk backend when installed.
     """
     import zlib
 
@@ -328,52 +345,83 @@ def parse_png(b: bytes) -> ImageHandle | None:
         raise ValueError("png: missing IHDR")
     if w <= 0 or h <= 0:
         raise ValueError(f"png: bad dimensions {w}x{h}")
-    if depth not in (8, 16):
-        raise ValueError(f"png: only 8/16-bit samples supported, got depth {depth}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"png: invalid bit depth {depth}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"png: unsupported color type {ctype}")
     if depth == 16 and ctype == 3:
         raise ValueError("png: 16-bit palette images are invalid per spec")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"png: sub-byte depth {depth} is only valid for grayscale or "
+            f"palette images (color type {ctype} requires 8/16)"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
     if not idat:
         raise ValueError("png: missing IDAT")
     ch = _PNG_CHANNELS[ctype]
-    bpp = ch * (depth // 8)  # filter "left" distance, in BYTES
+    # filter "left" distance is in BYTES, floored at 1 for sub-byte
+    # depths (spec 9.2: packed pixels filter as whole bytes)
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as exc:
         # recognized format, malformed payload -> ValueError like every
         # other codec here, never a backend-specific exception type
         raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
-    stride = w * bpp
+    stride = -(-w * bits_pp // 8)
     if interlace:
         passes = _adam7_dims(w, h)
-        expect = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+        expect = sum(
+            ph * (1 + -(-pw * bits_pp // 8)) for _, _, _, _, pw, ph in passes
+        )
         if raw.size != expect:
             raise ValueError(
                 f"png: interlaced raster size {raw.size} != {expect} expected"
             )
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
-        for x0, y0, dx, dy, pw, ph in passes:
-            npass = ph * (1 + pw * bpp)
-            sub = _png_unfilter(raw[pos : pos + npass], ph, pw * bpp, bpp)
-            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
-            pos += npass
-        recon = full.reshape(h, stride)
+        if depth < 8:
+            # scatter unpacked VALUES (indices / raw gray levels): each
+            # pass packs its own scanlines, so bit phases differ from
+            # the final raster's and bytes cannot be scattered directly
+            vals = np.zeros((h, w), dtype=np.uint8)
+            for x0, y0, dx, dy, pw, ph in passes:
+                pstride = -(-pw * depth // 8)
+                npass = ph * (1 + pstride)
+                sub = _png_unfilter(raw[pos : pos + npass], ph, pstride, 1)
+                vals[y0::dy, x0::dx] = _png_unpack_subbyte(sub, ph, pw, depth)
+                pos += npass
+            arr = vals[:, :, None]
+        else:
+            full = np.zeros((h, w, bpp), dtype=np.uint8)
+            for x0, y0, dx, dy, pw, ph in passes:
+                npass = ph * (1 + pw * bpp)
+                sub = _png_unfilter(raw[pos : pos + npass], ph, pw * bpp, bpp)
+                full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+                pos += npass
+            recon = full.reshape(h, stride)
     else:
         if raw.size != h * (stride + 1):
             raise ValueError(
                 f"png: raster size {raw.size} != {h}x(1+{stride}) expected"
             )
         recon = _png_unfilter(raw, h, stride, bpp)
+        if depth < 8:
+            arr = _png_unpack_subbyte(recon, h, w, depth)[:, :, None]
     if depth == 16:
         # scale-to-8 policy: the HIGH byte of each big-endian sample
         # (v >> 8), the exact inverse of the v*257 8->16 expansion
         arr = np.ascontiguousarray(recon.reshape(h, w, ch, 2)[..., 0])
-    else:
+    elif depth == 8:
         arr = recon.reshape(h, w, ch)
+    elif ctype == 0:
+        # sub-byte gray: scale raw levels to the uniform uint8 handle
+        # (255/(2^d - 1) is exact for d in {1,2,4}: x255, x85, x17)
+        arr = (arr.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if ctype == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
@@ -384,7 +432,9 @@ def parse_png(b: bytes) -> ImageHandle | None:
     return ImageHandle(arr, prefer_png=True)
 
 
-def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(
+    arr: np.ndarray, interlace: bool = False, bit_depth: int | None = None
+) -> bytes:
     """(h, w, c) uint8 (or uint16 -> bit-depth-16, big-endian samples)
     -> PNG bytes (stdlib zlib, filter None, one IDAT): deterministic
     across environments — the test/fixture and re-encode counterpart
@@ -392,7 +442,11 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     formats. c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA.
     ``interlace=True`` writes the Adam7 layout (per-pass sub-rasters in
     §8.2 pass order, filter None rows) — the round-trip counterpart of
-    the parser's interlaced path."""
+    the parser's interlaced path. ``bit_depth`` of 1/2/4 packs a
+    single-channel image of RAW levels (values must be < 2^depth) into
+    sub-byte scanlines, MSB-first with byte-padded rows — the fixture
+    generator for the parser's packed-pixel path; the decoder scales
+    levels x(255/(2^d-1)) to the uniform uint8 handle."""
     import zlib
 
     arr = np.asarray(arr)
@@ -407,6 +461,61 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if ctype is None:
         raise ValueError(f"png encodes 1-4 channels, got {c}")
+    if bit_depth is not None:
+        if bit_depth not in (1, 2, 4):
+            raise ValueError(f"png: bit_depth must be 1, 2 or 4, got {bit_depth}")
+        if c != 1 or depth == 16:
+            raise ValueError("png: sub-byte bit_depth requires one uint8 channel")
+        if int(arr.max(initial=0)) >= (1 << bit_depth):
+            raise ValueError(
+                f"png: bit_depth={bit_depth} requires raw levels < "
+                f"{1 << bit_depth}"
+            )
+
+        def pack_rows(sub: np.ndarray) -> np.ndarray:
+            """(rows, width) levels -> (rows, ceil(width*d/8)) bytes."""
+            rows, width = sub.shape
+            bits = (
+                (sub[:, :, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+            ).reshape(rows, width * bit_depth).astype(np.uint8)
+            return np.packbits(bits, axis=1)  # pads rows to byte boundary
+
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([bit_depth, 0, 0, 0, int(bool(interlace))])
+        )
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big")
+                + typ
+                + data
+                + zlib.crc32(typ + data).to_bytes(4, "big")
+            )
+
+        lvls = arr[:, :, 0]
+        if interlace:
+            parts = []
+            for x0, y0, dx, dy, pw, ph in _adam7_dims(w, h):
+                packed = pack_rows(lvls[y0::dy, x0::dx])
+                parts.append(
+                    np.concatenate(
+                        [np.zeros((ph, 1), dtype=np.uint8), packed], axis=1
+                    ).tobytes()
+                )
+            raster = b"".join(parts)
+        else:
+            packed = pack_rows(lvls)
+            raster = np.concatenate(
+                [np.zeros((h, 1), dtype=np.uint8), packed], axis=1
+            ).tobytes()
+        return (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster, 6))
+            + chunk(b"IEND", b"")
+        )
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (

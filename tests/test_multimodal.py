@@ -738,3 +738,100 @@ def test_png_adam7_cross_checks_pillow():
         assert np.array_equal(back, arr), (w, h)
         # and our own parser agrees with Pillow on the same bytes
         assert np.array_equal(parse_png(payload).arr, back), (w, h)
+
+
+def test_png_subbyte_gray_roundtrip_exact():
+    """1/2/4-bit packed grayscale (round 10 — previously a documented
+    rejection): encode raw levels, decode, exact x(255/(2^d-1))
+    scaling, sequential and Adam7, byte-padded odd widths."""
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    rng = np.random.default_rng(3)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        for h, w in ((7, 13), (16, 16), (1, 1), (5, 8), (31, 3)):
+            lv = rng.integers(0, 1 << d, (h, w)).astype(np.uint8)
+            for il in (False, True):
+                got = parse_png(encode_png(lv, interlace=il, bit_depth=d)).arr
+                assert got.shape == (h, w, 1), (d, h, w, il)
+                assert np.array_equal(got[:, :, 0], lv * scale), (d, h, w, il)
+
+
+def test_png_subbyte_palette_and_rejections():
+    """Hand-built 4-bit palette PNG decodes exactly; out-of-range
+    sub-byte palette indices and sub-byte truecolor stay loud
+    ValueErrors; the encoder validates its own sub-byte contract."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 150])
+    raster = bytes([0, 0x02, 0x40, 0, 0x13, 0x00])  # rows [0,2,4] / [1,3,0]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([4, 3, 0, 0, 0]))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    exp = np.array(
+        [[[10, 20, 30], [70, 80, 90], [130, 140, 150]],
+         [[40, 50, 60], [100, 110, 120], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(parse_png(png).arr, exp)
+
+    bad_idx = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([1, 3, 0, 0, 0]))
+        + chunk(b"PLTE", bytes([1, 2, 3]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0b10000000])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        parse_png(bad_idx)
+    subbyte_rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([4, 2, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes(4)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="only valid for grayscale or palette"):
+        parse_png(subbyte_rgb)
+    with pytest.raises(ValueError, match="requires raw levels"):
+        encode_png(np.full((2, 2), 9, np.uint8), bit_depth=2)
+    with pytest.raises(ValueError, match="bit_depth must be"):
+        encode_png(np.zeros((2, 2), np.uint8), bit_depth=3)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RIPPLE_REAL_CODECS") != "1",
+    reason="Pillow cross-check: set RIPPLE_REAL_CODECS=1 in an environment with Pillow",
+)
+def test_png_subbyte_cross_checks_pillow():
+    """Pillow decodes our packed 1-bit output identically, and our
+    parser decodes Pillow-written 1-bit PNGs identically."""
+    import io
+
+    import numpy as np
+
+    Image = pytest.importorskip("PIL.Image")
+    from ripple_server_spark.codecs import encode_png, parse_png
+
+    rng = np.random.default_rng(11)
+    lv = rng.integers(0, 2, (19, 23)).astype(np.uint8)
+    ours = encode_png(lv, bit_depth=1)
+    via_pil = np.asarray(Image.open(io.BytesIO(ours)).convert("L"))
+    assert np.array_equal(via_pil, lv * 255)
+    sink = io.BytesIO()
+    Image.fromarray((lv * 255).astype(np.uint8)).convert("1").save(sink, format="PNG")
+    got = parse_png(sink.getvalue()).arr
+    assert np.array_equal(got[:, :, 0], lv * 255)
