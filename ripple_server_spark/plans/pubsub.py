@@ -1557,3 +1557,99 @@ def q_topic_key_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("ids_hash"),
     )
+
+
+@query(
+    "q_topic_tombstone_compaction",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts, user_id, coalesce(value, 0.0) AS value2
+      FROM events WHERE event_id < 2000
+    ),
+    ranked AS (
+      SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM src
+    ),
+    latest AS (
+      SELECT event_id, user_id FROM ranked WHERE user_id IS NULL OR rn = 1
+    ),
+    kept AS (
+      SELECT * FROM latest WHERE user_id IS NULL OR user_id % 3 <> 0
+    )
+    SELECT CAST(coalesce(user_id, 0) % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           coalesce(bit_xor(
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           ), 0) AS ids_hash
+    FROM kept GROUP BY 1
+    """,
+    tags=("pubsub", "compaction", "cdc", "tombstone", "maintenance"),
+)
+def q_topic_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka null-value TOMBSTONES through storage-side key compaction
+    (TopicStore.compact_by_key(tombstone_col=...)): wave 1 upserts
+    every event keyed by user_id (values coalesced non-null), wave 2
+    produces one NULL-value delete per user_id % 3 == 0, and the
+    compacted log must hold exactly latest-per-key for the surviving
+    keys — deleted keys vanish entirely (older versions AND the
+    tombstone itself), the immediate delete.retention.ms=0 semantics.
+    The oracle recomputes latest-per-(ts, event_id) per key and drops
+    the tombstoned key set; a hash mismatch means a deleted key
+    survived, a tombstone row leaked, or a latest row was lost.
+
+    Scale: same single map-side-combined max_by shuffle as
+    q_topic_key_compaction plus a survivors filter — tombstone cost is
+    O(live keys), never a second pass."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value2"),
+        )
+    )
+    dels = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 3 == 0))
+        .select("user_id")
+        .distinct()
+        .select(
+            (F.lit(100000) + F.col("user_id")).alias("event_id"),
+            F.timestamp_millis(
+                F.lit(1706745600000) + F.col("user_id") * 1000
+            ).alias("ts"),
+            "user_id",
+            F.lit(None).cast("double").alias("value2"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_tombstone_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("tk", n_buckets=8)
+    store.produce(ev, "tk")
+    store.produce(dels, "tk")
+    store.compact_by_key("tk", key_col="user_id", tombstone_col="value2")
+    live = store.read_topic("tk")
+    return live.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("event_id").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_keys"),
+        F.coalesce(
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10) as bigint))"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("ids_hash"),
+    )
