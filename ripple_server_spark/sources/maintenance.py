@@ -219,3 +219,32 @@ class TopicMaintenance:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+
+def maintenance_from_config(
+    store: TopicStore, topic: str, **overrides
+) -> TopicMaintenance:
+    """Build a :class:`TopicMaintenance` from the TOPIC's own config
+    map (Kafka model: retention/cleanup policy is topic-level config,
+    read by the broker's cleaner, not something every operator
+    hand-wires). Recognized keys — ``cleanup.policy``,
+    ``retention.ms``, ``retention.seqs``, ``key.column``,
+    ``tombstone.column`` — map onto the corresponding constructor
+    fields; explicit ``overrides`` win. The config is SNAPSHOT at
+    construction: re-run the factory after ``alter_topic_config`` to
+    pick up a policy change (documented difference from Kafka's
+    dynamic re-read — a loop restart is one stop()/start())."""
+    cfg = store.topic_config(topic)
+    kw: dict = {}
+    if "cleanup.policy" in cfg:
+        kw["cleanup_policy"] = str(cfg["cleanup.policy"])
+    if "retention.ms" in cfg:
+        kw["retain_ms"] = int(cfg["retention.ms"])
+    if "retention.seqs" in cfg:
+        kw["retain_seqs"] = int(cfg["retention.seqs"])
+    if "key.column" in cfg:
+        kw["key_col"] = str(cfg["key.column"])
+    if "tombstone.column" in cfg:
+        kw["tombstone_col"] = str(cfg["tombstone.column"])
+    kw.update(overrides)
+    return TopicMaintenance(store, topic, **kw)

@@ -325,7 +325,28 @@ class TopicStore:
         return removed
 
     # -- DDL (CreateBucket analog) ----------------------------------------
-    def create_topic(self, topic: str, n_buckets: int = N_BUCKETS) -> None:
+    # Kafka-style topic-level config keys the engine understands (a
+    # free-form dict is still stored verbatim — unknown keys pass
+    # through for forward compatibility, like Kafka's config map):
+    #   cleanup.policy        "delete" | "compact" | "compact,delete"
+    #   retention.ms          time retention horizon
+    #   retention.seqs        depth retention horizon (extension)
+    #   key.column            compaction key (default user_id)
+    #   tombstone.column      null-means-delete value column
+    _KNOWN_CONFIG = (
+        "cleanup.policy",
+        "retention.ms",
+        "retention.seqs",
+        "key.column",
+        "tombstone.column",
+    )
+
+    def create_topic(
+        self,
+        topic: str,
+        n_buckets: int = N_BUCKETS,
+        config: dict | None = None,
+    ) -> None:
         os.makedirs(self.data_dir(topic), exist_ok=True)
         os.makedirs(self._log_dir(topic), exist_ok=True)
         if not os.listdir(self._log_dir(topic)):
@@ -339,8 +360,38 @@ class TopicStore:
                     "applied_batches": [],
                     "maxima": {},
                     "floors": {},
+                    "config": dict(config or {}),
                 },
             )
+
+    def topic_config(self, topic: str) -> dict:
+        """The topic's config map (Kafka ``describe --topic`` configs);
+        {} for topics created before configs existed."""
+        return dict(self.latest_manifest(topic)[1].get("config", {}))
+
+    def alter_topic_config(self, topic: str, updates: dict) -> dict:
+        """Merge config ``updates`` into the topic (Kafka
+        ``kafka-configs --alter``): a None value DELETES the key,
+        anything else overwrites. The change is one manifest commit,
+        so concurrent writers rebase around it and a maintenance loop
+        sees the new policy at its next cycle. Returns the merged
+        config."""
+        merged: dict = {}
+
+        def apply(m: dict) -> dict:
+            cfg = dict(m.get("config", {}))
+            for k, v in updates.items():
+                if v is None:
+                    cfg.pop(k, None)
+                else:
+                    cfg[k] = v
+            m["config"] = cfg
+            merged.clear()
+            merged.update(cfg)
+            return m
+
+        self._commit(topic, self._latest_version(topic), apply)
+        return dict(merged)
 
     def expand_buckets(self, topic: str, new_n_buckets: int) -> int:
         """Grow a topic's bucket count — the Kafka ``kafka-topics

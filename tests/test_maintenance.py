@@ -331,3 +331,55 @@ def test_cleanup_policy_compact_runs_key_compaction(spark, tmp_path):
     )
     s3 = m2.run_once()
     assert s3.error is None and s3.key_dropped == 0
+
+
+def test_topic_config_drives_maintenance(spark, tmp_path):
+    """Kafka topic-level configs: cleanup.policy/key.column/
+    tombstone.column live in the topic manifest, maintenance_from_config
+    builds the cleaner from them, and alter_topic_config changes policy
+    with one manifest commit (picked up by re-running the factory)."""
+    from ripple_server_spark.sources.maintenance import maintenance_from_config
+
+    st = TopicStore(spark, str(tmp_path / "cfg_topics"))
+    st.create_topic(
+        "cfg",
+        n_buckets=2,
+        config={
+            "cleanup.policy": "compact",
+            "key.column": "k",
+            "tombstone.column": "v",
+            "x.custom": "passthrough",
+        },
+    )
+    assert st.topic_config("cfg")["x.custom"] == "passthrough"
+
+    base_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(12)] + [(100, 0, None)],
+        "event_id bigint, k bigint, v double",
+    ).select(
+        "event_id",
+        (base_ts + F.make_interval(secs=F.col("event_id"))).alias("ts"),
+        "k",
+        "v",
+    )
+    st.produce(df, "cfg", key_col="k")
+
+    maint = maintenance_from_config(st, "cfg", vacuum_grace_s=0.0)
+    assert maint.cleanup_policy == "compact"
+    assert maint.key_col == "k" and maint.tombstone_col == "v"
+    s1 = maint.run_once()
+    assert s1.error is None
+    # 13 rows, 4 keys; key 0's latest is the tombstone -> 3 survive
+    assert st.read_topic("cfg").count() == 3
+    assert s1.key_dropped == 10
+
+    # alter: drop the compact policy; new factory instance sees it
+    st.alter_topic_config("cfg", {"cleanup.policy": "delete", "x.custom": None})
+    cfg2 = st.topic_config("cfg")
+    assert cfg2["cleanup.policy"] == "delete" and "x.custom" not in cfg2
+    m2 = maintenance_from_config(st, "cfg", vacuum_grace_s=0.0)
+    assert m2.cleanup_policy == "delete" and not m2._compact_keys
+    # overrides win over config
+    m3 = maintenance_from_config(st, "cfg", cleanup_policy="compact,delete")
+    assert m3._compact_keys
