@@ -418,7 +418,12 @@ class TopicStore:
         expansion (its rows are a valid pre-expansion epoch; seq
         density per bucket is unaffected because claims stay atomic).
         Expansions should be rare, deliberate scale events — quiesce
-        producers around one if strict epoch alignment matters.
+        producers around one if strict epoch alignment matters. The
+        same boundary limits :meth:`compact_by_key`: compaction is
+        per-(bucket, key), so a key that changed residue keeps its
+        old-bucket latest alongside the new bucket's (see the caveat
+        there) — run a full rekeying rewrite (read, re-produce into a
+        fresh topic) if strict cross-expansion compaction matters.
 
         Returns the committed manifest version. Raises on shrink/no-op.
         """
@@ -834,7 +839,15 @@ class TopicStore:
 
         - **Latest wins by offset**: per (bucket, key), the max-seq row
           survives; keys route to exactly one bucket (produce's
-          ``bucket_of``), so per-bucket latest == global latest.
+          ``bucket_of``), so per-bucket latest == global latest —
+          EXCEPT across an :meth:`expand_buckets` boundary, where a
+          key whose residue changed has pre-expansion rows in its old
+          bucket that compaction retains alongside the new bucket's
+          latest (seqs are per-bucket, so no cross-bucket "latest"
+          exists to compare). This is exactly Kafka's documented
+          key-ordering break on partition expansion; a consumer that
+          needs strict cross-expansion latest-per-key must order by an
+          event-time column (the read-side CDC window), not by seq.
         - **Null keys are retained, never collapsed** (Kafka rejects
           unkeyed writes to compacted topics; retaining is the safe
           analog — each null-key row is its own group).
