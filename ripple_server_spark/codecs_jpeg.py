@@ -14,11 +14,14 @@ web/corpus JPEGs):
   progressive DCT (SOF2, round 10) — full T.81 Annex G spectral
   selection + successive approximation, DC/AC first and refinement
   scans, EOBn run decoding, interleaved DC scans, non-interleaved AC
-  scans over true component block dims; 8-bit samples, grayscale or
-  YCbCr with any h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0,
-  4:4:0), restart markers, 0xFF00 byte unstuffing. Rejected with
-  ValueError: arithmetic coding (SOF9+), 12-bit precision,
-  4-component (Adobe CMYK) scans, lossless/hierarchical modes.
+  scans over true component block dims; 8-bit samples, grayscale,
+  YCbCr, and 4-component CMYK/YCCK (round 10: APP14 Adobe transform
+  honored — transform 2 undoes the YCCK color rotation, marker
+  presence selects Adobe's inverted-ink storage, markerless 4-comp
+  frames decode as plain CMYK ink) with any h/v sampling factors ≤ 2
+  (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart markers, 0xFF00 byte
+  unstuffing. Rejected with ValueError: arithmetic coding (SOF9+),
+  12-bit precision, lossless/hierarchical modes.
 - **encode** (:func:`encode_jpeg`): baseline 4:4:4/4:2:0 with the
   T.81 Annex K quantization (quality-scaled, the same IJG curve every
   encoder uses) and Annex K Huffman tables — deterministic bytes for
@@ -31,7 +34,11 @@ web/corpus JPEGs):
   progressive entropy coder ends each block's EOB run immediately
   (EOB0 only — Annex K AC tables carry no EOBn>0 symbols), which is
   spec-legal and costs a little compression; the DECODER handles
-  arbitrary EOBn runs as real encoders emit them.
+  arbitrary EOBn runs as real encoders emit them. ``cmyk=True``
+  (round 10) converts RGB to Adobe-inverted YCCK (APP14 transform 2,
+  K' = max channel so the ink split is exactly invertible) and emits
+  the 4-component frame, baseline or progressive — the fixture
+  generator for the CMYK decode paths.
 
 JPEG is lossy: round-trip tests assert bounded error (quantization at
 quality q bounds each DCT coefficient's error by Q[u,v]/2) plus pinned
@@ -247,8 +254,8 @@ def _parse_sof(seg: bytes):
     h = int.from_bytes(seg[1:3], "big")
     w = int.from_bytes(seg[3:5], "big")
     nc = seg[5]
-    if nc not in (1, 3):
-        raise ValueError(f"jpeg: {nc}-component images unsupported (CMYK?)")
+    if nc not in (1, 3, 4):
+        raise ValueError(f"jpeg: {nc}-component images unsupported")
     comps = []
     for c in range(nc):
         cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -276,6 +283,7 @@ def parse_jpeg(b: bytes):
     coef = None  # progressive coefficient store {cid: (hb, wb, 64) int32}
     scans_done = 0
     restart_interval = 0
+    adobe_transform = None  # APP14 color transform (None = no marker)
     i = 2
     n = len(b)
     while i + 2 <= n:
@@ -287,7 +295,9 @@ def parse_jpeg(b: bytes):
             continue
         if m == 0xD9:  # EOI
             if progressive and scans_done:
-                return _finish_progressive(frame, coef, qt, ImageHandle)
+                return _finish_progressive(
+                    frame, coef, qt, ImageHandle, adobe_transform
+                )
             raise ValueError("jpeg: no scan data before EOI")
         if i + 4 > n:
             raise ValueError(f"jpeg: truncated marker 0xFF{m:02X}")
@@ -325,6 +335,11 @@ def parse_jpeg(b: bytes):
             }
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg: SOF 0xFF{m:02X} mode not supported")
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: transform byte — 0 plain CMYK/RGB, 1 YCbCr, 2 YCCK;
+            # presence of the marker also flags Adobe's INVERTED CMYK
+            # storage convention for 4-component frames
+            adobe_transform = seg[11]
         elif m == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS -> entropy data follows
@@ -360,14 +375,18 @@ def parse_jpeg(b: bytes):
                 )
             segs, _end = _split_entropy(b, i + 2 + ln)
             return _decode_scan(
-                frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, ImageHandle
+                frame, scan, qt, huff_dc, huff_ac, restart_interval, segs,
+                ImageHandle, adobe_transform,
             )
         # APPn / COM / others: skip
         i += 2 + ln
     raise ValueError("jpeg: no SOS marker found")
 
 
-def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, handle_cls):
+def _decode_scan(
+    frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, handle_cls,
+    adobe_transform=None,
+):
     h, w, comps = frame
     if h <= 0 or w <= 0:
         raise ValueError(f"jpeg: bad dimensions {w}x{h}")
@@ -405,10 +424,10 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, segs, hand
             mcu += 1
     if mcu < n_mcus:
         raise ValueError(f"jpeg: scan ended after {mcu}/{n_mcus} MCUs")
-    return _assemble(frame, planes, handle_cls)
+    return _assemble(frame, planes, handle_cls, adobe_transform)
 
 
-def _assemble(frame, planes, handle_cls):
+def _assemble(frame, planes, handle_cls, adobe_transform=None):
     """Upsample subsampled planes, crop to true dims, color-convert."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
@@ -421,6 +440,28 @@ def _assemble(frame, planes, handle_cls):
         out.append(p[:h, :w])
     if len(out) == 1:
         arr = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return handle_cls(arr)
+    if len(out) == 4:
+        # Adobe CMYK / YCCK (round 10): transform 2 stores the first
+        # three channels YCbCr-transformed (YCCK) — invert that first;
+        # then the APP14 marker flags Adobe's INVERTED storage, where
+        # stored value v = 255 - ink, so R = C'*K'/255 directly (the
+        # libjpeg+Pillow convention); markerless 4-comp frames are
+        # plain CMYK ink values: R = (255-C)(255-K)/255.
+        c0, c1, c2, kk = out
+        if adobe_transform == 2:
+            c0, c1, c2 = (
+                c0 + 1.402 * (c2 - 128.0),
+                c0 - 0.344136 * (c1 - 128.0) - 0.714136 * (c2 - 128.0),
+                c0 + 1.772 * (c1 - 128.0),
+            )
+        chans = [np.clip(p, 0.0, 255.0) for p in (c0, c1, c2)]
+        kc = np.clip(kk, 0.0, 255.0)
+        if adobe_transform is not None:
+            rgb = [p * kc / 255.0 for p in chans]
+        else:
+            rgb = [(255.0 - p) * (255.0 - kc) / 255.0 for p in chans]
+        arr = np.clip(np.round(np.stack(rgb, axis=2)), 0, 255).astype(np.uint8)
         return handle_cls(arr)
     y, cb, cr = out
     r = y + 1.402 * (cr - 128.0)
@@ -637,7 +678,7 @@ def _prog_ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun) -> None:
         eobrun[0] -= 1
 
 
-def _finish_progressive(frame, coef, qt, handle_cls):
+def _finish_progressive(frame, coef, qt, handle_cls, adobe_transform=None):
     """All scans consumed: dequantize + IDCT every block (padded grid,
     so interleaved-DC padding blocks reconstruct too) and assemble."""
     h, w, comps = frame
@@ -656,7 +697,7 @@ def _finish_progressive(frame, coef, qt, handle_cls):
                     _A.T @ dq.reshape(8, 8) @ _A + 128.0
                 )
         planes[cid] = plane
-    return _assemble(frame, planes, handle_cls)
+    return _assemble(frame, planes, handle_cls, adobe_transform)
 
 
 # -- encoder -----------------------------------------------------------------
@@ -748,6 +789,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    cmyk: bool = False,
 ) -> bytes:
     """(h, w, c) uint8 -> baseline JFIF bytes, Annex K tables
     quality-scaled. c=1 gray, c=3 RGB (c=2/4 drop alpha first, like
@@ -775,7 +817,26 @@ def encode_jpeg(
         raise ValueError(f"jpeg encodes 1 or 3 channels, got {c}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"jpeg: subsampling {subsampling!r} not supported")
-    if c == 3:
+    if cmyk:
+        if c != 3:
+            raise ValueError("jpeg: cmyk=True takes RGB input")
+        if subsampling != "444":
+            raise ValueError("jpeg: cmyk encodes 4:4:4 only")
+        # RGB -> Adobe-inverted CMYK (stored v = 255 - ink; K' = max
+        # channel so R = C'*K'/255 reconstructs exactly), then the
+        # YCCK transform (forward YCbCr over C'M'Y') — the Photoshop
+        # layout (APP14 transform=2)
+        r, g, bl = (arr[:, :, k].astype(np.float64) for k in range(3))
+        kp = np.maximum(np.maximum(r, g), bl)
+        safe = np.maximum(kp, 1e-12)
+        cp = np.where(kp > 0, r * 255.0 / safe, 0.0)
+        mp = np.where(kp > 0, g * 255.0 / safe, 0.0)
+        yp = np.where(kp > 0, bl * 255.0 / safe, 0.0)
+        yy = 0.299 * cp + 0.587 * mp + 0.114 * yp
+        cb = -0.168736 * cp - 0.331264 * mp + 0.5 * yp + 128.0
+        cr = 0.5 * cp - 0.418688 * mp - 0.081312 * yp + 128.0
+        chans = [yy, cb, cr, kp]
+    elif c == 3:
         r, g, bl = (arr[:, :, k].astype(np.float64) for k in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * bl
         cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
@@ -784,7 +845,7 @@ def encode_jpeg(
     else:
         chans = [arr[:, :, 0].astype(np.float64)]
 
-    sub = subsampling == "420" and c == 3
+    sub = subsampling == "420" and c == 3 and not cmyk
     samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(chans)
     hmax = max(hs for hs, _ in samp)
     vmax = max(vs for _, vs in samp)
@@ -793,12 +854,13 @@ def encode_jpeg(
 
     ql = _quality_scale(_Q_LUMA, quality)
     qc = _quality_scale(_Q_CHROMA, quality)
-    qtabs = [ql] + ([qc] if c == 3 else [])
+    multi = len(chans) > 1
+    qtabs = [ql] + ([qc] if multi else [])
     dc_codes = [_build_codes(*_DC_LUMA_SPEC)] + (
-        [_build_codes(*_DC_CHROMA_SPEC)] if c == 3 else []
+        [_build_codes(*_DC_CHROMA_SPEC)] if multi else []
     )
     ac_codes = [_build_codes(*_AC_LUMA_SPEC)] + (
-        [_build_codes(*_AC_CHROMA_SPEC)] if c == 3 else []
+        [_build_codes(*_AC_CHROMA_SPEC)] if multi else []
     )
 
     planes = []
@@ -820,7 +882,7 @@ def encode_jpeg(
             )
         return _encode_progressive(
             h, w, planes, samp, qtabs, mcus_x, mcus_y, hmax, vmax,
-            dc_codes, ac_codes,
+            dc_codes, ac_codes, adobe_ycck=cmyk,
         )
 
     writer = _BitWriter()
@@ -857,7 +919,12 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:
+        # Adobe APP14 (version 100, transform 2 = YCCK); CMYK files
+        # carry the Adobe marker instead of JFIF (JFIF is 1/3-comp)
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2]))
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qtabs):
         zz = np.zeros(64, dtype=np.uint8)
         zz[:] = q.reshape(-1)[_ZIGZAG]
@@ -869,7 +936,7 @@ def encode_jpeg(
         sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
     out += seg(0xC0, sof)
     specs = [(_DC_LUMA_SPEC, 0x00), (_AC_LUMA_SPEC, 0x10)]
-    if nc == 3:
+    if nc > 1:
         specs += [(_DC_CHROMA_SPEC, 0x01), (_AC_CHROMA_SPEC, 0x11)]
     for (bits, vals), tcth in specs:
         out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
@@ -952,7 +1019,8 @@ def _emit_ac_refine_block(writer, zz, ss, se, al, ac_codes) -> None:
 
 
 def _encode_progressive(
-    h, w, planes, samp, qtabs, mcus_x, mcus_y, hmax, vmax, dc_codes, ac_codes
+    h, w, planes, samp, qtabs, mcus_x, mcus_y, hmax, vmax, dc_codes, ac_codes,
+    adobe_ycck=False,
 ):
     nc = len(planes)
     # quantized zigzag coefficients per component, padded MCU grid
@@ -973,7 +1041,10 @@ def _encode_progressive(
         true_dims.append((-(-ch // 8), -(-cw // 8)))
 
     out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if adobe_ycck:
+        out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2]))
+    else:
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qtabs):
         z = np.zeros(64, dtype=np.uint8)
         z[:] = q.reshape(-1)[_ZIGZAG]
@@ -984,13 +1055,26 @@ def _encode_progressive(
         sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
     out += _seg(0xC2, sof)  # SOF2: progressive DCT
     specs = [(_DC_LUMA_SPEC, 0x00), (_AC_LUMA_SPEC, 0x10)]
-    if nc == 3:
+    if nc > 1:
         specs += [(_DC_CHROMA_SPEC, 0x01), (_AC_CHROMA_SPEC, 0x11)]
     for (bits, vals), tcth in specs:
         out += _seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
 
     # libjpeg's standard script (jcparam.c jpeg_simple_progression)
-    if nc == 3:
+    if nc == 4:
+        script = [
+            ([0, 1, 2, 3], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([3], 1, 63, 0, 1),
+            ([0, 1, 2, 3], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([3], 1, 63, 1, 0),
+        ]
+    elif nc == 3:
         script = [
             ([0, 1, 2], 0, 0, 0, 1),  # DC first, Al=1, interleaved
             ([0], 1, 5, 0, 2),        # Y AC low band, Al=2

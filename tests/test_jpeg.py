@@ -338,3 +338,84 @@ def test_pillow_progressive_cross_check():
     via_pil = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
     assert via_pil.shape == a.shape
     assert np.abs(via_pil.astype(int) - a.astype(int)).max() <= 6
+
+
+# -- Adobe CMYK / YCCK (4-component, round 10) --------------------------------
+
+
+def test_cmyk_ycck_roundtrip_bounded_and_prog_identical():
+    """cmyk=True emits Adobe YCCK (APP14 transform 2, inverted-ink
+    storage with K'=max so the split is exactly invertible): round
+    trips bound by DCT loss only, and the progressive variant decodes
+    PIXEL-IDENTICAL to the baseline one (same coefficients)."""
+    a = _smooth(25, 37, 3)
+    for q, bound in ((100, 2), (95, 8), (85, 14)):
+        b0 = encode_jpeg(a, quality=q, cmyk=True)
+        bp = encode_jpeg(a, quality=q, cmyk=True, progressive=True)
+        assert b"Adobe" in b0 and b"\xff\xc2" in bp and b"\xff\xc2" not in b0
+        d0, dp = parse_jpeg(b0).arr, parse_jpeg(bp).arr
+        assert d0.shape == a.shape
+        assert np.abs(d0.astype(int) - a.astype(int)).max() <= bound, q
+        assert np.array_equal(d0, dp)
+    with pytest.raises(ValueError, match="RGB input"):
+        encode_jpeg(a[:, :, :1], cmyk=True)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg(a, cmyk=True, subsampling="420")
+
+
+def test_cmyk_markerless_is_plain_ink_semantics():
+    """A 4-component frame WITHOUT the Adobe APP14 marker decodes as
+    plain (non-inverted, non-YCCK) CMYK ink: R=(255-C)(255-K)/255 —
+    verified by stripping the marker from our Adobe stream and
+    recomputing the expected interpretation on a constant-color
+    image."""
+    a = np.zeros((16, 16, 3), dtype=np.uint8)
+    a[:, :, 0], a[:, :, 1], a[:, :, 2] = 200, 100, 50
+    b = encode_jpeg(a, quality=100, cmyk=True)
+    i = b.index(b"\xff\xee")
+    ln = int.from_bytes(b[i + 2 : i + 4], "big")
+    noapp = b[:i] + b[i + 2 + ln :]
+    got = parse_jpeg(noapp).arr.astype(float)
+    # stored channels (Adobe-inverted YCCK): K'=200, C'=255, M'=127.5,
+    # Y'=63.75 — but markerless means NO YCCK inverse and NO Adobe
+    # inversion, so the decoder sees raw (Y, Cb, Cr, K) as plain CMYK:
+    kp = 200.0
+    cp, mp, yp = 255.0, 100 * 255.0 / 200, 50 * 255.0 / 200
+    yy = 0.299 * cp + 0.587 * mp + 0.114 * yp
+    cb = -0.168736 * cp - 0.331264 * mp + 0.5 * yp + 128.0
+    cr = 0.5 * cp - 0.418688 * mp - 0.081312 * yp + 128.0
+    exp = [
+        (255.0 - min(255.0, ch)) * (255.0 - kp) / 255.0
+        for ch in (yy, cb, cr)
+    ]
+    mid = got[8, 8]
+    assert np.abs(mid - np.array(exp)).max() <= 3.0, (mid, exp)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RIPPLE_REAL_CODECS") != "1",
+    reason="Pillow cross-check: set RIPPLE_REAL_CODECS=1 in an environment with Pillow",
+)
+def test_pillow_cmyk_cross_check():
+    """Pillow recognizes our Adobe YCCK stream as CMYK and its
+    RGB-converted pixels track the source; our parser decodes a
+    Pillow-written CMYK JPEG within decoder-vs-decoder tolerance."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    a = _smooth(33, 47, 3)
+    ours = encode_jpeg(a, quality=95, cmyk=True)
+    im = Image.open(io.BytesIO(ours))
+    assert im.mode == "CMYK"
+    via_pil = np.asarray(im.convert("RGB"))
+    assert via_pil.shape == a.shape
+    assert np.abs(via_pil.astype(int) - a.astype(int)).max() <= 16
+
+    sink = io.BytesIO()
+    Image.fromarray(a).convert("CMYK").save(sink, format="JPEG", quality=95)
+    pil_bytes = sink.getvalue()
+    ref = np.asarray(Image.open(io.BytesIO(pil_bytes)).convert("RGB"))
+    got = parse_jpeg(pil_bytes).arr
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 16

@@ -700,8 +700,15 @@ def test_engine_micros_session_isolated_from_user_writes(spark, sf_dir, tmp_path
         typ = str(pq.ParquetFile(f).schema_arrow.field("ts").type)
         assert typ.startswith("timestamp[ns"), (f, typ)
     # user session conf untouched; plan-handoff views cleaned up
+    # (scoped to OUR prefix: other tests in the session may hold their
+    # own global temp views legitimately)
     assert spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
-    assert [v.name for v in spark.catalog.listTables("global_temp")] == []
+    leftover = [
+        v.name
+        for v in spark.catalog.listTables("global_temp")
+        if v.name.startswith("ripple_micros_")
+    ]
+    assert leftover == []
 
 
 def test_time_positioning_on_ts_less_topic_raises_named_error(spark, tmp_path):
