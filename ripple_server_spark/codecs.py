@@ -866,7 +866,7 @@ class AudioHandle:
             data = data[:, None]
         self.data = np.ascontiguousarray(data, dtype=np.int32)
         self.rate = int(rate)
-        self.sample_width = int(sample_width)  # bytes per sample (1 or 2)
+        self.sample_width = int(sample_width)  # bytes per sample (1/2/3/4)
 
     @property
     def n_samples(self) -> int:
@@ -882,7 +882,7 @@ class AudioHandle:
 
     @property
     def full_scale(self) -> int:
-        return 128 if self.sample_width == 1 else 32768
+        return {1: 128, 2: 32768, 3: 1 << 23, 4: 1 << 31}[self.sample_width]
 
     def clip(self, n_samples: int) -> "AudioHandle":
         """First-N-samples trim (deterministic, allocation bounded by
@@ -895,10 +895,11 @@ class AudioHandle:
 
 def encode_wav(data: np.ndarray, rate: int, sample_width: int = 2) -> bytes:
     """(n, ch) int PCM samples -> RIFF/WAVE bytes (format 1 = PCM,
-    8- or 16-bit little-endian) — deterministic, stdlib-only; the
+    8/16/24/32-bit little-endian) — deterministic, stdlib-only; the
     test/fixture counterpart of :func:`parse_wav` (encode_netpbm's role
     for images). 8-bit input is center-shifted ints (-128..127),
-    written unsigned per the WAV spec."""
+    written unsigned per the WAV spec; 24-bit packs the low three
+    little-endian bytes of each signed sample."""
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
@@ -907,8 +908,19 @@ def encode_wav(data: np.ndarray, rate: int, sample_width: int = 2) -> bytes:
         frames = data.astype("<i2").tobytes()
     elif sample_width == 1:
         frames = (data.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif sample_width == 3:
+        v = data.astype(np.int64) & 0xFFFFFF  # two's-complement 24-bit
+        frames = (
+            np.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=-1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    elif sample_width == 4:
+        frames = data.astype("<i4").tobytes()
     else:
-        raise ValueError(f"wav: sample_width must be 1 or 2 bytes, got {sample_width}")
+        raise ValueError(
+            f"wav: sample_width must be 1-4 bytes, got {sample_width}"
+        )
     bits = sample_width * 8
     block = ch * sample_width
     fmt = (
@@ -932,11 +944,15 @@ def parse_wav(b: bytes) -> AudioHandle | None:
     when the magic says this is not WAV; ValueError on malformed,
     truncated, or out-of-profile streams (the uniform codec contract).
 
-    Profile: uncompressed PCM (format 1), 8-bit unsigned or 16-bit
-    signed little-endian, any channel count/rate. Out of profile
-    (rejected with ValueError): IEEE-float (3), A-law/mu-law (6/7),
-    ADPCM, extensible (0xFFFE), 24/32-bit widths — compressed audio
-    (mp3/aac/ogg) is not RIFF and falls to the open_audio boundary."""
+    Profile (round 10 widened): uncompressed PCM (format 1) at
+    8-bit unsigned / 16-bit / 24-bit / 32-bit signed little-endian,
+    IEEE float (format 3, 32/64-bit — scaled to 16-bit integer range,
+    the libsndfile float->PCM16 convention, so downstream fingerprint
+    math stays exact), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    either (SubFormat GUID selects), any channel count/rate. Out of
+    profile (rejected with ValueError): A-law/mu-law (6/7), ADPCM —
+    compressed audio (mp3/aac/ogg) is not RIFF and falls to the
+    open_audio boundary."""
     if len(b) < 12 or b[:4] != b"RIFF":
         return None
     if b[8:12] != b"WAVE":
@@ -958,13 +974,38 @@ def parse_wav(b: bytes) -> AudioHandle | None:
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data chunk")
     tag = int.from_bytes(fmt[0:2], "little")
-    if tag != 1:
-        raise ValueError(f"wav: only PCM (format 1) supported, got format {tag}")
     ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        # bytes of the 16-byte SubFormat GUID (fmt offset 24) — the
+        # standard container every tool uses for >16-bit audio
+        if len(fmt) < 40:
+            raise ValueError("wav: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        tag = int.from_bytes(fmt[24:26], "little")
+    if tag not in (1, 3):
+        raise ValueError(
+            f"wav: only PCM (1) and IEEE float (3) supported, got format {tag}"
+        )
     if ch < 1 or rate < 1:
         raise ValueError(f"wav: bad fmt (channels={ch}, rate={rate})")
+    if tag == 3:
+        # IEEE float: scale to 16-bit integer range (the libsndfile
+        # float->PCM16 convention) so AudioHandle stays exact-integer
+        if bits not in (32, 64):
+            raise ValueError(f"wav: IEEE float must be 32/64-bit, got {bits}")
+        step = bits // 8
+        n = (len(data) // (step * ch)) * step * ch
+        f = np.frombuffer(data[:n], dtype="<f4" if bits == 32 else "<f8")
+        # scale in float64 so rounding is width-independent and
+        # deterministic (f4 arithmetic would tie-break differently)
+        samples = (
+            np.rint(np.clip(f.astype(np.float64), -1.0, 1.0) * 32767.0)
+            .astype(np.int32)
+            .reshape(-1, ch)
+        )
+        return AudioHandle(samples, rate, 2)
     if bits == 16:
         width = 2
         arr = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
@@ -973,8 +1014,20 @@ def parse_wav(b: bytes) -> AudioHandle | None:
         width = 1
         arr = np.frombuffer(data[: (len(data) // ch) * ch], dtype=np.uint8)
         samples = (arr.astype(np.int32) - 128).reshape(-1, ch)
+    elif bits == 24:
+        width = 3
+        n = (len(data) // (3 * ch)) * 3 * ch
+        raw = np.frombuffer(data[:n], dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        samples = v.reshape(-1, ch)
+    elif bits == 32:
+        width = 4
+        n = (len(data) // (4 * ch)) * 4 * ch
+        arr = np.frombuffer(data[:n], dtype="<i4")
+        samples = arr.reshape(-1, ch)
     else:
-        raise ValueError(f"wav: only 8/16-bit PCM supported, got {bits}-bit")
+        raise ValueError(f"wav: only 8/16/24/32-bit PCM supported, got {bits}-bit")
     return AudioHandle(samples, rate, width)
 
 

@@ -654,10 +654,11 @@ def test_real_audio_path_end_to_end_no_media_library(spark):
     # boundary contract
     with _pytest.raises(NotImplementedError, match="audio"):
         open_audio(b"ID3\x04\x00" + bytes(64))  # mp3-ish: needs a backend
-    with _pytest.raises(ValueError, match="format 3"):
+    with _pytest.raises(ValueError, match="32/64-bit"):
         bad = bytearray(encode_wav(silence, 8000))
         i = bad.index(b"fmt ") + 8
-        bad[i] = 3  # IEEE float: out of profile
+        bad[i] = 3  # IEEE float at 16-bit width: malformed (r10: real
+        # 32/64-bit float IS in profile — see the widened-profile test)
         open_audio(bytes(bad))
 
 
@@ -835,3 +836,68 @@ def test_png_subbyte_cross_checks_pillow():
     Image.fromarray((lv * 255).astype(np.uint8)).convert("1").save(sink, format="PNG")
     got = parse_png(sink.getvalue()).arr
     assert np.array_equal(got[:, :, 0], lv * 255)
+
+
+def test_wav_widened_profile_roundtrips_and_boundaries():
+    """Round 10 WAV profile: 24/32-bit PCM round-trip exactly, IEEE
+    float (format 3) scales to the 16-bit integer range (libsndfile
+    convention, float64 rounding), WAVE_FORMAT_EXTENSIBLE unwraps via
+    the SubFormat GUID, and A-law stays a named rejection."""
+    import struct
+
+    import numpy as np
+
+    from ripple_server_spark.codecs import encode_wav, parse_wav
+
+    rng = np.random.default_rng(4)
+    s24 = rng.integers(-(1 << 23), 1 << 23, (500, 2)).astype(np.int32)
+    h = parse_wav(encode_wav(s24, 16000, 3))
+    assert h.sample_width == 3 and h.full_scale == 1 << 23
+    assert np.array_equal(h.data, s24)
+    assert np.array_equal(parse_wav(h.to_bytes()).data, s24)  # handle loop
+    s32 = rng.integers(-(1 << 31), (1 << 31) - 1, (300, 1), dtype=np.int64).astype(
+        np.int32
+    )
+    h = parse_wav(encode_wav(s32, 8000, 4))
+    assert h.sample_width == 4 and h.full_scale == 1 << 31
+    assert np.array_equal(h.data, s32)
+
+    def riff(fmt, frames):
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(frames).to_bytes(4, "little") + frames
+        )
+        if len(frames) % 2:
+            body += b"\x00"
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    for bits, dt in ((32, "<f4"), (64, "<f8")):
+        f = (rng.random(400) * 2 - 1).astype(dt)
+        fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * bits // 8, bits // 8, bits)
+        h = parse_wav(riff(fmt, f.tobytes()))
+        exp = np.rint(np.clip(f.astype(np.float64), -1, 1) * 32767).astype(np.int32)
+        assert h.sample_width == 2 and np.array_equal(h.data[:, 0], exp), bits
+
+    # EXTENSIBLE wrapping 24-bit PCM (SubFormat GUID tag = 1)
+    guid_pcm = bytes([1, 0]) + bytes.fromhex("000000000010008000aa00389b71")
+    assert len(guid_pcm) == 16
+    s = rng.integers(-(1 << 23), 1 << 23, (100, 1)).astype(np.int32)
+    v = s.astype(np.int64) & 0xFFFFFF
+    frames = (
+        np.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=-1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 22050, 22050 * 3, 3, 24)
+        + struct.pack("<HHI", 22, 24, 0x4)
+        + guid_pcm
+    )
+    h = parse_wav(riff(fmt, frames))
+    assert h.sample_width == 3 and np.array_equal(h.data[:, 0], s[:, 0])
+
+    # A-law (6) stays out of profile, loudly
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    with pytest.raises(ValueError, match="only PCM"):
+        parse_wav(riff(fmt, b"abcd"))
