@@ -1358,6 +1358,75 @@ class TopicStore:
                 f"(owned: {owned}) — stale assignment"
             )
 
+    def describe_group(self, topic: str, group_id: str) -> dict:
+        """Kafka ``kafka-consumer-groups --describe`` analog: the
+        group's current generation, member count, and per-member
+        assignment with committed offsets and LAG (HWM+1 - offset,
+        clamped at the retained floor — a member parked below the
+        floor reports only what a consume can actually deliver).
+        Raises KeyError for a group with no recorded assignment.
+        O(manifest + one offsets file per member); no Spark job."""
+        entry = self.group_state(topic, group_id)
+        if entry is None:
+            raise KeyError(
+                f"group {group_id!r} has no recorded assignment on "
+                f"topic {topic!r}"
+            )
+        n_buckets = int(self.topic_meta(topic)["n_buckets"])
+        maxima = self._bucket_maxima(topic)
+        floors = self._bucket_floors(topic)
+        members = {}
+        for member, owned in self._range_split(
+            n_buckets, group_id, entry["n_members"]
+        ).items():
+            offs = self.committed_offsets(member, topic)
+            lag = {}
+            for b in owned:
+                hwm = maxima.get(b, -1) + 1
+                eff = max(offs.get(b, 0), floors.get(b, 0))
+                lag[b] = max(0, hwm - eff)
+            members[member] = {
+                "buckets": owned,
+                "offsets": {b: offs.get(b, 0) for b in owned},
+                "lag": lag,
+            }
+        return {
+            "generation": entry["generation"],
+            "n_members": entry["n_members"],
+            "members": members,
+            "total_lag": sum(
+                v for m in members.values() for v in m["lag"].values()
+            ),
+        }
+
+    def rekey_topic(
+        self,
+        src: str,
+        dst: str,
+        n_buckets: int | None = None,
+        key_col: str = "user_id",
+        batch_id: str | None = None,
+    ) -> int:
+        """Full rekeying rewrite: read ``src``'s live snapshot and
+        produce it into a FRESH topic ``dst`` with a clean key->bucket
+        mapping — the repair documented on :meth:`expand_buckets` /
+        :meth:`compact_by_key` for when strict cross-expansion per-key
+        semantics matter (Kafka has no in-place equivalent; the
+        standard remedy is exactly this copy-to-new-topic). Seqs are
+        reassigned by arrival order ((ts, event_id) per new bucket),
+        consumers of ``dst`` start fresh. One produce transaction
+        (idempotent under ``batch_id``); returns rows written."""
+        if dst == src:
+            raise ValueError("rekey_topic requires a distinct destination topic")
+        meta = self.topic_meta(src)
+        self.create_topic(
+            dst,
+            n_buckets=int(n_buckets or meta["n_buckets"]),
+            config=meta.get("config"),
+        )
+        df = self.read_topic(src).drop("bucket", "seq")
+        return self.produce(df, dst, key_col=key_col, batch_id=batch_id)
+
     def commit(
         self,
         consumer_id: str,

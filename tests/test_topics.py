@@ -800,3 +800,80 @@ def test_group_generation_fencing(spark, sf_dir, tmp_path):
     st.register_consumer("solo", "g")
     st.commit("solo", "g", 0, 7)
     assert st.committed_offsets("solo", "g")[0] == 7
+
+
+def test_describe_group_reports_generation_assignment_lag(spark, sf_dir, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "dg_topics"))
+    st.create_topic("dg", n_buckets=4)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    st.produce(ev, "dg")
+    st.assign_buckets("dg", "w", 2)
+    gen = st.group_state("dg", "w")["generation"]
+
+    # w-0 drains bucket 0 fully and commits
+    batch, nxt = st.consume("w-0", "dg", bucket=0, count=10_000)
+    st.commit("w-0", "dg", 0, nxt, group_id="w", generation=gen)
+
+    d = st.describe_group("dg", "w")
+    assert d["generation"] == gen and d["n_members"] == 2
+    assert d["members"]["w-0"]["buckets"] == [0, 1]
+    assert d["members"]["w-1"]["buckets"] == [2, 3]
+    maxima = st._bucket_maxima("dg")
+    assert d["members"]["w-0"]["lag"][0] == 0  # fully committed
+    assert d["members"]["w-0"]["lag"][1] == maxima[1] + 1  # untouched
+    per_bucket_rows = {b: mx + 1 for b, mx in maxima.items()}
+    assert d["total_lag"] == sum(per_bucket_rows.values()) - per_bucket_rows[0]
+    with pytest.raises(KeyError, match="no recorded assignment"):
+        st.describe_group("dg", "ghost")
+    # lag clamps at the retained floor: truncate below the committed
+    # range, a fresh group's lag counts only deliverable rows
+    st.assign_buckets("dg", "w2", 1)
+    cutoff = min(maxima.values()) // 2
+    st.truncate("dg", before_seq=cutoff)
+    floors = st._bucket_floors("dg")
+    d2 = st.describe_group("dg", "w2")
+    exp = sum(maxima[b] + 1 - floors.get(b, 0) for b in maxima)
+    assert d2["total_lag"] == exp
+
+
+def test_rekey_topic_rebuilds_clean_mapping_after_expand(spark, sf_dir, tmp_path):
+    """The documented repair for cross-expansion key semantics: after
+    expand_buckets splits a key's rows across buckets, rekey_topic
+    rewrites into a fresh topic where every key lives in exactly one
+    bucket again and compact_by_key is globally correct."""
+    st = TopicStore(spark, str(tmp_path / "rk_topics"))
+    st.create_topic("rk", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").limit(120).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    st.produce(ev.filter(F.col("event_id") < 60), "rk")
+    st.expand_buckets("rk", 4)
+    st.produce(ev.filter(F.col("event_id") >= 60), "rk")
+    # some key now spans two buckets (residue changed for n=2 -> n=4)
+    spans = (
+        st.read_topic("rk")
+        .groupBy("user_id")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert spans > 0, "fixture produced no cross-bucket key; weaken test"
+
+    n = st.rekey_topic("rk", "rk2")
+    assert n == 120
+    rk2 = st.read_topic("rk2")
+    assert rk2.count() == 120
+    # clean mapping: every key in exactly one bucket, correct residue
+    bad = (
+        rk2.groupBy("user_id")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert bad == 0
+    # config is carried over and the copy is idempotent under batch_id
+    st.create_topic("rk3", n_buckets=4)  # pre-created dst also works
+    assert st.rekey_topic("rk", "rk3", batch_id="copy-1") == 120
+    assert st.rekey_topic("rk", "rk3", batch_id="copy-1") == 0  # replay
+    with pytest.raises(ValueError, match="distinct destination"):
+        st.rekey_topic("rk", "rk")
