@@ -1970,3 +1970,61 @@ def test_mid_stream_discovered_topic_admission_is_capped(spark, sf_dir, tmp_path
     assert total == 340, "duplicate or lost rows across restart"
     # pre-existing topics were untouched by the discovery cap
     assert sum(n for (_e, t, _b, n) in batches if t == "cap_a") == 20
+
+
+def test_stream_drains_key_compacted_topic_with_seq_gaps(spark, sf_dir, tmp_path):
+    """Key compaction leaves seq GAPS; the streaming source's seq-range
+    admission must deliver exactly the surviving rows (no phantom
+    waits, no duplicates), and a restart mid-history replays exactly —
+    the first streaming x compact_by_key integration pin."""
+    st = TopicStore(spark, str(tmp_path / "gap_topics"))
+    st.create_topic("gp", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # three waves with repeating keys, then compact: ~90% rows vanish
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        st.produce(_wave(ev, lo, hi), "gp")
+    dropped = st.compact_by_key("gp", key_col="user_id")
+    survivors = st.read_topic("gp").count()
+    assert dropped > 0 and survivors + dropped == 300
+
+    spark.dataSource.register(RippleTopicDataSource)
+    ck = str(tmp_path / "gp_ck")
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, _epoch):
+        seen.extend(
+            (r["bucket"], r["seq"]) for r in df.select("bucket", "seq").collect()
+        )
+
+    def start():
+        return (
+            spark.readStream.format("ripple_topic")
+            .option("root", st.root)
+            .option("topic", "gp")
+            .option("batch_size", 40)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == survivors, (len(seen), survivors)
+    assert len(set(seen)) == len(seen), "duplicate delivery across gaps"
+
+    # restart: a fresh produce (new versions for some keys) appends
+    # above the HWM; replay must deliver only the new rows
+    st.produce(_wave(ev, 300, 340), "gp")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == survivors + 40
+    assert len(set(seen)) == len(seen)

@@ -349,3 +349,68 @@ def test_compact_by_key_tombstones_delete_keys(spark, tmp_path):
     # a missing tombstone column is a named error
     with pytest.raises(ValueError, match="no 'nope' column"):
         st.compact_by_key("kt", key_col="user_id", tombstone_col="nope")
+
+
+def test_compact_by_key_matches_pandas_model_randomized(spark, tmp_path):
+    """Model check: across seeded random workloads (duplicate keys,
+    null keys, tombstones, multiple waves, varying bucket counts) the
+    compacted log equals a pandas latest-per-key model computed from
+    the pre-compaction log — catches any drift in grouping, null, or
+    tombstone semantics."""
+    import numpy as np
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nb = int(rng.integers(1, 5))
+        topic = f"mdl{seed}"
+        st = TopicStore(spark, str(tmp_path / f"mdl_topics{seed}"))
+        st.create_topic(topic, n_buckets=nb)
+        n_waves = int(rng.integers(1, 4))
+        eid = 0
+        for _w in range(n_waves):
+            n = int(rng.integers(1, 40))
+            rows = []
+            for _ in range(n):
+                key = None if rng.random() < 0.15 else int(rng.integers(0, 8))
+                val = None if rng.random() < 0.2 else float(rng.integers(0, 100))
+                rows.append((eid, key, val))
+                eid += 1
+            df = spark.createDataFrame(
+                rows, "event_id bigint, user_id bigint, value double"
+            ).select(
+                "event_id",
+                (
+                    F.lit("2026-01-01 00:00:00").cast("timestamp")
+                    + F.make_interval(secs=F.col("event_id"))
+                ).alias("ts"),
+                "user_id",
+                "value",
+            )
+            st.produce(df, topic)
+
+        before = (
+            st.read_topic(topic)
+            .select("bucket", "seq", "event_id", "user_id", "value")
+            .toPandas()
+        )
+        st.compact_by_key(topic, key_col="user_id", tombstone_col="value")
+        got = (
+            st.read_topic(topic)
+            .select("bucket", "seq", "event_id", "user_id", "value")
+            .toPandas()
+            .sort_values(["bucket", "seq"])
+            .reset_index(drop=True)
+        )
+        # pandas model: per (bucket, key) keep max seq; null keys all
+        # survive; keyed survivors with null value (tombstones) drop
+        keyed = before[before["user_id"].notna()]
+        idx = keyed.groupby(["bucket", "user_id"])["seq"].idxmax()
+        latest = keyed.loc[idx]
+        latest = latest[latest["value"].notna()]
+        exp = (
+            __import__("pandas")
+            .concat([latest, before[before["user_id"].isna()]])
+            .sort_values(["bucket", "seq"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), f"seed {seed}:\n{got}\nvs\n{exp}"
