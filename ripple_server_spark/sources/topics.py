@@ -94,6 +94,19 @@ def _engine_session(spark: SparkSession) -> SparkSession:
             eng.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
+            # AQE's runtime empty-relation propagation REPLACES the
+            # subtree above a 0-row shuffle, dropping upstream
+            # CollectMetrics nodes — an Observation on the scan then
+            # gets no metrics row and Observation.get dies in toPyRow
+            # (hit by compact_by_key when every key is tombstoned).
+            # Engine writes observe their row counts as the commit's
+            # source of truth, so on THIS session correctness of
+            # metrics outranks the empty-plan shortcut.
+            eng.conf.set(
+                "spark.sql.adaptive.optimizer.excludedRules",
+                "org.apache.spark.sql.execution.adaptive."
+                "AQEPropagateEmptyRelation",
+            )
             _ENGINE_SESSIONS[spark] = eng
         return eng
 

@@ -414,3 +414,40 @@ def test_compact_by_key_matches_pandas_model_randomized(spark, tmp_path):
             .reset_index(drop=True)
         )
         assert got.equals(exp), f"seed {seed}:\n{got}\nvs\n{exp}"
+
+
+def test_compact_by_key_all_keys_tombstoned_empties_topic(spark, tmp_path):
+    """Every key deleted: the compacted log is EMPTY (zero survivors),
+    which exercises the AQE empty-relation edge — the engine session
+    must keep the input-count observation alive when the aggregate
+    yields 0 rows (AQEPropagateEmptyRelation would drop the upstream
+    CollectMetrics and kill Observation.get). Consumers see an empty
+    gap-only log with valid HWMs."""
+    st = TopicStore(spark, str(tmp_path / "kc_empty_all"))
+    st.create_topic("ka", n_buckets=2)
+    base_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 0, None), (2, 1, 3.0), (3, 1, None)],
+        "event_id bigint, user_id bigint, value double",
+    ).select(
+        "event_id",
+        (base_ts + F.make_interval(secs=F.col("event_id"))).alias("ts"),
+        "user_id",
+        "value",
+    )
+    st.produce(df, "ka")
+    maxima = st._bucket_maxima("ka")
+    dropped = st.compact_by_key("ka", key_col="user_id", tombstone_col="value")
+    assert dropped == 4
+    assert st.read_topic("ka").count() == 0
+    # HWMs survive (seq assignment continuity) and consume drains the
+    # all-gap log without phantom rows
+    assert st._bucket_maxima("ka") == maxima
+    st.register_consumer("c", "ka")
+    for b in maxima:
+        batch, nxt = st.consume("c", "ka", bucket=b, count=100)
+        assert batch.count() == 0 and nxt == maxima[b] + 1
+    # a later produce continues the chain above the old HWM
+    st.produce(df.withColumn("event_id", F.col("event_id") + 10), "ka")
+    assert st.read_topic("ka").count() == 4
+    assert min(st._bucket_maxima("ka")[b] for b in maxima) > min(maxima.values())
