@@ -1033,15 +1033,22 @@ def parse_wav(b: bytes) -> AudioHandle | None:
 
 def open_audio(b: bytes) -> AudioHandle:
     """Real audio decode with the same boundary contract as
-    :func:`open_image` / :func:`open_video`: WAV PCM decodes in any
-    environment via the numpy parser; payloads no backend recognizes
-    (mp3/aac/ogg need an audio library this container does not ship)
-    raise ``NotImplementedError``; malformed/out-of-profile WAV raises
+    :func:`open_image` / :func:`open_video`: WAV PCM and FLAC (round
+    10, codecs_flac.py — the lossless compressed format corpora
+    actually carry) decode in any environment via the numpy parsers;
+    payloads no backend recognizes (mp3/aac/ogg need a perceptual-
+    codec library this container does not ship) raise
+    ``NotImplementedError``; malformed/out-of-profile streams raise
     ``ValueError``."""
     audio = parse_wav(b)
     if audio is not None:
         return audio
+    from ripple_server_spark.codecs_flac import parse_flac
+
+    audio = parse_flac(b)
+    if audio is not None:
+        return audio
     raise NotImplementedError(
-        "payload is not RIFF/WAVE PCM and no audio library is installed: "
-        "compressed audio formats need an external backend"
+        "payload is not RIFF/WAVE PCM or FLAC and no audio library is "
+        "installed: perceptual codecs (mp3/aac/ogg) need an external backend"
     )
