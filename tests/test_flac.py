@@ -206,3 +206,21 @@ def test_open_audio_boundary_and_integration():
         open_audio(b"ID3\x04\x00" + bytes(64))
     with pytest.raises(ValueError, match="STREAMINFO"):
         parse_flac(b"fLaC" + bytes([0x81, 0, 0, 2, 0, 0]))
+
+
+def test_flac_payloads_flow_through_spark_audio_kernels(spark):
+    """The Arrow audio kernels decode via open_audio, so FLAC payloads
+    work transparently alongside WAV — metadata and the exact-integer
+    energy fingerprint both come back correct."""
+    sig = (2000 * np.sin(np.arange(8000) / 40)).astype(np.int64)[:, None]
+    payload = encode_flac(sig, 16000, 2)
+    from ripple_server_spark import multimodal as mm
+
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    meta = mm.audio_meta_payloads(df).collect()[0]
+    assert (meta["n_samples"], meta["n_channels"], meta["rate"]) == (8000, 1, 16000)
+    assert meta["duration_ms"] == 500
+    wins = {r["win"]: r["energy_sq"] for r in mm.audio_energy_windows(df, n_windows=4).collect()}
+    w = 8000 // 4
+    exp = {k: int((sig[k * w : (k + 1) * w, 0] ** 2).sum()) for k in range(4)}
+    assert wins == exp
