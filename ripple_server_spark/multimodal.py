@@ -575,7 +575,10 @@ def audio_energy_windows(payloads: DataFrame, n_windows: int = 8) -> DataFrame:
 
 
 def synth_audio_payloads(
-    docs: DataFrame, n_samples: int = 800, plant_dups: bool = False
+    docs: DataFrame,
+    n_samples: int = 800,
+    plant_dups: bool = False,
+    codec: str = "wav",
 ) -> DataFrame:
     """Deterministic mono 16-bit WAV payloads from doc ids (the audio
     counterpart of synth_gray_payloads): sample i of doc d is
@@ -589,12 +592,20 @@ def synth_audio_payloads(
     predecessor's sample stream except the first 100 samples (window 0
     at the energy kernel's default windowing), which are redrawn from
     the 'e:' digest prefix — one edited intro, the rest identical,
-    exactly the clipped-reupload shape audio dedup exists to catch."""
+    exactly the clipped-reupload shape audio dedup exists to catch.
+
+    ``codec``: "wav" (RIFF writer) or "flac" (round 10 — the engine's
+    compressing FLAC encoder); FLAC is lossless, so downstream PCM and
+    every fingerprint are bit-identical across the two, which is why
+    the FLAC dedup query reuses the WAV oracle verbatim."""
+    if codec not in ("wav", "flac"):
+        raise ValueError(f"synth_audio_payloads: codec must be wav/flac, got {codec}")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from ripple_server_spark.codecs import encode_wav
+        from ripple_server_spark.codecs_flac import encode_flac
 
         for pdf in batches:
             payloads = []
@@ -617,7 +628,10 @@ def synth_audio_payloads(
                 vals = np.array(
                     [sample(i) for i in range(n_samples)], dtype=np.int32
                 )
-                payloads.append(encode_wav(vals, rate=8000))
+                if codec == "flac":
+                    payloads.append(encode_flac(vals, rate=8000, blocksize=256))
+                else:
+                    payloads.append(encode_wav(vals, rate=8000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")

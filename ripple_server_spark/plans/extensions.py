@@ -1520,3 +1520,100 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_equal_windows") >= 7)
     )
+
+
+@query(
+    "q_audio_dedup_flac",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS akey,
+             (doc_id % 4 = 1) AS variant
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, akey, variant, unnest(range(800)) AS i FROM d),
+    s AS (
+      SELECT doc_id, i // 100 AS win,
+             CASE WHEN variant AND i < 100
+                  THEN ('0x' || substr(md5('e:' || CAST(akey AS VARCHAR) || ':'
+                       || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768
+                  ELSE ('0x' || substr(md5('a:' || CAST(akey AS VARCHAR) || ':'
+                       || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 END AS v
+      FROM idx
+    ),
+    sig AS (
+      SELECT doc_id, CAST(win AS BIGINT) AS win,
+             CAST(sum(v * v) AS BIGINT) AS e
+      FROM s GROUP BY doc_id, win
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.win = b.win AND a.e = b.e AND a.doc_id < b.doc_id
+    ),
+    eq AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN sa.e = sb.e THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_equal_windows
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.win = sa.win
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_equal_windows FROM eq WHERE n_equal_windows >= 7
+    """,
+    tags=("dedup", "multimodal", "audio", "flac", "fingerprint"),
+)
+def q_audio_dedup_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC arm of audio near-dup (round 10): the SAME pipeline as
+    q_audio_dedup_fingerprint — md5-derived PCM, planted reposts with
+    an edited intro, 8-window integer energy signature, (win, energy)
+    equi-join candidates, >= 7-of-8 verify — but every payload is
+    ENCODED with the engine's compressing FLAC encoder and DECODED by
+    the full RFC 9639 parser (codecs_flac.py) inside the Arrow kernel.
+    FLAC is lossless, so the decoded PCM and every downstream integer
+    are bit-identical to the WAV arm and the oracle is reused
+    verbatim: a mismatch here localizes to the FLAC codec itself
+    (Rice coding, FIXED prediction, framing, MD5), making this the
+    driver-checked correctness row for the round-10 codec.
+
+    Scale shape: identical to the WAV arm (8 integers per clip into
+    the join, decode cost map-side); FLAC payloads are smaller at
+    rest, which at 100 TB is the point of accepting the format."""
+    from ripple_server_spark import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = mm.audio_energy_windows(
+        mm.synth_audio_payloads(docs, plant_dups=True, codec="flac"),
+        n_windows=8,
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.energy_sq") == F.col("b.energy_sq"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "win", F.col("energy_sq").alias("ea")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "win", F.col("energy_sq").alias("eb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "win"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ea") == F.col("eb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_equal_windows")
+        )
+        .filter(F.col("n_equal_windows") >= 7)
+    )
