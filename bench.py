@@ -196,22 +196,42 @@ def main() -> None:
         ),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # per-run values behind each min: "driver" is the first
-                # (cold-plan) execution, idle1/idle2 are back-to-back
-                # steady-state repeats — the idle-run drift-adjudication
-                # protocol, published mechanically (VERDICT r09 item 8)
-                "adjudication": runs,
-                "sf": sf,
-            }
-        )
-    )
+    metric = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full document (metric + per-run adjudication) persisted to a
+    # repo-committed artifact. The driver records only a fixed-size TAIL
+    # of stdout; round 10's single line with the inline adjudication
+    # dict outgrew that window and truncated the headline+7 query rows
+    # out of BENCH_r10.json (VERDICT r10 item 1). The round number is
+    # 1 + the highest recorded BENCH_r*.json — the driver writes the
+    # current round's file only AFTER this script runs.
+    import re  # noqa: PLC0415
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recorded = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    local = os.path.join(here, f"BENCH_LOCAL_r{max(recorded, default=0) + 1:02d}.json")
+    try:
+        with open(local, "w") as fh:
+            json.dump({**metric, "adjudication": runs}, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # artifact is best-effort; the printed lines still carry the data
+    # Adjudication on its OWN line, printed FIRST: the driver's tail
+    # capture keeps the END of stdout, so the short headline metric
+    # line below always survives intact even if this one is clipped.
+    # (Key name deliberately avoids the "metric" token load_bench
+    # greps for.)
+    print(json.dumps({"per_run_sec": runs}))
+    print(json.dumps(metric))
 
 
 if __name__ == "__main__":

@@ -93,15 +93,38 @@ def check_fingerprints(sf_dir: str, fps: dict[str, tuple[int, str]]) -> list[str
 
 
 def load_bench(path: str) -> dict[str, float]:
-    """Read per-query timings from either bench-output format."""
+    """Read per-query timings from any bench-output format, oldest to
+    newest: bench.py's bare one-line JSON; the driver wrapper whose
+    "tail" holds a complete metric line; the repo-committed
+    BENCH_LOCAL_r<N>.json sibling (written by bench.py since r11, after
+    the r10 inline-adjudication line outgrew the driver's 2000-char
+    tail window and truncated its own head); and, last resort, a
+    partial parse of a truncated tail — per-query
+    {"driver","idle1","idle2"} adjudication entries recovered as their
+    min (the headline semantics). The partial path is what keeps
+    BENCH_r10.json gateable: 28 of its 35 rows survive in the tail."""
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
         return doc["queries"]
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if not m:
-        raise ValueError(f"{path}: no bench metric line found")
-    return json.loads(m.group(0))["queries"]
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
+    if m:
+        return json.loads(m.group(0))["queries"]
+    local = re.sub(r"BENCH_r(\d+)\.json$", r"BENCH_LOCAL_r\1.json", path)
+    if local != path and os.path.isfile(local):
+        with open(local) as fh:
+            return json.load(fh)["queries"]
+    partial = {
+        name: min(float(a), float(b), float(c))
+        for name, a, b, c in re.findall(
+            r'"(\w+)": \{"driver": ([0-9.]+), "idle1": ([0-9.]+), "idle2": ([0-9.]+)\}',
+            tail,
+        )
+    }
+    if partial:
+        return partial
+    raise ValueError(f"{path}: no bench metric line found")
 
 
 def gate(
