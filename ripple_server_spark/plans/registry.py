@@ -379,6 +379,37 @@ _RECHECK_SINCE: dict[str, int] = {
     "q_user_zscore_pandas": 9,
     "q_window_distribution": 9,
     "q_zipf_slope": 9,
+    # --- round-11 evidence rotation (since=10, VERDICT r10 item 3):
+    # the 26-row r06 tail — now the oldest standing green rows —
+    # re-earns current evidence. Code UNCHANGED (pure rotation); a
+    # green r11+ row expires each entry automatically. Budget: 50/round
+    # with no never-verified rows, so 26 fits with room for new queries.
+    "q_above_avg_value": 10,
+    "q_asof_join": 10,
+    "q_cohort_retention": 10,
+    "q_grouping_sets": 10,
+    "q_histogram_value": 10,
+    "q_late_data_accounting": 10,
+    "q_multimodal_embed": 10,
+    "q_multimodal_meta": 10,
+    "q_multimodal_resize": 10,
+    "q_pivot_type_day": 10,
+    "q_range_join_bands": 10,
+    "q_salted_agg": 10,
+    "q_sessionize_users": 10,
+    "q_text_bpe_tokens": 10,
+    "q_text_lang_scores": 10,
+    "q_text_token_counts": 10,
+    "q_tpch_q10_returns": 10,
+    "q_tpch_q13_custdist": 10,
+    "q_tpch_q14_promo": 10,
+    "q_tpch_q17_small_qty": 10,
+    "q_tpch_q18_large_orders": 10,
+    "q_tpch_q19_disjunct": 10,
+    "q_tpch_q4_priority": 10,
+    "q_udaf_gmean": 10,
+    "q_udtf_tokenize": 10,
+    "q_window_lag_lead": 10,
 }
 
 
