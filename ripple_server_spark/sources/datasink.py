@@ -270,6 +270,7 @@ def _task_append(
     applied_id: str,
     batches: Iterator,
     fields: list[str],
+    producer_epoch: int | None = None,
 ) -> TaskCommit:
     """Append one task's Arrow batches as a producer transaction.
 
@@ -278,7 +279,33 @@ def _task_append(
     contiguous seqs with an optimistic manifest commit; on a seq race,
     restage with shifted seqs and retry. Raced/leftover staged files are
     crash-orphan-equivalent (vacuum reclaims them).
+
+    ``producer_epoch`` (``option("producer_epoch", N)``) opts this
+    transaction into topic-level producer fencing: the epoch is checked
+    at entry AND inside the commit's apply, so a
+    ``TopicStore.fence_producers`` landing mid-write fences the task
+    atomically — staged files become vacuum orphans, no partial rows
+    visible (VERDICT r10 item 6; mirrors produce()).
     """
+
+    def _check_epoch(man: dict) -> None:
+        if producer_epoch is None:
+            return
+        cur = int(man.get("producer_epoch", 0))
+        if int(producer_epoch) != cur:
+            # canonical error type lives with the store API (lazy to
+            # keep this executor-side module import-light); surfaces
+            # to the driver inside Spark's task-failure wrapper with
+            # the message intact
+            from ripple_server_spark.sources.topics import (
+                StaleProducerEpochError,
+            )
+
+            raise StaleProducerEpochError(
+                f"sink write to topic {topic!r} carries producer epoch "
+                f"{int(producer_epoch)}, but the topic is at epoch {cur}"
+                " — the producer was fenced (fence_producers)"
+            )
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -301,6 +328,7 @@ def _task_append(
 
     v = _latest_version(root, topic)
     meta = _load_manifest(root, topic, v)
+    _check_epoch(meta)  # fail fast before staging anything
     if applied_id in meta.get("applied_batches", []):
         return TaskCommit(0, None)  # retried task: already landed
     n_buckets = int(meta["n_buckets"])
@@ -345,9 +373,11 @@ def _task_append(
         counts = {bb: parts[bb].num_rows for bb in parts}
 
         def apply(man: dict) -> dict:
-            # both re-checks INSIDE the commit, like produce: a racing
-            # twin attempt or concurrent task must be caught at the
-            # atomic point, not just at entry
+            # all three re-checks INSIDE the commit, like produce: a
+            # racing twin attempt, concurrent task, or mid-write
+            # producer fence must be caught at the atomic point, not
+            # just at entry
+            _check_epoch(man)
             if applied_id in man.get("applied_batches", []):
                 raise _AlreadyApplied()
             cur = {bb: int(man.get("maxima", {}).get(str(bb), -1)) for bb in parts}
@@ -415,7 +445,9 @@ def _writer_common(options: dict, schema: StructType, overwrite: bool):
     ] + ["seq:bigint"]
     create = str(options.get("create_topic", "false")).lower() == "true"
     n_buckets = int(options.get("n_buckets", N_BUCKETS))
-    return root, topics[0], key_col, fields, create, n_buckets
+    epoch = options.get("producer_epoch")
+    producer_epoch = int(epoch) if epoch is not None else None
+    return root, topics[0], key_col, fields, create, n_buckets, producer_epoch
 
 
 class RippleTopicBatchWriter(DataSourceArrowWriter):
@@ -430,6 +462,7 @@ class RippleTopicBatchWriter(DataSourceArrowWriter):
             self.fields,
             self.create,
             self.n_buckets,
+            self.producer_epoch,
         ) = _writer_common(options, schema, overwrite)
         # one token per job (generated once driver-side, pickled into
         # every task); option('batch_id') pins it so a re-run of the
@@ -449,6 +482,7 @@ class RippleTopicBatchWriter(DataSourceArrowWriter):
             f"dsw/{self.batch_token}/p{pid}",
             iterator,
             self.fields,
+            producer_epoch=self.producer_epoch,
         )
 
     def commit(self, messages) -> None:
@@ -473,6 +507,7 @@ class RippleTopicStreamWriter(DataSourceStreamArrowWriter):
             self.fields,
             self.create,
             self.n_buckets,
+            self.producer_epoch,
         ) = _writer_common(options, schema, overwrite)
         producer = options.get("producer_id")
         if producer is None:
@@ -509,6 +544,7 @@ class RippleTopicStreamWriter(DataSourceStreamArrowWriter):
             f"dsw/{self.producer_id}#b{batch_id}/p{tc.partitionId()}",
             iterator,
             self.fields,
+            producer_epoch=self.producer_epoch,
         )
 
     def commit(self, messages, batchId: int) -> None:

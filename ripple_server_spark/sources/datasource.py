@@ -341,7 +341,13 @@ def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
         if not os.path.isfile(path):
             return {}
         with open(path) as f:
-            return {str(b): int(v) for b, v in json.load(f).items()}
+            doc = json.load(f)
+        # r11+ offsets documents wrap the map (generation-stamped
+        # fenced commits, topics._read_offsets_doc); legacy files ARE
+        # the map
+        if "offsets" in doc and isinstance(doc.get("offsets"), dict):
+            doc = doc["offsets"]
+        return {str(b): int(v) for b, v in doc.items()}
     return {}
 
 

@@ -413,14 +413,16 @@ def commit_stream_position(
     batch yet, or if the query subscribed to multiple sources and none
     (or more than one) carries cursors for ``topic``.
 
-    With ``group_id`` + ``generation`` the handover is GROUP-FENCED:
-    every cursor bucket is validated against the group's CURRENT epoch
-    and this member's range BEFORE anything is written, so a stream
-    handing cursors to a member whose generation has rotated fails
-    loudly with :class:`~ripple_server_spark.sources.topics.
-    StaleGenerationError` and commits NOTHING — never a partial or
-    stale cursor set (Kafka zombie fencing extended to the
-    stream-to-batch bridge).
+    With ``group_id`` + ``generation`` the handover is GROUP-FENCED
+    through :meth:`TopicStore.commit_many`: every cursor bucket is
+    pre-fenced against the group's CURRENT epoch, the whole set lands
+    in ONE atomic file publish, and the fence is RE-VALIDATED after
+    the write — a rebalance racing the handover rolls the entire set
+    back and raises :class:`~ripple_server_spark.sources.topics.
+    StaleGenerationError`, so there is never a partial or stale cursor
+    set in a crash-free execution (Kafka zombie fencing extended to
+    the stream-to-batch bridge; commit_many documents the residual
+    crash-mid-rollback window).
 
     Returns the committed {bucket: next_seq} offsets.
     """
@@ -508,13 +510,14 @@ def commit_stream_position(
                 f"{topic!r}'s high-water mark {hwm} — is this "
                 "checkpoint from a different topic?"
             )
-    if group_id is not None:
-        # fence EVERY bucket before writing ANY offset: a stale
-        # generation must fail the whole handover atomically, not
-        # leave a partially-committed cursor set behind
-        for b in cursors:
-            store._fence_group_commit(topic, group_id, generation, consumer_id, b)
     store.register_consumer(consumer_id, topic)
-    for b, c in cursors.items():
-        store.commit(consumer_id, topic, b, c)
+    # ONE atomic multi-bucket commit (commit_many): the whole cursor
+    # set lands in a single file publish, pre-fenced AND re-validated
+    # after the write — a rebalance racing the handover rolls the
+    # entire set back and raises, never leaving a partial or stale
+    # cursor set behind (ADVICE r10: the old fence-then-loop left the
+    # check-to-write window open across the whole loop).
+    store.commit_many(
+        consumer_id, topic, cursors, group_id=group_id, generation=generation
+    )
     return cursors
