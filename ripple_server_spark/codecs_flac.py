@@ -197,11 +197,14 @@ def _read_residual(r: _Bits, blocksize: int, order: int) -> np.ndarray:
     escape = (1 << pbits) - 1
     porder = r.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or (blocksize >> porder) <= order and nparts > 1:
+    if blocksize % nparts:
+        raise ValueError("flac: partition order does not divide blocksize")
+    if nparts > 1 and (blocksize >> porder) <= order:
         # first partition holds blocksize/nparts - order samples; a
         # partition count that cannot cover the order is malformed
-        if blocksize % nparts:
-            raise ValueError("flac: partition order does not divide blocksize")
+        # (ADVICE r10: this disjunct previously fell through to the
+        # divisibility re-check and never raised)
+        raise ValueError("flac: residual partition cannot cover predictor order")
     out = np.empty(blocksize - order, dtype=np.int64)
     idx = 0
     for part in range(nparts):
@@ -341,6 +344,13 @@ def parse_flac(b: bytes):
     while r.pos + 32 <= nbits and (total == 0 or got < total):
         sync = r.read(14)
         if sync != 0b11111111111110:
+            if total == 0 and got > 0:
+                # STREAMINFO total_samples == 0 means "unknown length"
+                # (spec-valid): with at least one decoded frame, bytes
+                # that no longer sync are trailing non-frame content
+                # (padding, an ID3v1 tag) — end of stream, not an
+                # error (ADVICE r10)
+                break
             raise ValueError("flac: lost frame sync")
         r.read(1)  # reserved
         r.read(1)  # blocking strategy

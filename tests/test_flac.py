@@ -224,3 +224,50 @@ def test_flac_payloads_flow_through_spark_audio_kernels(spark):
     w = 8000 // 4
     exp = {k: int((sig[k * w : (k + 1) * w, 0] ** 2).sum()) for k in range(4)}
     assert wins == exp
+
+
+def test_unknown_length_stream_tolerates_trailing_bytes():
+    """STREAMINFO total_samples == 0 is spec-valid "unknown length":
+    after at least one decoded frame, trailing non-frame bytes
+    (padding, an ID3v1 tag) end the stream instead of raising 'lost
+    frame sync' (ADVICE r10)."""
+    data = (np.arange(2000, dtype=np.int64) % 200 - 100)[:, None]
+    b = bytearray(encode_flac(data, 16000, 2))
+    # zero the 36-bit total_samples field: STREAMINFO starts at byte 8
+    # (fLaC + block header); the field spans bits 108..143 of the block
+    b[8 + 13] &= 0xF0
+    b[8 + 14 : 8 + 18] = bytes(4)
+    clean = parse_flac(bytes(b))
+    assert np.array_equal(clean.data, data)  # MD5 still verifies
+    tagged = bytes(b) + b"TAG" + bytes(125)  # ID3v1-sized trailer
+    h = parse_flac(tagged)
+    assert np.array_equal(h.data, data)
+    # the tolerance needs at least one decoded frame: an unknown-length
+    # stream whose FIRST frame does not sync is still malformed
+    bad = bytearray(tagged)
+    bad[8 + 34] = 0x00  # clobber the first frame's sync byte
+    with pytest.raises(ValueError, match="lost frame sync"):
+        parse_flac(bytes(bad))
+
+
+def test_residual_partition_that_cannot_cover_order_raises():
+    """ADVICE r10: nparts > 1 with (blocksize >> porder) <= order was
+    dead validation — the malformed stream decoded silently."""
+    from ripple_server_spark.codecs_flac import _Bits, _read_residual
+
+    w = _BitW()
+    w.write(0, 2)  # method 0 (4-bit Rice params)
+    w.write(2, 4)  # porder 2 -> 4 partitions of blocksize/4 samples
+    for _ in range(4):
+        w.write(0, 4)  # rice param 0
+        # no residual payload bits needed: every partition is empty or
+        # the raise fires before reading them
+    w.write(0, 2)  # byte-align the writer (22 -> 24 bits)
+    bits = _Bits(w.bytes())
+    # blocksize 8, porder 2 -> 2 samples/partition, order 2: first
+    # partition would hold ZERO samples — malformed, must raise
+    with pytest.raises(ValueError, match="cannot cover predictor order"):
+        _read_residual(bits, blocksize=8, order=2)
+    # the divisibility arm still raises independently
+    with pytest.raises(ValueError, match="does not divide"):
+        _read_residual(_Bits(w.bytes()), blocksize=9, order=0)
