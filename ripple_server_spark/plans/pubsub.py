@@ -1653,3 +1653,144 @@ def q_topic_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("ids_hash"),
     )
+
+
+@query(
+    "q_topic_tombstone_retention",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts, user_id, coalesce(value, 0.0) AS value2
+      FROM events WHERE event_id < 2000
+    ),
+    dels AS (
+      SELECT DISTINCT 100000 + user_id AS event_id,
+             epoch_ms(1706745600000 + user_id * 1000) AS ts,
+             user_id, CAST(NULL AS DOUBLE) AS value2
+      FROM src WHERE user_id IS NOT NULL AND user_id % 3 = 0
+    ),
+    allr AS (
+      SELECT * FROM src UNION ALL SELECT * FROM dels
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM allr
+    ),
+    latest AS (SELECT * FROM ranked WHERE user_id IS NULL OR rn = 1),
+    phases AS (
+      SELECT 'within' AS phase, * FROM latest
+      UNION ALL
+      SELECT 'after' AS phase, * FROM latest
+      WHERE user_id IS NULL OR value2 IS NOT NULL
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN user_id IS NOT NULL AND value2 IS NULL
+                           THEN 1 END) AS BIGINT) AS n_markers,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           coalesce(bit_xor(
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+           ), 0) AS ids_hash
+    FROM phases GROUP BY 1
+    """,
+    tags=("pubsub", "compaction", "cdc", "tombstone", "maintenance"),
+)
+def q_topic_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ``delete.retention.ms`` through storage-side key
+    compaction (compact_by_key(tombstone_retention_ms=...), VERDICT
+    r10 item 4): upserts + one NULL-value delete per user_id % 3 == 0
+    key, then the TWO-PASS tombstone lifecycle —
+
+    - pass 1 compacts with a 200-YEAR window: each tombstoned key's
+      history collapses to the delete MARKER, which stays readable
+      (phase 'within' — a lagging consumer still observes the delete);
+    - pass 2 compacts with a 1 ms window: the markers' 2024 event time
+      is long past, so they are removed (phase 'after' — the keys are
+      gone entirely, the q_topic_tombstone_compaction end state).
+
+    Both phases are read from pinned snapshots and aggregated with a
+    phase tag; the oracle recomputes latest-per-key over the same rows
+    and derives phase 'within' as all latest rows (markers included)
+    and 'after' by dropping null-value survivors. Deterministic until
+    year ~2224 (wall clock enters only via now - window against fixed
+    2024 event times; both windows sit decades from the boundary). A
+    mismatch means a marker leaked past its window, was dropped inside
+    it, or took non-latest history with it.
+
+    Scale: two cleaner passes, each the same single map-side-combined
+    max_by shuffle as q_topic_key_compaction — the retention filter is
+    a codegen predicate on the survivor set, never a second pass over
+    the log."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value2"),
+        )
+    )
+    dels = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 3 == 0))
+        .select("user_id")
+        .distinct()
+        .select(
+            (F.lit(100000) + F.col("user_id")).alias("event_id"),
+            F.timestamp_millis(
+                F.lit(1706745600000) + F.col("user_id") * 1000
+            ).alias("ts"),
+            "user_id",
+            F.lit(None).cast("double").alias("value2"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "ripple_tombret_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TopicStore(spark, root)
+    store.create_topic("tr", n_buckets=8)
+    store.produce(ev, "tr")
+    store.produce(dels, "tr")
+
+    two_hundred_years_ms = 200 * 365 * 86_400_000
+    store.compact_by_key(
+        "tr",
+        key_col="user_id",
+        tombstone_col="value2",
+        tombstone_retention_ms=two_hundred_years_ms,
+    )
+    within = store.read_topic("tr")  # pinned snapshot: markers present
+    store.compact_by_key(
+        "tr", key_col="user_id", tombstone_col="value2",
+        tombstone_retention_ms=1,
+    )
+    after = store.read_topic("tr")
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count("event_id").cast("bigint").alias("n_rows"),
+            F.count(
+                F.when(
+                    F.col("user_id").isNotNull() & F.col("value2").isNull(), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_markers"),
+            F.countDistinct("user_id").cast("bigint").alias("n_keys"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10) as bigint))"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("ids_hash"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return phase_agg(within, "within").unionByName(phase_agg(after, "after"))
