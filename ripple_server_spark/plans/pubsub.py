@@ -1663,35 +1663,52 @@ def q_topic_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id < 2000
     ),
     dels AS (
-      SELECT DISTINCT 100000 + user_id AS event_id,
-             epoch_ms(1706745600000 + user_id * 1000) AS ts,
-             user_id, CAST(NULL AS DOUBLE) AS value2
+      SELECT DISTINCT
+             100000 + ((user_id % 1000) + 1000) % 1000 AS event_id,
+             user_id
       FROM src WHERE user_id IS NOT NULL AND user_id % 3 = 0
     ),
-    allr AS (
-      SELECT * FROM src UNION ALL SELECT * FROM dels
-    ),
     ranked AS (
-      SELECT *, row_number() OVER (
+      SELECT event_id, user_id, value2, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM allr
+      FROM src WHERE user_id IS NOT NULL
     ),
-    latest AS (SELECT * FROM ranked WHERE user_id IS NULL OR rn = 1),
-    phases AS (
-      SELECT 'within' AS phase, * FROM latest
+    within_rows AS (
+      -- markers are the seq-latest of their keys BY CONSTRUCTION (the
+      -- delete batch is produced after the upsert batch), so they are
+      -- the within-window survivors; other keys keep their in-batch
+      -- (ts, event_id)-latest; null-key rows pass through per-row
+      SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value2 FROM dels
       UNION ALL
-      SELECT 'after' AS phase, * FROM latest
+      SELECT event_id, user_id, value2 FROM ranked
+      WHERE rn = 1 AND user_id % 3 <> 0
+      UNION ALL
+      SELECT event_id, user_id, value2 FROM src WHERE user_id IS NULL
+    ),
+    phased AS (
+      SELECT 'within' AS phase, * FROM within_rows
+      UNION ALL
+      SELECT 'after' AS phase, * FROM within_rows
       WHERE user_id IS NULL OR value2 IS NOT NULL
+    ),
+    agg AS (
+      SELECT phase,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN user_id IS NOT NULL AND value2 IS NULL
+                             THEN 1 END) AS BIGINT) AS n_markers,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+             coalesce(bit_xor(
+                 ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+             ), 0) AS ids_hash
+      FROM phased GROUP BY 1
     )
-    SELECT phase,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(CASE WHEN user_id IS NOT NULL AND value2 IS NULL
-                           THEN 1 END) AS BIGINT) AS n_markers,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
-           coalesce(bit_xor(
-               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
-           ), 0) AS ids_hash
-    FROM phases GROUP BY 1
+    SELECT p.phase,
+           coalesce(a.n_rows, 0) AS n_rows,
+           coalesce(a.n_markers, 0) AS n_markers,
+           coalesce(a.n_keys, 0) AS n_keys,
+           coalesce(a.ids_hash, 0) AS ids_hash
+    FROM (VALUES ('within'), ('after')) p(phase)
+    LEFT JOIN agg a ON a.phase = p.phase
     """,
     tags=("pubsub", "compaction", "cdc", "tombstone", "maintenance"),
 )
@@ -1709,13 +1726,19 @@ def q_topic_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       gone entirely, the q_topic_tombstone_compaction end state).
 
     Both phases are read from pinned snapshots and aggregated with a
-    phase tag; the oracle recomputes latest-per-key over the same rows
-    and derives phase 'within' as all latest rows (markers included)
-    and 'after' by dropping null-value survivors. Deterministic until
-    year ~2224 (wall clock enters only via now - window against fixed
-    2024 event times; both windows sit decades from the boundary). A
-    mismatch means a marker leaked past its window, was dropped inside
-    it, or took non-latest history with it.
+    phase tag; the oracle derives phase 'within' as {each tombstoned
+    key's marker} ∪ {other keys' in-batch latest} ∪ {null-key rows}
+    and 'after' by dropping the markers, then left-joins onto a
+    two-phase dimension so both engines emit exactly two rows even on
+    empty or degenerate inputs. Markers carry a FIXED 2024 event time
+    and a pmod-bounded synthetic id, so the result does not depend on
+    how regime-generated source timestamps or key magnitudes compare
+    to the marker's (the marker is its key's seq-latest by
+    construction: the delete batch is produced second). Deterministic
+    until year ~2224 (wall clock enters only via now - window against
+    the fixed 2024 marker time; both windows sit decades from the
+    boundary). A mismatch means a marker leaked past its window, was
+    dropped inside it, or took non-latest history with it.
 
     Scale: two cleaner passes, each the same single map-side-combined
     max_by shuffle as q_topic_key_compaction — the retention filter is
@@ -1742,10 +1765,13 @@ def q_topic_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
         .select(
-            (F.lit(100000) + F.col("user_id")).alias("event_id"),
-            F.timestamp_millis(
-                F.lit(1706745600000) + F.col("user_id") * 1000
-            ).alias("ts"),
+            # pmod-bounded synthetic id + FIXED 2024 event time: immune
+            # to extreme key magnitudes (no overflow) and to source
+            # timestamps on either side of the marker's
+            (F.lit(100000) + F.pmod(F.col("user_id"), F.lit(1000))).alias(
+                "event_id"
+            ),
+            F.timestamp_millis(F.lit(1706745600000)).alias("ts"),
             "user_id",
             F.lit(None).cast("double").alias("value2"),
         )
