@@ -542,6 +542,78 @@ class TopicStore:
     def list_topics(self) -> list[str]:
         return sorted(os.listdir(os.path.join(self.root, "topics")))
 
+    def delete_topic(self, topic: str) -> int:
+        """Delete a topic outright — data files, manifest log, and
+        every consumer's offsets for it (the Kafka ``kafka-topics
+        --delete`` analog; the reference never deletes, its queues
+        just grow, concurrent_list.go). Returns the number of offset
+        files removed alongside the topic.
+
+        Deletion order makes concurrent access fail CLEANLY rather
+        than read half a topic: the manifest log goes first (every
+        reader/writer entry point resolves the latest manifest, so
+        from that point they raise topic-not-found), then the data
+        dir, then the offsets. A produce/compact racing the delete
+        can at worst recreate nothing — their commits target manifest
+        version slots that no longer have a log dir and fail with
+        FileNotFoundError, and their staged files die with the tree.
+        Snapshot-pinned READERS that already resolved a manifest lose
+        their files mid-scan (FileNotFound at task level) — quiesce
+        consumers first, same operational rule as Kafka's delete.
+        Raises FileNotFoundError for an unknown topic."""
+        tdir = self.topic_dir(topic)
+        if not os.path.isdir(tdir):
+            raise FileNotFoundError(f"topic {topic!r} does not exist")
+        shutil.rmtree(self._log_dir(topic), ignore_errors=True)
+        shutil.rmtree(tdir, ignore_errors=True)
+        self._maxima.pop(topic, None)
+        self._floors.pop(topic, None)
+        removed = 0
+        odir = os.path.join(self.root, "offsets")
+        for fn in sorted(os.listdir(odir)):
+            if fn.endswith(f"--{topic}.json"):
+                os.remove(os.path.join(odir, fn))
+                removed += 1
+        return removed
+
+    def list_groups(self, topic: str) -> list[str]:
+        """Consumer groups with a recorded assignment on the topic
+        (Kafka ``kafka-consumer-groups --list``, scoped to one topic
+        since groups live in the topic manifest here)."""
+        return sorted(self.latest_manifest(topic)[1].get("groups", {}))
+
+    def reset_offsets(
+        self, consumer_id: str, topic: str, to: str = "earliest"
+    ) -> dict[int, int]:
+        """Kafka ``kafka-consumer-groups --reset-offsets
+        --to-earliest/--to-latest`` analog: position every bucket's
+        committed offset at the retained floor (``"earliest"`` — the
+        next consume replays the whole retained log) or at the
+        high-water mark (``"latest"`` — the next consume sees only
+        NEW messages). Registers the consumer if needed and returns
+        the committed {bucket: offset} map. One atomic offsets
+        publish (:meth:`commit_many`); O(manifest), no Spark job —
+        floors and maxima are commit state. Time-based resets are
+        :meth:`seek_to_timestamp`."""
+        if to not in ("earliest", "latest"):
+            raise ValueError(
+                f"reset_offsets: to must be 'earliest' or 'latest', got {to!r}"
+            )
+        n_buckets = int(self.topic_meta(topic)["n_buckets"])
+        floors = self._bucket_floors(topic)
+        maxima = self._bucket_maxima(topic)
+        offsets = {
+            b: (
+                floors.get(b, 0)
+                if to == "earliest"
+                else maxima.get(b, -1) + 1
+            )
+            for b in range(n_buckets)
+        }
+        self.register_consumer(consumer_id, topic)
+        self.commit_many(consumer_id, topic, offsets)
+        return offsets
+
     # -- produce (A5) ------------------------------------------------------
     def produce(
         self,

@@ -552,3 +552,102 @@ def test_order_by_compaction_matches_default_when_no_expansion(spark, tmp_path):
         for r in st2.read_topic("t").collect()
     )
     assert a == b
+
+
+# -- DDL + offset tooling (r11 parity extensions) ----------------------------
+
+
+def test_delete_topic_removes_data_offsets_and_fails_unknown(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "del"))
+    st.create_topic("t", n_buckets=2)
+    st.produce(_wave(spark, 0), "t")
+    st.register_consumer("c1", "t")
+    st.commit("c1", "t", 0, 3)
+    st.create_topic("keep", n_buckets=2)
+    st.produce(_wave(spark, 0), "keep")
+    st.register_consumer("c1", "keep")
+
+    assert st.delete_topic("t") == 1  # c1's offsets for t removed
+    assert "t" not in st.list_topics()
+    with pytest.raises(FileNotFoundError):
+        st.topic_meta("t")
+    with pytest.raises(FileNotFoundError):
+        st.delete_topic("t")
+    # unrelated topic + its offsets untouched
+    assert st.read_topic("keep").count() == 20
+    assert st.committed_offsets("c1", "keep") == {}
+    # the name is reusable from a clean slate (Kafka delete+recreate)
+    st.create_topic("t", n_buckets=4)
+    assert st.produce(_wave(spark, 1), "t") == 20
+    assert st.committed_offsets("c1", "t") == {}
+
+
+def test_list_groups_and_reset_offsets(spark, tmp_path):
+    st = TopicStore(spark, str(tmp_path / "reset"))
+    st.create_topic("t", n_buckets=2)
+    st.produce(_wave(spark, 0), "t")  # 20 rows over 2 buckets
+    assert st.list_groups("t") == []
+    st.assign_buckets("t", "g", 2)
+    st.assign_buckets("t", "h", 1, strategy="sticky")
+    assert st.list_groups("t") == ["g", "h"]
+
+    maxima = st._bucket_maxima("t")
+    # to-latest: the next consume sees only new rows
+    offs = st.reset_offsets("c", "t", to="latest")
+    assert offs == {b: maxima[b] + 1 for b in range(2)}
+    batch, nxt = st.consume("c", "t", bucket=0, count=1000)
+    assert batch.count() == 0 and nxt == offs[0]
+    st.produce(_wave(spark, 1), "t")
+    batch, _ = st.consume("c", "t", bucket=0, count=1000)
+    assert batch.count() == st._bucket_maxima("t")[0] - maxima[0]
+
+    # to-earliest: replay from the retained floor (here 0)
+    offs = st.reset_offsets("c", "t", to="earliest")
+    assert offs == {0: 0, 1: 0}
+    batch, _ = st.consume("c", "t", bucket=0, count=10_000)
+    assert batch.count() == st._bucket_maxima("t")[0] + 1
+    with pytest.raises(ValueError, match="earliest"):
+        st.reset_offsets("c", "t", to="yesterday")
+
+    # after retention, earliest clamps at the floor, not 0
+    st.truncate("t", before_seq=5)
+    floors = st._bucket_floors("t")
+    offs = st.reset_offsets("c", "t", to="earliest")
+    assert offs == {b: floors.get(b, 0) for b in range(2)}
+
+
+def test_sticky_split_properties_randomized():
+    """Property check over random membership walks: every split covers
+    all buckets disjointly, sizes differ by at most one, and movement
+    is MINIMAL — a surviving member keeps min(|prev|, target) of its
+    previous buckets (it only ever sheds excess)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hyp
+
+    from ripple_server_spark.sources.topics import TopicStore
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_buckets=hyp.integers(min_value=1, max_value=48),
+        walk=hyp.lists(
+            hyp.integers(min_value=1, max_value=9), min_size=1, max_size=6
+        ),
+    )
+    def check(n_buckets, walk):
+        prev: dict[str, list[int]] = {}
+        for n_members in walk:
+            out = TopicStore._sticky_split(n_buckets, "g", n_members, prev)
+            flat = sorted(b for bs in out.values() for b in bs)
+            assert flat == list(range(n_buckets))  # exhaustive + disjoint
+            sizes = [len(bs) for bs in out.values()]
+            assert max(sizes) - min(sizes) <= 1  # balanced
+            base, extra = divmod(n_buckets, n_members)
+            for k, (m, bs) in enumerate(sorted(out.items())):
+                target = base + (1 if k < extra else 0)
+                kept = len(set(bs) & set(prev.get(m, [])))
+                assert kept == min(len(prev.get(m, [])), target)  # minimal movement
+            # determinism: same inputs -> same split
+            assert TopicStore._sticky_split(n_buckets, "g", n_members, prev) == out
+            prev = out
+
+    check()
