@@ -120,6 +120,7 @@ class TopicMaintenance:
     key_col: str = "user_id"
     tombstone_col: str | None = None
     tombstone_retention_ms: int = 0
+    compaction_order_by: str | None = None
     key_compaction_interval_s: float = 300.0
     min_dirty_ratio: float = 0.5
     vacuum_grace_s: float = DEFAULT_VACUUM_GRACE_S
@@ -195,6 +196,7 @@ class TopicMaintenance:
                         key_col=self.key_col,
                         tombstone_col=self.tombstone_col,
                         tombstone_retention_ms=self.tombstone_retention_ms,
+                        order_by=self.compaction_order_by,
                     )
                 self._last_key_compaction = now
                 v, m = self.store.latest_manifest(self.topic)
@@ -258,8 +260,8 @@ def maintenance_from_config(
     hand-wires). Recognized keys — ``cleanup.policy``,
     ``retention.ms``, ``retention.seqs``, ``key.column``,
     ``tombstone.column``, ``delete.retention.ms``,
-    ``min.cleanable.dirty.ratio`` — map onto the corresponding
-    constructor fields; explicit ``overrides`` win. The config is SNAPSHOT at
+    ``min.cleanable.dirty.ratio``, ``compaction.order.by`` — map onto
+    the corresponding constructor fields; explicit ``overrides`` win. The config is SNAPSHOT at
     construction: re-run the factory after ``alter_topic_config`` to
     pick up a policy change (documented difference from Kafka's
     dynamic re-read — a loop restart is one stop()/start())."""
@@ -279,5 +281,7 @@ def maintenance_from_config(
         kw["tombstone_retention_ms"] = int(cfg["delete.retention.ms"])
     if "min.cleanable.dirty.ratio" in cfg:
         kw["min_dirty_ratio"] = float(cfg["min.cleanable.dirty.ratio"])
+    if "compaction.order.by" in cfg:
+        kw["compaction_order_by"] = str(cfg["compaction.order.by"])
     kw.update(overrides)
     return TopicMaintenance(store, topic, **kw)

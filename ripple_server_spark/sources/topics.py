@@ -372,6 +372,7 @@ class TopicStore:
     #   tombstone.column      null-means-delete value column
     #   delete.retention.ms   tombstone retention window (Kafka parity)
     #   min.cleanable.dirty.ratio  cleaner gate (Kafka parity, def 0.5)
+    #   compaction.order.by   event-time column for order_by compaction
     _KNOWN_CONFIG = (
         "cleanup.policy",
         "retention.ms",
@@ -380,6 +381,7 @@ class TopicStore:
         "tombstone.column",
         "delete.retention.ms",
         "min.cleanable.dirty.ratio",
+        "compaction.order.by",
     )
 
     def create_topic(

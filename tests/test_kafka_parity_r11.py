@@ -651,3 +651,96 @@ def test_sticky_split_properties_randomized():
             prev = out
 
     check()
+
+
+def test_compaction_order_by_flows_from_topic_config(spark, tmp_path):
+    from ripple_server_spark.sources.maintenance import maintenance_from_config
+
+    st = TopicStore(spark, str(tmp_path / "obcfg"))
+    st.create_topic(
+        "t",
+        n_buckets=2,
+        config={"cleanup.policy": "compact", "compaction.order.by": "ts"},
+    )
+    m = maintenance_from_config(
+        st, "t", key_compaction_interval_s=0.0, vacuum_grace_s=3600.0
+    )
+    assert m.compaction_order_by == "ts"
+    # the configured cleaner collapses the expand_buckets cross-bucket
+    # pair that per-(bucket, key) compaction cannot
+    w0 = spark.range(1).select(
+        F.lit(1).alias("event_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(5).alias("user_id"),
+        F.lit("old").alias("value"),
+    )
+    st.produce(w0, "t")
+    st.expand_buckets("t", 3)
+    st.produce(
+        w0.select(
+            F.lit(2).alias("event_id"),
+            F.lit("2026-01-02 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(5).alias("user_id"),
+            F.lit("new").alias("value"),
+        ),
+        "t",
+    )
+    s = m.run_once()
+    assert s.error is None and s.key_dropped == 1
+    live = st.read_topic("t").collect()
+    assert len(live) == 1 and live[0]["value"] == "new"
+
+
+def test_exactly_once_read_process_write_recipe(spark, tmp_path):
+    """The Kafka-transactions shape (consume -> transform -> produce +
+    offset commit, exactly-once end to end) composed from this store's
+    primitives: an idempotent produce keyed by the SOURCE cursor range
+    + an offset commit AFTER the produce. Every crash point replays
+    safely — before the produce (nothing happened), between produce
+    and commit (the replayed produce no-ops on its batch_id, then the
+    commit lands), after the commit (the cursor has moved; nothing
+    replays). The destination never sees a duplicate or a gap."""
+    st = TopicStore(spark, str(tmp_path / "rpw"))
+    st.create_topic("src", n_buckets=2)
+    st.create_topic("dst", n_buckets=2)
+    st.produce(_wave(spark, 0), "src")
+    st.register_consumer("etl", "src")
+
+    def process_once(crash_before_commit: bool) -> int:
+        """One read-process-write unit over bucket 0."""
+        offset = st.committed_offsets("etl", "src").get(0, 0)
+        batch, nxt = st.consume("etl", "src", bucket=0, count=1000)
+        if nxt == offset:
+            return 0
+        out = batch.withColumn("wave", F.col("wave") + 100)
+        # batch_id derived from the source cursor RANGE: a replay of
+        # the same range is the same transaction
+        n = st.produce(out, "dst", batch_id=f"etl:src:0:{offset}:{nxt}")
+        if crash_before_commit:
+            raise RuntimeError("simulated crash after produce, before commit")
+        st.commit("etl", "src", 0, nxt)
+        return n
+
+    # normal run delivers the bucket once
+    n1 = process_once(crash_before_commit=False)
+    assert n1 > 0
+    assert st.read_topic("dst").count() == n1
+
+    # new source rows; the unit crashes between produce and commit
+    st.produce(_wave(spark, 1), "src")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        process_once(crash_before_commit=True)
+    produced_mid = st.read_topic("dst").count()
+    assert produced_mid > n1  # the produce DID land before the crash
+
+    # the replay re-runs the same range: produce no-ops (same batch_id),
+    # the commit finally lands, and nothing is duplicated
+    n2 = process_once(crash_before_commit=False)
+    assert n2 == 0  # idempotent replay
+    assert st.read_topic("dst").count() == produced_mid
+
+    # a further run with no new data is a clean no-op
+    assert process_once(crash_before_commit=False) == 0
+    # end state: dst holds exactly one transformed copy of bucket 0
+    src_b0 = st.read_topic("src").filter(F.col("bucket") == 0).count()
+    assert st.read_topic("dst").count() == src_b0
