@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from collections.abc import Iterator
 
@@ -221,10 +222,37 @@ def _commit_manifest(root: str, topic: str, base_version: int, apply) -> dict:
     raise RuntimeError(f"manifest commit contention on topic {topic!r}")
 
 
+_TOPIC_NAME_RE = re.compile(r"^[A-Za-z0-9._-]{1,249}$")
+
+
+def validate_topic_name(topic: str) -> None:
+    """Reject topic names that would break the storage layout (shared
+    by TopicStore.create_topic and the sink's auto-create). Kafka's
+    character set and length cap ([A-Za-z0-9._-], <= 249), no bare
+    ``.``/``..`` (path traversal through topic_dir), and no ``--`` —
+    that token is the consumer-offsets filename separator
+    (``<consumer>--<topic>.json``), and a topic name containing it
+    would make delete_topic's suffix match ambiguous against another
+    topic's offsets (review r11)."""
+    if topic in (".", ".."):
+        raise ValueError(f"invalid topic name {topic!r}")
+    if not _TOPIC_NAME_RE.fullmatch(topic):
+        raise ValueError(
+            f"invalid topic name {topic!r}: use 1-249 chars from "
+            "[A-Za-z0-9._-]"
+        )
+    if "--" in topic:
+        raise ValueError(
+            f"invalid topic name {topic!r}: '--' is reserved as the "
+            "offsets-file separator"
+        )
+
+
 def _ensure_topic(root: str, topic: str, n_buckets: int) -> None:
     """Race-safe auto-create (opt-in): O_EXCL on manifest version 1 —
     concurrent tasks all attempt it, exactly one wins, the rest proceed
     onto the committed log (TopicStore.create_topic's contract)."""
+    validate_topic_name(topic)
     log = os.path.join(root, "topics", topic, "_log")
     os.makedirs(os.path.join(root, "topics", topic, "data"), exist_ok=True)
     os.makedirs(log, exist_ok=True)

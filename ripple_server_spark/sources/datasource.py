@@ -342,12 +342,15 @@ def _initial_cursors(root: str, topic: str, start_at: str) -> dict[str, int]:
             return {}
         with open(path) as f:
             doc = json.load(f)
-        # r11+ offsets documents wrap the map (generation-stamped
-        # fenced commits, topics._read_offsets_doc); legacy files ARE
-        # the map
-        if "offsets" in doc and isinstance(doc.get("offsets"), dict):
-            doc = doc["offsets"]
-        return {str(b): int(v) for b, v in doc.items()}
+        # one shared normalizer for wrapped (r11+, generation-stamped)
+        # and legacy flat offsets documents — lazy import keeps this
+        # module's import graph light for executor workers
+        from ripple_server_spark.sources.topics import normalize_offsets_doc
+
+        return {
+            str(b): int(v)
+            for b, v in normalize_offsets_doc(doc)["offsets"].items()
+        }
     return {}
 
 

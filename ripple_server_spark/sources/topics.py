@@ -48,6 +48,21 @@ from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
 from ripple_server_spark.operators.relational import bucket_of
 
 
+def normalize_offsets_doc(doc: dict) -> dict:
+    """One normalizer for BOTH offsets-file formats — the r11+ wrapped
+    document ``{"offsets": {b: o}, "generations": {b: g}}`` and the
+    legacy flat ``{b: o}`` map — shared by every reader (TopicStore
+    and the ``ripple_topic`` source's ``start_at=consumer:`` cursor
+    load), so a future format change cannot silently diverge between
+    the batch and streaming paths (review r11)."""
+    if "offsets" in doc and isinstance(doc.get("offsets"), dict):
+        return {
+            "offsets": dict(doc["offsets"]),
+            "generations": dict(doc.get("generations", {})),
+        }
+    return {"offsets": dict(doc), "generations": {}}
+
+
 class StaleGenerationError(RuntimeError):
     """A group-scoped commit was fenced: the member's generation is
     older than the group's current epoch, or the bucket is outside the
@@ -390,6 +405,9 @@ class TopicStore:
         n_buckets: int = N_BUCKETS,
         config: dict | None = None,
     ) -> None:
+        from ripple_server_spark.sources.datasink import validate_topic_name
+
+        validate_topic_name(topic)
         os.makedirs(self.data_dir(topic), exist_ok=True)
         os.makedirs(self._log_dir(topic), exist_ok=True)
         if not os.listdir(self._log_dir(topic)):
@@ -562,7 +580,13 @@ class TopicStore:
         Snapshot-pinned READERS that already resolved a manifest lose
         their files mid-scan (FileNotFound at task level) — quiesce
         consumers first, same operational rule as Kafka's delete.
-        Raises FileNotFoundError for an unknown topic."""
+        Raises FileNotFoundError for an unknown topic.
+
+        The offsets sweep matches on the ``--{topic}.json`` suffix,
+        which is unambiguous because ``validate_topic_name`` (enforced
+        at every create path) rejects ``--`` in topic names — a
+        consumer id may contain ``--``, but the TOPIC side of the
+        separator cannot (review r11)."""
         tdir = self.topic_dir(topic)
         if not os.path.isdir(tdir):
             raise FileNotFoundError(f"topic {topic!r} does not exist")
@@ -1293,18 +1317,32 @@ class TopicStore:
                 # otherwise the dirty-ratio gate would send the cleaner
                 # back over the same bytes every interval.
                 shutil.rmtree(staging, ignore_errors=True)
-                if retained_tombstones == 0 and not compacted_input <= set(
-                    base.get("cleaned_files", [])
-                ):
+                if retained_tombstones == 0:
+                    if not compacted_input <= set(base.get("cleaned_files", [])):
 
-                    def apply_clean(m: dict, inp=compacted_input) -> dict:
-                        live = set(m["files"])
-                        m["cleaned_files"] = sorted(
-                            (set(m.get("cleaned_files", [])) | inp) & live
-                        )
+                        def apply_clean(m: dict, inp=compacted_input) -> dict:
+                            live = set(m["files"])
+                            m["cleaned_files"] = sorted(
+                                (set(m.get("cleaned_files", [])) | inp) & live
+                            )
+                            return m
+
+                        self._commit(topic, base_v, apply_clean)
+                elif base.get("cleaned_files"):
+                    # a no-drop pass that RETAINED tombstones must not
+                    # leave a mostly-clean checkpoint standing: a lone
+                    # within-window marker (e.g. a delete of an
+                    # already-compacted-away key) would keep the dirty
+                    # ratio near zero and the gate would starve the
+                    # post-window second pass forever. Clearing the
+                    # checkpoint keeps the cleaner returning each
+                    # interval until the window passes (review r11).
+
+                    def apply_unclean(m: dict) -> dict:
+                        m["cleaned_files"] = []
                         return m
 
-                    self._commit(topic, base_v, apply_clean)
+                    self._commit(topic, base_v, apply_unclean)
                 return 0
             new_files = self._move_staged(topic, staging)
 
@@ -1457,12 +1495,7 @@ class TopicStore:
             return {"offsets": {}, "generations": {}}
         with open(path) as f:
             doc = json.load(f)
-        if "offsets" in doc and isinstance(doc.get("offsets"), dict):
-            return {
-                "offsets": dict(doc["offsets"]),
-                "generations": dict(doc.get("generations", {})),
-            }
-        return {"offsets": dict(doc), "generations": {}}
+        return normalize_offsets_doc(doc)
 
     def committed_offsets(self, consumer_id: str, topic: str) -> dict[int, int]:
         return {
@@ -1825,8 +1858,28 @@ class TopicStore:
                 self._commit(topic, v, apply)
                 out = result["assignment"]
             except _AlreadyCurrent:
-                # adopt the winner's committed state
-                won = self.latest_manifest(topic)[1]["groups"][group_id]
+                # adopt the winner's committed state — but only if the
+                # winner actually matches this member's request; a
+                # CONCURRENT reconfiguration (different strategy or
+                # member count landing between our apply and this
+                # re-read) means the group moved on and this member
+                # must re-join, not crash on a missing key (review r11)
+                won = (
+                    self.latest_manifest(topic)[1]
+                    .get("groups", {})
+                    .get(group_id)
+                )
+                if (
+                    won is None
+                    or int(won["n_members"]) != n_members
+                    or won.get("strategy", "range") != strategy
+                    or (strategy == "sticky" and not won.get("assignment"))
+                ):
+                    raise StaleGenerationError(
+                        f"group {group_id!r} on topic {topic!r} was "
+                        "reconfigured concurrently (strategy or member "
+                        "count changed) — re-run assign_buckets"
+                    ) from None
                 out = (
                     self._range_split(n_buckets, group_id, n_members)
                     if strategy == "range"
@@ -1847,37 +1900,66 @@ class TopicStore:
         consumer_id: str,
         bucket: int,
     ) -> None:
+        """Single-bucket form of :meth:`_fence_group_commit_many`."""
+        self._fence_group_commit_many(
+            topic, group_id, generation, consumer_id, [bucket]
+        )
+
+    def _fence_group_commit_many(
+        self,
+        topic: str,
+        group_id: str,
+        generation: int | None,
+        consumer_id: str,
+        buckets,
+    ) -> None:
         """Reject a group-scoped commit from a stale generation or for
-        a bucket the member does not own under the CURRENT assignment
-        (Kafka ILLEGAL_GENERATION / fenced-member errors)."""
-        entry = self.group_state(topic, group_id)
-        if entry is None:
-            raise StaleGenerationError(
-                f"group {group_id!r} has no recorded assignment on topic "
-                f"{topic!r} — call assign_buckets first"
-            )
+        any bucket the member does not own under the CURRENT assignment
+        (Kafka ILLEGAL_GENERATION / fenced-member errors). Every bucket
+        is validated against ONE manifest snapshot — one read per fence
+        phase instead of several per bucket, and no window where a
+        rebalance lands between two buckets of the same "atomic" set
+        and they get fenced against different generations (review
+        r11)."""
         if generation is None:
             raise ValueError(
                 "group-scoped commit requires generation= (fetch it with "
                 "group_state); omit group_id for ungated independent-"
                 "consumer commits"
             )
-        if int(generation) != entry["generation"]:
+        m = self.latest_manifest(topic)[1]
+        entry = m.get("groups", {}).get(group_id)
+        if entry is None:
+            raise StaleGenerationError(
+                f"group {group_id!r} has no recorded assignment on topic "
+                f"{topic!r} — call assign_buckets first"
+            )
+        cur_gen = int(entry["generation"])
+        if int(generation) != cur_gen:
             raise StaleGenerationError(
                 f"commit by {consumer_id!r} carries generation "
                 f"{int(generation)}, but group {group_id!r} on topic "
-                f"{topic!r} is at generation {entry['generation']} — the "
+                f"{topic!r} is at generation {cur_gen} — the "
                 "group rebalanced; this member must re-join (re-run "
                 "assign_buckets) before committing"
             )
-        n_buckets = int(self.topic_meta(topic)["n_buckets"])
-        owned = self._group_assignment(topic, group_id, n_buckets).get(consumer_id)
-        if owned is None or bucket not in owned:
-            raise StaleGenerationError(
-                f"member {consumer_id!r} does not own bucket {bucket} of "
-                f"topic {topic!r} under generation {entry['generation']} "
-                f"(owned: {owned}) — stale assignment"
+        stored = entry.get("assignment")
+        if stored:
+            assignment = {
+                mem: sorted(int(b) for b in bs) for mem, bs in stored.items()
+            }
+        else:
+            assignment = self._range_split(
+                int(m["n_buckets"]), group_id, int(entry["n_members"])
             )
+        owned = assignment.get(consumer_id)
+        for bucket in buckets:
+            if owned is None or bucket not in owned:
+                raise StaleGenerationError(
+                    f"member {consumer_id!r} does not own bucket {bucket} of "
+                    f"topic {topic!r} under generation {cur_gen} "
+                    f"(owned: {owned}) — stale assignment"
+                )
 
     def describe_group(self, topic: str, group_id: str) -> dict:
         """Kafka ``kafka-consumer-groups --describe`` analog: the
@@ -2017,8 +2099,9 @@ class TopicStore:
         fenced commit by a live member rewrites the file. Crash-free
         executions are race-free."""
         if group_id is not None:
-            for b in offsets:
-                self._fence_group_commit(topic, group_id, generation, consumer_id, b)
+            self._fence_group_commit_many(
+                topic, group_id, generation, consumer_id, list(offsets)
+            )
         doc = self._read_offsets_doc(consumer_id, topic)
         prior = {
             "offsets": dict(doc["offsets"]),
@@ -2032,10 +2115,9 @@ class TopicStore:
         self._write_json(path, doc)
         if group_id is not None:
             try:
-                for b in offsets:
-                    self._fence_group_commit(
-                        topic, group_id, generation, consumer_id, b
-                    )
+                self._fence_group_commit_many(
+                    topic, group_id, generation, consumer_id, list(offsets)
+                )
             except StaleGenerationError:
                 self._write_json(path, prior)  # roll the whole set back
                 raise

@@ -93,16 +93,19 @@ def check_fingerprints(sf_dir: str, fps: dict[str, tuple[int, str]]) -> list[str
 
 
 def load_bench(path: str) -> dict[str, float]:
-    """Read per-query timings from any bench-output format, oldest to
-    newest: bench.py's bare one-line JSON; the driver wrapper whose
-    "tail" holds a complete metric line; the repo-committed
-    BENCH_LOCAL_r<N>.json sibling (written by bench.py since r11, after
-    the r10 inline-adjudication line outgrew the driver's 2000-char
-    tail window and truncated its own head); and, last resort, a
+    """Read per-query timings from any bench-output format, in
+    same-run-evidence-first order: bench.py's bare one-line JSON; the
+    driver wrapper whose "tail" holds a complete metric line; a
     partial parse of a truncated tail — per-query
     {"driver","idle1","idle2"} adjudication entries recovered as their
-    min (the headline semantics). The partial path is what keeps
-    BENCH_r10.json gateable: 28 of its 35 rows survive in the tail."""
+    min (the headline semantics; this keeps BENCH_r10.json gateable at
+    28/35 rows); and only then the repo-committed BENCH_LOCAL_r<N>.json
+    sibling (written by bench.py since r11). The local artifact is
+    deliberately LAST: bench.py names it max(recorded round)+1, so a
+    manual bench run after the driver records round N pre-creates a
+    round-N+1 file holding round-N-era timings — anything recovered
+    from the wrapper's own tail is from the run the driver actually
+    captured, while the sibling only might be (review r11)."""
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
@@ -111,10 +114,6 @@ def load_bench(path: str) -> dict[str, float]:
     m = re.search(r'\{"metric".*\}', tail)
     if m:
         return json.loads(m.group(0))["queries"]
-    local = re.sub(r"BENCH_r(\d+)\.json$", r"BENCH_LOCAL_r\1.json", path)
-    if local != path and os.path.isfile(local):
-        with open(local) as fh:
-            return json.load(fh)["queries"]
     partial = {
         name: min(float(a), float(b), float(c))
         for name, a, b, c in re.findall(
@@ -124,6 +123,10 @@ def load_bench(path: str) -> dict[str, float]:
     }
     if partial:
         return partial
+    local = re.sub(r"BENCH_r(\d+)\.json$", r"BENCH_LOCAL_r\1.json", path)
+    if local != path and os.path.isfile(local):
+        with open(local) as fh:
+            return json.load(fh)["queries"]
     raise ValueError(f"{path}: no bench metric line found")
 
 

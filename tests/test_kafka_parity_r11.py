@@ -744,3 +744,109 @@ def test_exactly_once_read_process_write_recipe(spark, tmp_path):
     # end state: dst holds exactly one transformed copy of bucket 0
     src_b0 = st.read_topic("src").filter(F.col("bucket") == 0).count()
     assert st.read_topic("dst").count() == src_b0
+
+
+# -- review r11 regressions ---------------------------------------------------
+
+
+def test_topic_name_validation_guards_layout(spark, tmp_path):
+    """'--' is the offsets-file separator and topic dirs are paths:
+    names that would break either are rejected at every create path."""
+    st = TopicStore(spark, str(tmp_path / "names"))
+    for bad in ("a--b", "", "..", "a/b", "a b", "x" * 250):
+        with pytest.raises(ValueError, match="invalid topic name"):
+            st.create_topic(bad)
+    # consumer ids MAY contain '--': the suffix match still splits
+    # unambiguously because the topic side cannot
+    st.create_topic("b", n_buckets=2)
+    st.register_consumer("c--x", "b")
+    st.commit("c--x", "b", 0, 5)
+    st.create_topic("keep.b", n_buckets=2)
+    st.register_consumer("c--x", "keep.b")
+    st.commit("c--x", "keep.b", 0, 7)
+    st.delete_topic("b")
+    assert st.committed_offsets("c--x", "keep.b") == {0: 7}
+
+
+def test_lone_tombstone_cannot_starve_the_cleaner_gate(spark, tmp_path):
+    """Review r11: a no-drop pass that RETAINS a within-window marker
+    (e.g. a delete of an already-compacted-away key) must clear the
+    cleaner checkpoint, or the dirty-ratio gate would never send the
+    post-window second pass back to remove the marker."""
+    st = TopicStore(spark, str(tmp_path / "starve"))
+    st.create_topic("t", n_buckets=2)
+    st.produce(_wave(spark, 0), "t")
+    st.compact_by_key("t", key_col="user_id", tombstone_col="value")
+    assert st.key_compaction_dirty_ratio("t") == 0.0  # clean head
+
+    # a tombstone for a key with NO surviving prior row, event time now
+    lone = spark.range(1).select(
+        F.lit(9999).cast("bigint").alias("event_id"),
+        F.timestamp_seconds(F.lit(int(time.time()))).alias("ts"),
+        F.lit(999).cast("bigint").alias("user_id"),
+        F.lit(0).alias("wave"),
+        F.lit(None).cast("string").alias("value"),
+    )
+    st.produce(lone, "t")
+
+    day_ms = 86_400_000
+    assert (
+        st.compact_by_key(
+            "t", key_col="user_id", tombstone_col="value",
+            tombstone_retention_ms=day_ms,
+        )
+        == 0
+    )  # nothing superseded; marker retained
+    # the checkpoint is CLEARED, not left covering the clean bulk —
+    # the gate keeps routing the cleaner back each interval
+    assert st.key_compaction_dirty_ratio("t") == 1.0
+
+    # window expired: the pass removes the marker and re-checkpoints
+    assert (
+        st.compact_by_key(
+            "t", key_col="user_id", tombstone_col="value",
+            tombstone_retention_ms=1,
+        )
+        == 1
+    )
+    assert st.key_compaction_dirty_ratio("t") == 0.0
+    assert st.read_topic("t").filter(F.col("user_id") == 999).count() == 0
+
+
+def test_assign_buckets_adoption_rejects_concurrent_reconfig(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11: the _AlreadyCurrent adoption path must raise a
+    group-coordination error, not KeyError, when the group was
+    reconfigured between the failed commit and the adoption re-read."""
+    import copy
+
+    st = TopicStore(spark, str(tmp_path / "adopt"))
+    st.create_topic("t", n_buckets=4)
+    st.produce(_wave(spark, 0), "t")
+    st.assign_buckets("t", "g", 2, strategy="sticky")
+
+    real_v, real_m = st.latest_manifest("t")
+    # 1st canned read: incomplete assignment -> forces the commit path;
+    # apply then sees the REAL (complete, identical) entry and raises
+    # _AlreadyCurrent; 2nd canned read: the group switched to range
+    # concurrently -> adoption must reject, not KeyError
+    first = copy.deepcopy(real_m)
+    first["groups"]["g"]["assignment"] = {"g-0": [0], "g-1": [1]}
+    second = copy.deepcopy(real_m)
+    second["groups"]["g"] = {
+        "generation": real_m["groups"]["g"]["generation"] + 1,
+        "n_members": 2,
+        "strategy": "range",
+    }
+    canned = [(real_v, first), (real_v + 1, second)]
+    orig = st.latest_manifest
+
+    def fake_latest(topic):
+        if topic == "t" and canned:
+            return canned.pop(0)
+        return orig(topic)
+
+    monkeypatch.setattr(st, "latest_manifest", fake_latest)
+    with pytest.raises(StaleGenerationError, match="reconfigured concurrently"):
+        st.assign_buckets("t", "g", 2, strategy="sticky")
