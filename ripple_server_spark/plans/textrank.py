@@ -13,7 +13,7 @@ distributed similarity search / large-scale text analysis on Spark).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ripple_server_spark.catalog import load_table
@@ -187,4 +187,135 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("label").cast("bigint").alias("label"), "pos")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
+
+
+@query(
+    "q_kmeans_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    seeds AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    c0 AS (
+      SELECT s.c, v.pos, v.x AS cx FROM seeds s JOIN v USING (vec_id)
+    ),
+    d1 AS (
+      SELECT v.vec_id, c0.c, sum((v.x - c0.cx) * (v.x - c0.cx)) AS d
+      FROM v JOIN c0 USING (pos) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.c, v.pos,
+             CAST(floor(CAST(sum(v.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT v.vec_id, c1.c, sum((v.x - c1.cx) * (v.x - c1.cx)) AS d
+      FROM v JOIN c1 USING (pos) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, c, d FROM (
+        SELECT vec_id, c, d, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2) WHERE rn = 1
+    )
+    SELECT CAST(c AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d) AS BIGINT) AS inertia
+    FROM a2 GROUP BY 1
+    """,
+    tags=("vectors", "clustering", "iterative", "agg"),
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (k=8, 2 iterations) —
+    the canonical clustering step behind SemDeDup-style semantic
+    dedup, corpus domain discovery, and IVF coarse quantizers; the
+    iterative sibling of the single-pass q_embedding_centroids
+    (reference analog: none — the reference has no vector ops; this is
+    mandated-extension territory like the ANN family).
+
+    EXACTNESS BY INTEGER QUANTIZATION: float k-means is not
+    reproducible across engines (summation order flips near-tie
+    assignments), so vectors are quantized once to a 1e-3 grid
+    (floor(x*1000+0.5) as bigint — the repo's shared half-up contract)
+    and every distance, argmin, and centroid update is then EXACT
+    64-bit integer arithmetic, identical in Spark and DuckDB under any
+    summation order (centroid elements are floor(mean); magnitudes
+    bounded: |x| <= ~1e5 per element keeps a 64-term squared distance
+    <= ~3e12 and corpus inertia far from int64). Seeds are the 8
+    vectors with the smallest md5(vec_id) (deterministic, uniform);
+    near-tie assignments break toward the lower cluster id, so
+    degenerate inputs (all-identical vectors) stay stable.
+
+    Scale shape: vectors explode to (vec_id, pos, x) once; each Lloyd
+    step is {assignment: join against a BROADCAST centroid table (k x
+    64 = 512 rows) + one map-side-combined (vec_id, c) partial-sum
+    shuffle + min_by per vec_id; update: one (c, pos) partial-sum
+    shuffle}. Cost per iteration is O(n x k) rows through codegen
+    joins — no UDFs, no driver loops, no collect; seed selection is
+    TakeOrderedAndProject (top-8 by hash), never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    seeds = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(8)
+    )
+    w8 = Window.orderBy("h", "vec_id")  # 8 rows: single-partition is fine
+    seeds = seeds.select(
+        "vec_id", (F.row_number().over(w8) - 1).alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            v.join(F.broadcast(centroids), on="pos")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("d")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min_by(F.struct("c", "d"), F.struct("d", "c")).alias("a")
+        ).select("vec_id", F.col("a.c").alias("c"), F.col("a.d").alias("d"))
+
+    c0 = seeds.join(v, on="vec_id").select("c", "pos", F.col("x").alias("cx"))
+    a1 = assign(c0).drop("d")
+    c1 = (
+        a1.join(v, on="vec_id")
+        .groupBy("c", "pos")
+        .agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("cx")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy(F.col("c").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("d").cast("bigint").alias("inertia"),
     )
