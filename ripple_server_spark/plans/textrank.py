@@ -195,7 +195,8 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+             CAST(floor(least(greatest(CAST(embedding[i] AS DOUBLE),
+                                       -100.0), 100.0) * 1000 + 0.5)
                   AS BIGINT) AS x
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
     ),
@@ -249,16 +250,18 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EXACTNESS BY INTEGER QUANTIZATION: float k-means is not
     reproducible across engines (summation order flips near-tie
-    assignments), so vectors are quantized once to a 1e-3 grid
-    (floor(x*1000+0.5) as bigint — the repo's shared half-up contract)
-    and every distance, argmin, and centroid update is then EXACT
-    64-bit integer arithmetic, identical in Spark and DuckDB under any
-    summation order (centroid elements are floor(mean); magnitudes
-    bounded: |x| <= ~1e5 per element keeps a 64-term squared distance
-    <= ~3e12 and corpus inertia far from int64). Seeds are the 8
-    vectors with the smallest md5(vec_id) (deterministic, uniform);
-    near-tie assignments break toward the lower cluster id, so
-    degenerate inputs (all-identical vectors) stay stable.
+    assignments), so vectors are clamped to [-100, 100] and quantized
+    once to a 1e-3 grid (floor(x*1000+0.5) as bigint — the repo's
+    shared half-up contract); every distance, argmin, and centroid
+    update is then EXACT 64-bit integer arithmetic, identical in Spark
+    and DuckDB under any summation order (centroid elements are
+    floor(mean); the clamp bounds |x| <= 1e5 per element, keeping a
+    64-term squared distance <= ~3e12 and corpus inertia far from
+    int64 on ANY input — unbounded extremes would overflow the
+    distance multiply). Seeds are the 8 vectors with the smallest
+    md5(vec_id) (deterministic, uniform); near-tie assignments break
+    toward the lower cluster id, so degenerate inputs (all-identical
+    vectors) stay stable.
 
     Scale shape: vectors explode to (vec_id, pos, x) once; each Lloyd
     step is {assignment: join against a BROADCAST centroid table (k x
@@ -273,7 +276,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "pos",
-        F.floor(F.col("val").cast("double") * 1000 + F.lit(0.5))
+        # clamp BEFORE quantizing: unbounded inputs would overflow the
+        # int64 distance math (and the cast itself under ANSI); the
+        # [-100, 100] window keeps a 64-term squared distance <= ~3e12
+        # and corpus inertia far from int64 at any SF, and both engines
+        # agree on least/greatest extremum semantics
+        F.floor(
+            F.least(
+                F.greatest(F.col("val").cast("double"), F.lit(-100.0)),
+                F.lit(100.0),
+            )
+            * 1000
+            + F.lit(0.5)
+        )
         .cast("bigint")
         .alias("x"),
     )
