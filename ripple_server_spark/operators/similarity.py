@@ -191,6 +191,18 @@ def ann_recall_audit(
     ``queries`` must be one row per q_id; n_queries comes from it (not
     from the result) so queries with zero returns still count.
     """
+    # The audit references ``result`` from three branches (per-query
+    # return counts, threshold hits, sim agreement) and ``exact`` from
+    # two — each an independent subtree of ONE final plan, so without a
+    # persist the full ANN kernel pass over the corpus re-executes per
+    # branch (3x) and the exact brute-force pass 2x (guide §5: persist
+    # only when reuse beats recompute — both inputs are Q x k rows, a
+    # few hundred, while recompute is a full corpus scan through a
+    # Python kernel). One-shot callers let the ContextCleaner reclaim
+    # the handful of cached rows with the plan, same contract as
+    # minhash_lsh_dedup's fan-out persists.
+    result = result.persist()
+    exact = exact.persist()
     nc = emb.agg(F.count("*").alias("nc"))
     expected_k = F.greatest(F.least(F.lit(k), F.col("nc") - 1), F.lit(0))
     per_q = queries.select("q_id").join(

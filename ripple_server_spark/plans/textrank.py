@@ -59,40 +59,59 @@ _K1, _B = 1.2, 0.75
     bench=True,
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for the query {vector, stream, window}. Scale shape:
-    tf is the only corpus-sized shuffle (and it's pre-filtered to query
-    terms AT THE TOKENIZER, so only matching postings shuffle); df and
-    the corpus stats are broadcast scalars; top-20 is TakeOrdered.
-    This is the batch-retrieval kernel a training pipeline uses for
-    corpus curation queries."""
+    """BM25 top-20 for the query {vector, stream, window}. Scale shape
+    (round 12, guide §2.3/§2.4): the query-term set is FIXED and tiny,
+    so per-doc term frequencies are array expressions over one split()
+    — no token explode, no (doc, term) shuffle at all. ONE narrow
+    per-doc row (len + one tf per query term) feeds a single partial
+    aggregate that yields every corpus statistic (n_docs, avgdl, and
+    each term's df) in one 1-row frame, broadcast back; the score is a
+    fixed-order sum of the per-term contributions and top-20 is
+    TakeOrdered. Zero corpus-sized shuffles (the old shape shuffled
+    matching postings; plan diff: 2 HashAggregate exchanges + 2 joins
+    removed). The per-doc pass is persisted at the stats/score fan-out
+    so the corpus text is read once."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    # text IS NOT NULL mirrors the explode path (split(NULL) explodes
+    # to no rows, so null-text docs never counted toward n_docs/avgdl)
+    w = F.split("text", " ")
+    per_doc = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(w).alias("len"),
+        *[
+            F.expr(f"size(filter(split(text, ' '), x -> x = '{t}'))").alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).persist()
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("len").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + _K1 * (1.0 - _B + _B * F.col("len") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (_K1 + 1.0) / denom
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("score"))
-    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + _K1 * (1.0 - _B + _B * F.col("len") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (_K1 + 1.0) / denom).otherwise(0.0)
+
+    score = sum(contrib(i) for i in range(len(_BM25_TERMS)))
+    matched = sum(
+        F.col(f"tf{i}") for i in range(len(_BM25_TERMS))
+    )  # docs with NO query term have no tf rows in the oracle: drop them
     return (
-        scored.select("doc_id", F.round("score", 6).alias("score"))
+        per_doc.filter(matched > 0)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
