@@ -316,6 +316,15 @@ def minhash_lsh_dedup(
     on the signature side, but JVM md5 under codegen beats Python
     hashlib, so the expr path is the default on measurement.
     """
+    # Parallelism recovery (same rationale as minhash_band_hashes_from_
+    # docs): a corpus packed into few row groups — the local fixture is
+    # ONE — would run the shingle kernel, the per-shingle md5s, and the
+    # 16-column partial MIN aggregate all on that one task. At real
+    # scale input splits >> cores and this branch never fires.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     sh = shingle_sets(docs).persist()
     band_df = minhash_band_hashes(sh, perms, bands).persist()
     cand = lsh_candidates(band_df, max_bucket_size=max_bucket_size).persist()

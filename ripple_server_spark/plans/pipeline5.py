@@ -204,6 +204,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
+    # parallelism recovery for the single-row-group fixture (the gram
+    # md5 transform otherwise runs on one task); no-op at real scale
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     # stride-1 gram hashes with positions; docs shorter than L emit none
     gram_arr = F.expr(
         f"CASE WHEN size(w) >= {SUBSTR_GRAM} THEN "
@@ -211,21 +216,33 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> md5(array_join(slice(w, i + 1, {SUBSTR_GRAM}), ' '))) "
         f"ELSE array() END"
     )
-    grams = docs.select("doc_id", F.posexplode(gram_arr).alias("pos", "gh"))
+    # Persisted: the gram table feeds the duplicate-hash count AND the
+    # coverage join; without it the per-position md5 pass over the
+    # corpus ran once per branch.
+    grams = docs.select("doc_id", F.posexplode(gram_arr).alias("pos", "gh")).persist()
     dup = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("gh")
     )
+    # Coverage: collect each doc's duplicated gram START positions
+    # (1 row per duplicated gram), then expand to the covered window
+    # [pos, pos+L-1] in ARRAY land — the old shape exploded L rows per
+    # candidate gram before the per-doc aggregate, shuffling 6x the
+    # elements for the same covered set (guide §2.3: shuffle fewer
+    # bytes; the expansion is deterministic from the starts).
     cov = (
         grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
         .select(
             "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {SUBSTR_GRAM - 1})")).alias("p"),
+            F.expr(
+                "sort_array(array_distinct(flatten(transform(starts, "
+                f"p -> sequence(p, p + {SUBSTR_GRAM - 1})))))"
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
     )
     kept = docs.join(cov, "doc_id", "left").select(
         "doc_id",
@@ -544,18 +561,42 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
     benchmark is docs with doc_id < bench_below. Factored out of
     q_bloom_decontaminate so property tests can drive it on arbitrary
     tables (tests/test_property.py cross-checks against a pure-Python
-    Bloom simulation)."""
+    Bloom simulation).
+
+    Round-12 shape (guide §2.3 "shuffle keys/metadata instead of
+    payloads", §2.4): the Bloom filter IS what ships — the set bits are
+    materialized once on the driver (bounded: <= 2^16 positions by
+    geometry, regardless of benchmark or corpus size) as a 64 Ki-char
+    bitmap LITERAL, and per-doc membership becomes a pure map-side
+    array expression: exists(grams, all k md5-slice positions set).
+    The corpus side now has ZERO shuffles and no position fan-out —
+    the old plan exploded corpus grams x k positions (3x row
+    multiplication), broadcast-joined the bits table, and re-grouped
+    by (doc, gram) to count k hits, paying 2 corpus-sized exchanges.
+    The exact arm (the audit) runs only over BLOOM-FLAGGED docs: a
+    Bloom filter has no per-gram false negatives, so exact-contaminated
+    docs are a subset of flagged docs — verification cost follows the
+    flagged fraction, not the corpus.
+    """
+    spark = docs.sparkSession
+    # parallelism recovery for the single-row-group local fixture; at
+    # real scale input splits >> cores and this is a no-op (same
+    # pattern as minhash_band_hashes_from_docs)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
-    # construction, so no distinct shuffle is needed — and ~10x faster
-    # than the HOF-expression form, whose lambda re-splits the text per
-    # element (lambdas block codegen subexpression elimination).
-    # Persisted: the gram table feeds four consumers (bench set, bloom
-    # probe position fan-out, exact arm, probe grouping).
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(shingles_pandas(F.col("text"), 5)).alias("gram"),
+    # construction. Kept as ARRAYS — nothing corpus-sized is ever
+    # exploded. Persisted: feeds the bench set, the corpus flag pass,
+    # and the exact arm.
+    gram_arrs = docs.select(
+        "doc_id", "source", shingles_pandas(F.col("text"), 5).alias("grams")
     ).persist()
+    bench = (
+        gram_arrs.filter(F.col("doc_id") < bench_below)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
 
     def positions(col):
         return F.array(
@@ -565,37 +606,57 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
             ]
         )
 
-    bench = grams.filter(F.col("doc_id") < bench_below).select("gram").distinct()
-    bits = bench.select(
-        F.explode(positions(F.col("gram"))).alias("pos")
-    ).distinct()
-    corpus = grams.filter(F.col("doc_id") >= bench_below)
-    corpus_pos = corpus.select(
-        "doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos")
-    )
-    bloom_docs = (
-        corpus_pos.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("k_hits"))
-        .filter(F.col("k_hits") == len(_BLOOM_K_OFFSETS))
-        .select("doc_id")
+    # Set-bit positions computed IN SPARK (same md5-slice expression the
+    # oracle mirrors), then collected: bounded at 2^16 rows by the
+    # filter geometry — a fail-safe constant, not a tuning knob.
+    set_bits = {
+        r["pos"]
+        for r in bench.select(F.explode(positions(F.col("gram"))).alias("pos"))
         .distinct()
-        .withColumn("bloomed", F.lit(1))
+        .collect()
+    }
+    bitmap = "".join("1" if i in set_bits else "0" for i in range(1 << 16))
+
+    def gram_hits(g):
+        h = F.md5(g)
+
+        def bit(o):
+            pos = F.conv(F.substring(h, o, 4), 16, 10).cast("int")
+            return F.col("_bm").substr(pos + F.lit(1), F.lit(1)) == "1"
+
+        hit = bit(_BLOOM_K_OFFSETS[0])
+        for o in _BLOOM_K_OFFSETS[1:]:
+            hit = hit & bit(o)
+        return hit
+
+    flags = (
+        gram_arrs.filter(F.col("doc_id") >= bench_below)
+        .withColumn("_bm", F.lit(bitmap))
+        .select(
+            "doc_id",
+            "source",
+            F.exists("grams", gram_hits).alias("hit"),
+            "grams",
+        )
+        .persist()
     )
     exact_docs = (
-        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        flags.filter(F.col("hit"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("exact", F.lit(1))
     )
-    base = docs.filter(F.col("doc_id") >= bench_below).select("doc_id", "source")
     return (
-        base.join(F.broadcast(bloom_docs), "doc_id", "left")
+        flags.select(
+            "doc_id", "source", F.col("hit").cast("int").alias("bloomed")
+        )
         .join(F.broadcast(exact_docs), "doc_id", "left")
         .select(
             "doc_id",
             "source",
-            F.coalesce("bloomed", F.lit(0)).alias("bloomed"),
+            "bloomed",
             F.coalesce("exact", F.lit(0)).alias("exact"),
         )
     )

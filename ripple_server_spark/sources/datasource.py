@@ -583,6 +583,69 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         self.topic = _required_opt(options, "topic")
         self.batch_size = int(options.get("batch_size", 10_000))
         self.start_at = _check_start_at(options.get("start_at", "earliest"))
+        # decoded-tail cache for the driver prefetch, see _tail_rows
+        self._tail_cache: dict[int, tuple] = {}
+
+    def _tail_rows(
+        self, version: int | None, bucket: int, files, off: int, max_rows
+    ) -> list[tuple]:
+        """Rows [off, off + max_rows-by-count) of one bucket, from a
+        per-(bucket, manifest-version) DECODED tail cache.
+
+        This tier funnels every row through driver-side prefetch by
+        design (control-plane topics). The fixture files hold one row
+        group per produce, so the seq filter cannot prune inside a
+        trigger: without a cache every trigger re-decoded the whole
+        remaining tail and sliced ``max_rows`` off it — an n-row drain
+        at batch size c decoded O(n^2/c) cells. Caching the
+        seq-sorted Arrow table keyed by manifest version makes it one
+        decode per (bucket, version): a produce/compaction/truncate
+        commits a NEW version, which drops the stale entry, so the
+        cache can never serve rows the live manifest no longer has.
+        Tuple materialization (the other per-trigger cost) only ever
+        runs for the served slice. Memory is bounded by the retained
+        tail of one control-plane topic — the same rows the stream is
+        about to serve anyway — and the entry is freed as soon as the
+        bucket is fully drained (or superseded by a new version).
+        Replay (readBetweenOffsets) keeps scanning files directly.
+        """
+        import bisect
+
+        cached = self._tail_cache.get(bucket)
+        if cached is None or cached[0] != version or off < cached[2]:
+            import pyarrow.dataset as ds
+
+            tbl = (
+                ds.dataset(files, format="parquet")
+                .to_table(filter=ds.field("seq") >= off)
+                .sort_by("seq")
+            )
+            seqs = tbl.column("seq").to_pylist()
+            self._tail_cache[bucket] = cached = (version, tbl, off, seqs)
+        _, tbl, _, seqs = cached
+        lo = bisect.bisect_left(seqs, off)
+        if lo >= len(seqs):
+            self._tail_cache.pop(bucket, None)  # fully drained: free it
+            return []
+        hi = len(seqs) if max_rows is None else min(len(seqs), lo + max_rows)
+        part_tbl = tbl.slice(lo, hi - lo)
+        import datetime as _dt
+
+        import pyarrow as pa
+
+        utc = _dt.timezone.utc
+        cols = []
+        for name in _SCHEMA_FIELD_ORDER:
+            col = part_tbl.column(name)
+            vals = col.to_pylist()
+            if pa.types.is_timestamp(col.type) and col.type.tz is None:
+                vals = [
+                    v.replace(tzinfo=utc) if v is not None else None
+                    for v in vals
+                ]
+            cols.append(vals)
+        cols.append([bucket] * part_tbl.num_rows)
+        return list(zip(*cols))
 
     def initialOffset(self) -> dict:
         # 'latest' reads the manifest's high-water marks (O(1) in topic
@@ -607,8 +670,7 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         version = _latest_version(self.root, self.topic)
         for b, files in _bucket_files(self.root, self.topic, version):
             off = int(cursors.get(str(b), 0))
-            part = BucketPartition(files, b, off, max_rows)
-            got = list(_read_bucket(part))
+            got = self._tail_rows(version, b, files, off, max_rows)
             rows.extend(got)
             # Advance the cursor from the DATA (max served seq + 1),
             # not off + row count: after retention raises a bucket's

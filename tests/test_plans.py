@@ -211,7 +211,11 @@ def test_full_outer_join_pre_aggregated_inputs(spark):
 def test_bm25_topk_takeordered_and_broadcast_stats(spark):
     p = plan(build(spark, "q_text_bm25_topk"))
     assert "TakeOrderedAndProject" in p
-    assert "BroadcastHashJoin" in p
+    # corpus stats (N, avgdl, per-term df) come from ONE aggregate and
+    # attach as a broadcast — the scalar row via a 1-row nested-loop
+    # broadcast, never a shuffled join of the corpus side
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_journey_similarity_no_cartesian(spark):
