@@ -169,6 +169,7 @@ def ann_recall_audit(
     emb: DataFrame,
     k: int,
     min_recall: float = 0.7,
+    nc: DataFrame | None = None,
 ) -> DataFrame:
     """One-row ANN audit summary (n_queries, n_returned, recall_ok) —
     the driver-checkable contract shared by the IVF and PQ queries.
@@ -203,21 +204,33 @@ def ann_recall_audit(
     # minhash_lsh_dedup's fan-out persists.
     result = result.persist()
     exact = exact.persist()
-    nc = emb.agg(F.count("*").alias("nc"))
+    # ``nc``: corpus size as a 1-row frame. Callers that already paid a
+    # corpus pass (the fused pq_topk_with_exact scan) hand in the count
+    # they piggybacked on it; the default stays a count-star aggregate.
+    if nc is None:
+        nc = emb.agg(F.count("*").alias("nc"))
     expected_k = F.greatest(F.least(F.lit(k), F.col("nc") - 1), F.lit(0))
     per_q = queries.select("q_id").join(
         result.groupBy("q_id").agg(F.count("*").alias("n_ret")), "q_id", "left"
     ).select(F.coalesce("n_ret", F.lit(0)).alias("n_ret"))
     thr = exact.groupBy("q_id").agg(F.min("exact_sim").alias("thr"))
-    hits = (
+    # hits and sim-agreement share ONE aggregate (r12, guide §2.4 —
+    # they previously materialized as two independent single-row
+    # branches, i.e. two extra jobs + broadcasts per audit). The inner
+    # thr join preserves result's rows per q_id (thr is unique per
+    # q_id); the LEFT exact join is 1:<=1 (exact is unique per (q_id,
+    # neighbor_id)), so count_if(sim >= thr) equals the old
+    # filter+count, and max(|sim - exact_sim|) over the left join
+    # ignores NULLs exactly as the old inner join dropped those rows.
+    acc = (
         result.join(thr, "q_id")
-        .filter(F.col("sim") >= F.col("thr") - 1e-9)
-        .agg(F.count("*").alias("hits"))
-    )
-    sim_err = result.join(exact, on=["q_id", "neighbor_id"]).agg(
-        F.coalesce(
-            F.max(F.abs(F.col("sim") - F.col("exact_sim"))), F.lit(0.0)
-        ).alias("max_sim_err")
+        .join(exact, on=["q_id", "neighbor_id"], how="left")
+        .agg(
+            F.count_if(F.col("sim") >= F.col("thr") - 1e-9).alias("hits"),
+            F.coalesce(
+                F.max(F.abs(F.col("sim") - F.col("exact_sim"))), F.lit(0.0)
+            ).alias("max_sim_err"),
+        )
     )
     return (
         per_q.agg(
@@ -226,8 +239,7 @@ def ann_recall_audit(
             F.min("n_ret").alias("min_ret"),
         )
         .crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(hits))
-        .crossJoin(F.broadcast(sim_err))
+        .crossJoin(F.broadcast(acc))
         .select(
             "n_queries",
             "n_returned",
@@ -553,30 +565,79 @@ def pq_topk(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vid = pdf["vec_id"].to_numpy().astype(np.int64)
-            x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
-            sims = np.zeros((len(qids), len(vid)))
-            for j in range(m):
-                sub = x[:, j * dsub : (j + 1) * dsub]
-                codes = np.argmax(sub @ books[j].T - half_norms[j][None, :], axis=1)
-                sims += lut[:, j, :][:, codes]  # (Q, B)
-            sims[qids[:, None] == vid[None, :]] = -np.inf
-            take = min(take_batch, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]  # (Q, take)
-            out = pd.DataFrame(
-                {
-                    "q_id": np.repeat(qids, take),
-                    "neighbor_id": vid[idx].ravel(),
-                    "adc": np.take_along_axis(sims, idx, axis=1).ravel(),
-                }
+            yield _pq_batch_candidates(
+                x, vid, qids, books, lut, half_norms, m, dsub, take_batch
             )
-            yield out[np.isfinite(out["adc"])]
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "q_id long, neighbor_id long, adc double"
     )
-    # per-query global ADC cut, then exact re-rank of the survivors
+    return _pq_rerank(emb, queries, cand, k, rerank)
+
+
+def _pq_batch_candidates(
+    x: np.ndarray,
+    vid: np.ndarray,
+    qids: np.ndarray,
+    books: np.ndarray,
+    lut: np.ndarray,
+    half_norms: np.ndarray,
+    m: int,
+    dsub: int,
+    take_batch: int,
+) -> pd.DataFrame:
+    """Per-batch PQ encode + ADC candidate cut — the shared kernel body
+    of :func:`pq_topk` and :func:`pq_topk_with_exact` (one source of
+    truth so the fused scan cannot drift from the standalone one).
+    ``x`` is the RAW (un-normalized) float64 batch matrix."""
+    xn = x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+    sims = np.zeros((len(qids), len(vid)))
+    for j in range(m):
+        sub = xn[:, j * dsub : (j + 1) * dsub]
+        codes = np.argmax(sub @ books[j].T - half_norms[j][None, :], axis=1)
+        sims += lut[:, j, :][:, codes]  # (Q, B)
+    sims[qids[:, None] == vid[None, :]] = -np.inf
+    take = min(take_batch, sims.shape[1])
+    idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]  # (Q, take)
+    out = pd.DataFrame(
+        {
+            "q_id": np.repeat(qids, take),
+            "neighbor_id": vid[idx].ravel(),
+            "adc": np.take_along_axis(sims, idx, axis=1).ravel(),
+        }
+    )
+    return out[np.isfinite(out["adc"])]
+
+
+def _exact_batch_pairs(
+    x: np.ndarray,
+    vid: np.ndarray,
+    qids: np.ndarray,
+    qm: np.ndarray,
+    qn: np.ndarray,
+    take: int,
+) -> pd.DataFrame:
+    """Per-batch exact-cosine candidate cut, the same math as the
+    :func:`cosine_topk_scan` / ``_arrow`` kernels (m @ qm.T over raw
+    vectors, norm-product division, self-mask, tie-exact pre-prune) as
+    a shared body for the fused audit scan."""
+    sims = (x @ qm.T) / (np.linalg.norm(x, axis=1)[:, None] * qn[None, :])
+    sims[vid[:, None] == qids[None, :]] = -np.inf
+    ri, qi = _batch_topk_pairs(sims, take)
+    return pd.DataFrame(
+        {"q_id": qids[qi], "neighbor_id": vid[ri], "sim": sims[ri, qi]}
+    )
+
+
+def _pq_rerank(
+    emb: DataFrame, queries: DataFrame, cand: DataFrame, k: int, rerank: int
+) -> DataFrame:
+    """Global ADC cut + exact re-rank tail shared by :func:`pq_topk`
+    and :func:`pq_topk_with_exact`."""
     short = _global_topk(cand, rerank, score="adc", emit_score=False)
     from ripple_server_spark.functions.vectors import cosine
 
@@ -587,3 +648,106 @@ def pq_topk(
         .select("q_id", "neighbor_id", cosine(F.col("embedding"), F.col("qe")).alias("sim"))
     )
     return _global_topk(exact, k)
+
+
+def pq_topk_with_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 16,
+    ksub: int = 16,
+    rerank: int = 128,
+    margin: int = 8,
+    exact_margin: int = 3,
+):
+    """:func:`pq_topk` and the brute-force exact top-k computed in ONE
+    corpus scan, for the audited ANN queries (r12, guide §1.2 "remove
+    unnecessary passes").
+
+    q_ann_pq_topk previously scanned the corpus through a Python
+    kernel TWICE — once for PQ/ADC candidates, once for the
+    brute-force audit baseline — plus a third count-only pass for the
+    audit's corpus size. One fused mapInPandas now emits all three as
+    tagged arms (0 = ADC candidate, 1 = exact candidate, 2 = one
+    per-batch row-count row), persisted once; the arms are filters
+    over the cached result. Per-batch math is the SAME shared bodies
+    the standalone operators use (:func:`_pq_batch_candidates`,
+    :func:`_exact_batch_pairs` — equivalence-tested in
+    tests/test_kernels.py), and every arm's global cut runs through
+    the unchanged :func:`_global_topk` contract, so results are
+    bit-identical to the two-pass form.
+
+    Returns ``(result, exact, nc)``: the PQ top-k, the exact top-k
+    (columns q_id, neighbor_id, sim), and a 1-row corpus-count frame
+    for :func:`ann_recall_audit`'s ``nc`` parameter.
+    """
+    qmx = _query_matrix(queries)
+    if qmx is None:
+        empty = _empty_topk_result(emb)
+        return empty, empty, None
+    qids, qm, qn = qmx
+    # normalized copy for the ADC tables (pq_topk's normalize=True)
+    qmn = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
+    books = train_pq_codebooks(emb, m=m, ksub=ksub)
+    dsub = books.shape[2]
+    take_batch = rerank + margin
+    lut = np.stack(
+        [qmn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )
+    half_norms = 0.5 * (books**2).sum(axis=2)
+    exact_take = k + exact_margin
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            pq = _pq_batch_candidates(
+                x, vid, qids, books, lut, half_norms, m, dsub, take_batch
+            )
+            ex = _exact_batch_pairs(x, vid, qids, qm, qn, exact_take)
+            yield pd.DataFrame(
+                {
+                    "arm": np.concatenate(
+                        [
+                            np.zeros(len(pq), dtype=np.int32),
+                            np.ones(len(ex), dtype=np.int32),
+                            np.full(1, 2, dtype=np.int32),
+                        ]
+                    ),
+                    "q_id": np.concatenate(
+                        [pq["q_id"], ex["q_id"], np.array([-1], dtype=np.int64)]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [
+                            pq["neighbor_id"],
+                            ex["neighbor_id"],
+                            np.array([len(vid)], dtype=np.int64),
+                        ]
+                    ),
+                    "score": np.concatenate(
+                        [pq["adc"], ex["sim"], np.array([0.0])]
+                    ),
+                }
+            )
+
+    combined = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kernel, "arm int, q_id long, neighbor_id long, score double")
+        .persist()
+    )
+    cand = combined.filter(F.col("arm") == 0).select(
+        "q_id", "neighbor_id", F.col("score").alias("adc")
+    )
+    result = _pq_rerank(emb, queries, cand, k, rerank)
+    exact = _global_topk(
+        combined.filter(F.col("arm") == 1).select(
+            "q_id", "neighbor_id", F.col("score").alias("sim")
+        ),
+        k,
+    )
+    nc = combined.filter(F.col("arm") == 2).agg(
+        F.coalesce(F.sum("neighbor_id"), F.lit(0)).cast("bigint").alias("nc")
+    )
+    return result, exact, nc

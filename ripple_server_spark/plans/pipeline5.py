@@ -577,6 +577,16 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
     Bloom filter has no per-gram false negatives, so exact-contaminated
     docs are a subset of flagged docs — verification cost follows the
     flagged fraction, not the corpus.
+
+    The BENCH side is likewise driver-built: the benchmark suite is a
+    handful of docs by contract (doc_id < bench_below), so their texts
+    are collected (bounded by bench_below rows — the eval-suite analog
+    of similarity._collect_query_rows' capped broadcast side) and the
+    gram set + md5 bit positions fold in plain Python. hashlib.md5 on
+    the UTF-8 bytes == F.md5, str.split(" ") + k-gram join == the
+    shingles_pandas kernel, so the bitmap is bit-identical to the old
+    in-Spark derivation — which cost a full-corpus Arrow gram pass,
+    two distinct exchanges and a collect just to light <= 2^16 bits.
     """
     spark = docs.sparkSession
     # parallelism recovery for the single-row-group local fixture; at
@@ -585,37 +595,22 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
-    # construction. Kept as ARRAYS — nothing corpus-sized is ever
-    # exploded. Persisted: feeds the bench set, the corpus flag pass,
-    # and the exact arm.
-    gram_arrs = docs.select(
-        "doc_id", "source", shingles_pandas(F.col("text"), 5).alias("grams")
-    ).persist()
-    bench = (
-        gram_arrs.filter(F.col("doc_id") < bench_below)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-    )
+    import hashlib
 
-    def positions(col):
-        return F.array(
-            *[
-                F.conv(F.substring(F.md5(col), o, 4), 16, 10).cast("long")
-                for o in _BLOOM_K_OFFSETS
-            ]
-        )
-
-    # Set-bit positions computed IN SPARK (same md5-slice expression the
-    # oracle mirrors), then collected: bounded at 2^16 rows by the
-    # filter geometry — a fail-safe constant, not a tuning knob.
-    set_bits = {
-        r["pos"]
-        for r in bench.select(F.explode(positions(F.col("gram"))).alias("pos"))
-        .distinct()
-        .collect()
-    }
+    bench_grams: set[str] = set()
+    for r in docs.filter(F.col("doc_id") < bench_below).select("text").collect():
+        w = r["text"].split(" ") if r["text"] is not None else []
+        if len(w) >= 5:
+            bench_grams.update(" ".join(w[i : i + 5]) for i in range(len(w) - 4))
+    set_bits: set[int] = set()
+    for g in bench_grams:
+        h = hashlib.md5(g.encode("utf-8")).hexdigest()
+        for o in _BLOOM_K_OFFSETS:
+            set_bits.add(int(h[o - 1 : o + 3], 16))
     bitmap = "".join("1" if i in set_bits else "0" for i in range(1 << 16))
+    bench = spark.createDataFrame(
+        [(g,) for g in sorted(bench_grams)], "gram string"
+    )
 
     def gram_hits(g):
         h = F.md5(g)
@@ -629,8 +624,15 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
             hit = hit & bit(o)
         return hit
 
+    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
+    # construction. Kept as ARRAYS — nothing corpus-sized is ever
+    # exploded. Persisted: feeds the exact arm and the final flag
+    # projection.
     flags = (
-        gram_arrs.filter(F.col("doc_id") >= bench_below)
+        docs.filter(F.col("doc_id") >= bench_below)
+        .select(
+            "doc_id", "source", shingles_pandas(F.col("text"), 5).alias("grams")
+        )
         .withColumn("_bm", F.lit(bitmap))
         .select(
             "doc_id",

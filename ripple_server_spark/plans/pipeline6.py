@@ -268,19 +268,21 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_kernels.py."""
     from ripple_server_spark.operators.similarity import (
         ann_recall_audit,
-        cosine_topk_scan_arrow,
-        pq_topk,
+        pq_topk_with_exact,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    pq = pq_topk(emb, queries, k=3)
-    exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
-        "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
-    )
-    return ann_recall_audit(queries, pq, exact, emb, k=3)
+    # fused scan (r12): PQ candidates, the brute-force audit baseline,
+    # and the audit's corpus count all come from ONE corpus pass
+    # instead of three (pq kernel + cosine_topk_scan_arrow + count) —
+    # see pq_topk_with_exact; results are bit-identical (shared batch
+    # bodies, same _global_topk cuts).
+    pq, exact, nc = pq_topk_with_exact(emb, queries, k=3)
+    exact = exact.select("q_id", "neighbor_id", F.col("sim").alias("exact_sim"))
+    return ann_recall_audit(queries, pq, exact, emb, k=3, nc=nc)
 
 
 _COLL_MIN_COUNT = 5

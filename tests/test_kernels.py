@@ -880,3 +880,30 @@ def test_vocab_growth_stripe_width_tracks_parallelism():
     assert stripe_width(5, 9, 32) == 1
     # offset ranges use the span, not the absolute ids
     assert stripe_width(1_000_000, 1_099_999, 32) == 100_000 // 64
+
+
+def test_pq_fused_scan_matches_two_pass(spark, sf_dir):
+    """The r12 fused audit scan (pq_topk_with_exact: one corpus pass
+    emitting PQ candidates, the brute-force baseline, and the corpus
+    count as tagged arms) must be bit-identical to the standalone
+    two-pass form — the arms share the exact per-batch kernel bodies
+    (_pq_batch_candidates / _exact_batch_pairs) and the same
+    _global_topk cuts, so any drift is a real bug."""
+    from ripple_server_spark.operators.similarity import (
+        cosine_topk_scan_arrow,
+        pq_topk,
+        pq_topk_with_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    fused_pq, fused_exact, nc = pq_topk_with_exact(emb, queries, k=3)
+    assert {tuple(r) for r in fused_pq.collect()} == {
+        tuple(r) for r in pq_topk(emb, queries, k=3).collect()
+    }
+    assert {tuple(r) for r in fused_exact.collect()} == {
+        tuple(r) for r in cosine_topk_scan_arrow(emb, queries, k=3).collect()
+    }
+    assert nc.collect()[0]["nc"] == emb.count()
