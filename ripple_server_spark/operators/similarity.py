@@ -169,7 +169,8 @@ def ann_recall_audit(
     emb: DataFrame,
     k: int,
     min_recall: float = 0.7,
-    nc: DataFrame | None = None,
+    nc: "DataFrame | int | None" = None,
+    q_ids: "list | None" = None,
 ) -> DataFrame:
     """One-row ANN audit summary (n_queries, n_returned, recall_ok) —
     the driver-checkable contract shared by the IVF and PQ queries.
@@ -191,64 +192,79 @@ def ann_recall_audit(
 
     ``queries`` must be one row per q_id; n_queries comes from it (not
     from the result) so queries with zero returns still count.
+
+    The audit arithmetic folds ON THE DRIVER (r12, guide §1/§5): every
+    input is bounded — ``result``/``exact`` at Q x k rows by the
+    :func:`_global_topk` contract, the query-id list at Q rows (the
+    same capped side :func:`_collect_query_rows` already broadcasts) —
+    while the distributed form spent ~15 Spark jobs (persists,
+    broadcast builds, three aggregate subtrees, crossJoins) reducing a
+    few hundred rows to one. Everything corpus-sized stays in Spark;
+    this is last-mile reduction of already-cut top-k lists. The Python
+    fold mirrors the old aggregate expressions term for term (same
+    IEEE-754 doubles, same join/NULL semantics — see inline notes), so
+    the emitted row is bit-identical.
+
+    ``nc``: corpus size, as an int or a 1-row ``nc``-column frame from
+    callers that piggybacked the count on a corpus pass they already
+    paid (the fused ``*_with_exact`` scans); ``None`` falls back to a
+    count-star job.
+
+    ``q_ids``: the query-id list, from callers whose kernel preamble
+    (:func:`_query_matrix`) already collected the (capped) query set —
+    skips re-collecting it here.
     """
-    # The audit references ``result`` from three branches (per-query
-    # return counts, threshold hits, sim agreement) and ``exact`` from
-    # two — each an independent subtree of ONE final plan, so without a
-    # persist the full ANN kernel pass over the corpus re-executes per
-    # branch (3x) and the exact brute-force pass 2x (guide §5: persist
-    # only when reuse beats recompute — both inputs are Q x k rows, a
-    # few hundred, while recompute is a full corpus scan through a
-    # Python kernel). One-shot callers let the ContextCleaner reclaim
-    # the handful of cached rows with the plan, same contract as
-    # minhash_lsh_dedup's fan-out persists.
-    result = result.persist()
-    exact = exact.persist()
-    # ``nc``: corpus size as a 1-row frame. Callers that already paid a
-    # corpus pass (the fused pq_topk_with_exact scan) hand in the count
-    # they piggybacked on it; the default stays a count-star aggregate.
+    spark = queries.sparkSession
+    if q_ids is None:
+        q_ids = [r["q_id"] for r in queries.select("q_id").collect()]
+    res = result.select("q_id", "neighbor_id", "sim").collect()
+    ex = exact.select("q_id", "neighbor_id", "exact_sim").collect()
     if nc is None:
-        nc = emb.agg(F.count("*").alias("nc"))
-    expected_k = F.greatest(F.least(F.lit(k), F.col("nc") - 1), F.lit(0))
-    per_q = queries.select("q_id").join(
-        result.groupBy("q_id").agg(F.count("*").alias("n_ret")), "q_id", "left"
-    ).select(F.coalesce("n_ret", F.lit(0)).alias("n_ret"))
-    thr = exact.groupBy("q_id").agg(F.min("exact_sim").alias("thr"))
-    # hits and sim-agreement share ONE aggregate (r12, guide §2.4 —
-    # they previously materialized as two independent single-row
-    # branches, i.e. two extra jobs + broadcasts per audit). The inner
-    # thr join preserves result's rows per q_id (thr is unique per
-    # q_id); the LEFT exact join is 1:<=1 (exact is unique per (q_id,
-    # neighbor_id)), so count_if(sim >= thr) equals the old
-    # filter+count, and max(|sim - exact_sim|) over the left join
-    # ignores NULLs exactly as the old inner join dropped those rows.
-    acc = (
-        result.join(thr, "q_id")
-        .join(exact, on=["q_id", "neighbor_id"], how="left")
-        .agg(
-            F.count_if(F.col("sim") >= F.col("thr") - 1e-9).alias("hits"),
-            F.coalesce(
-                F.max(F.abs(F.col("sim") - F.col("exact_sim"))), F.lit(0.0)
-            ).alias("max_sim_err"),
-        )
+        n_corpus = emb.count()
+    elif isinstance(nc, int):
+        n_corpus = nc
+    else:
+        n_corpus = nc.collect()[0]["nc"]
+    expected_k = max(min(k, n_corpus - 1), 0)
+    n_queries = len(q_ids)
+    n_returned = len(res)
+    # per-query return counts over a LEFT join from queries: absent
+    # q_ids count 0; min over zero queries is NULL -> coalesce to
+    # expected_k (vacuous pass), exactly the old aggregate.
+    ret_by_q: dict = {}
+    for r in res:
+        ret_by_q[r["q_id"]] = ret_by_q.get(r["q_id"], 0) + 1
+    min_ret = min((ret_by_q.get(q, 0) for q in q_ids), default=None)
+    # recall-with-ties threshold: per-query MIN exact sim; hits counted
+    # over result INNER-joined to thr (rows whose q_id has no exact row
+    # drop out of BOTH terms, as the old inner thr join did), then the
+    # id-matched sim-agreement term ignores non-matches like the old
+    # LEFT exact join ignored its NULLs.
+    thr: dict = {}
+    for r in ex:
+        q = r["q_id"]
+        if q not in thr or r["exact_sim"] < thr[q]:
+            thr[q] = r["exact_sim"]
+    ex_sim = {(r["q_id"], r["neighbor_id"]): r["exact_sim"] for r in ex}
+    hits = 0
+    max_sim_err = 0.0
+    for r in res:
+        q = r["q_id"]
+        if q not in thr:
+            continue
+        if r["sim"] >= thr[q] - 1e-9:
+            hits += 1
+        m = ex_sim.get((q, r["neighbor_id"]))
+        if m is not None:
+            max_sim_err = max(max_sim_err, abs(r["sim"] - m))
+    recall_ok = (
+        hits >= min_recall * expected_k * n_queries
+        and (expected_k if min_ret is None else min_ret) == expected_k
+        and max_sim_err < 1e-6
     )
-    return (
-        per_q.agg(
-            F.count("*").alias("n_queries"),
-            F.coalesce(F.sum("n_ret"), F.lit(0)).cast("bigint").alias("n_returned"),
-            F.min("n_ret").alias("min_ret"),
-        )
-        .crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(acc))
-        .select(
-            "n_queries",
-            "n_returned",
-            (
-                (F.col("hits") >= min_recall * expected_k * F.col("n_queries"))
-                & (F.coalesce(F.col("min_ret"), expected_k) == expected_k)
-                & (F.col("max_sim_err") < 1e-6)
-            ).alias("recall_ok"),
-        )
+    return spark.createDataFrame(
+        [(n_queries, n_returned, recall_ok)],
+        "n_queries bigint, n_returned bigint, recall_ok boolean",
     )
 
 
@@ -387,50 +403,195 @@ def ivf_topk(
         return cosine_topk_scan_arrow(emb, queries, k=k, margin=margin)
     qids, qm, qn = qmx
     cent = train_centroids(emb, nlist, n=n)
-    # per-query probed cells -> cell -> query row indices
-    probe = np.argsort(-((qm / np.maximum(qn[:, None], 1e-12)) @ cent.T), axis=1)[
-        :, :nprobe
-    ]
-    cell_to_q: dict[int, np.ndarray] = {}
-    for qi in range(len(qids)):
-        for c in probe[qi]:
-            cell_to_q.setdefault(int(c), []).append(qi)
-    cell_to_q = {c: np.asarray(v) for c, v in cell_to_q.items()}
+    cell_to_q = _ivf_probe_map(qids, qm, qn, cent, nprobe)
     take = k + margin
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vid = pdf["vec_id"].to_numpy().astype(np.int64)
-            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
-            cells = np.argmax((m / norms[:, None]) @ cent.T, axis=1)
-            outs = []
-            for c, qidx in cell_to_q.items():
-                rows = np.nonzero(cells == c)[0]
-                if not len(rows):
-                    continue
-                sub, svid, snorm = m[rows], vid[rows], norms[rows]
-                sims = (sub @ qm[qidx].T) / (snorm[:, None] * qn[qidx][None, :])
-                sims[svid[:, None] == qids[qidx][None, :]] = -np.inf
-                top = min(take, sims.shape[0])
-                idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": np.repeat(qids[qidx], top),
-                            "neighbor_id": svid[idx].T.ravel(),
-                            "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
-                        }
-                    )
-                )
-            if outs:
-                cat = pd.concat(outs, ignore_index=True)
-                yield cat[np.isfinite(cat["sim"])]
+            out = _ivf_batch_candidates(
+                m, vid, cent, cell_to_q, qids, qm, qn, take
+            )
+            if out is not None:
+                yield out
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "q_id long, neighbor_id long, sim double"
     )
     return _global_topk(cand, k)
+
+
+def _ivf_probe_map(
+    qids: np.ndarray,
+    qm: np.ndarray,
+    qn: np.ndarray,
+    cent: np.ndarray,
+    nprobe: int,
+) -> dict[int, np.ndarray]:
+    """Per-query probed cells inverted to cell -> query row indices."""
+    probe = np.argsort(-((qm / np.maximum(qn[:, None], 1e-12)) @ cent.T), axis=1)[
+        :, :nprobe
+    ]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    return {c: np.asarray(v) for c, v in cell_to_q.items()}
+
+
+def _ivf_batch_candidates(
+    m: np.ndarray,
+    vid: np.ndarray,
+    cent: np.ndarray,
+    cell_to_q: dict[int, np.ndarray],
+    qids: np.ndarray,
+    qm: np.ndarray,
+    qn: np.ndarray,
+    take: int,
+) -> pd.DataFrame | None:
+    """Per-batch IVF cell-assign + probed-cell matmul cut — the shared
+    kernel body of :func:`ivf_topk` and :func:`ivf_topk_with_exact`
+    (one source of truth so the fused scan cannot drift)."""
+    norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+    cells = np.argmax((m / norms[:, None]) @ cent.T, axis=1)
+    outs = []
+    for c, qidx in cell_to_q.items():
+        rows = np.nonzero(cells == c)[0]
+        if not len(rows):
+            continue
+        sub, svid, snorm = m[rows], vid[rows], norms[rows]
+        sims = (sub @ qm[qidx].T) / (snorm[:, None] * qn[qidx][None, :])
+        sims[svid[:, None] == qids[qidx][None, :]] = -np.inf
+        top = min(take, sims.shape[0])
+        idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "q_id": np.repeat(qids[qidx], top),
+                    "neighbor_id": svid[idx].T.ravel(),
+                    "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                }
+            )
+        )
+    if not outs:
+        return None
+    cat = pd.concat(outs, ignore_index=True)
+    return cat[np.isfinite(cat["sim"])]
+
+
+def ivf_topk_with_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    margin: int = 3,
+    exact_margin: int = 3,
+):
+    """:func:`ivf_topk` and the brute-force exact top-k computed in ONE
+    corpus scan, for the audited ANN queries (r12, guide §1.2 "remove
+    unnecessary passes") — the IVF sibling of
+    :func:`pq_topk_with_exact`.
+
+    q_ann_ivf_topk previously scanned the corpus through a Python
+    kernel twice (IVF candidates + brute-force audit baseline) plus a
+    count-star pass for the audit's corpus size — and :func:`ivf_topk`
+    itself already pays a driver count for the flat-vs-IVF cutoff and
+    the training stride. The fused form reuses THAT count as the
+    audit's ``nc`` (a literal 1-row frame, zero extra jobs) and emits
+    both candidate streams as tagged arms of one mapInPandas pass over
+    a shared cache. Per-batch math is the same shared bodies the
+    standalone operators use (:func:`_ivf_batch_candidates`,
+    :func:`_exact_batch_pairs`), and every arm's global cut runs
+    through the unchanged :func:`_global_topk`, so results are
+    bit-identical to the two-pass form (equivalence-tested in
+    tests/test_kernels.py).
+
+    On the tiny-corpus flat fallback (n <= 4*nlist) the IVF arm IS the
+    exact scan at the same (k, margin), so one scan serves both arms
+    verbatim.
+
+    Returns ``(result, exact, nc, q_ids)`` like
+    :func:`pq_topk_with_exact`, except ``nc`` is a plain int (the
+    count is already on the driver).
+    """
+    qmx = _query_matrix(queries)
+    if qmx is None:
+        empty = _empty_topk_result(emb)
+        return empty, empty, None, []
+    n = emb.count()
+    nc = n  # the flat-cutoff count doubles as the audit's corpus size
+    qids, qm, qn = qmx
+    exact_take = k + exact_margin
+    if n <= 4 * nlist:
+        # flat fallback: ivf_topk returns cosine_topk_scan_arrow(k,
+        # margin) here; with margin == exact_margin both arms are the
+        # same frame, computed once.
+        if margin == exact_margin:
+            flat = cosine_topk_scan_arrow(emb, queries, k=k, margin=margin).persist()
+            return flat, flat, nc, list(qids)
+        ivf = cosine_topk_scan_arrow(emb, queries, k=k, margin=margin)
+        exact = cosine_topk_scan_arrow(emb, queries, k=k, margin=exact_margin)
+        return ivf, exact, nc, list(qids)
+    cent = train_centroids(emb, nlist, n=n)
+    cell_to_q = _ivf_probe_map(qids, qm, qn, cent, nprobe)
+    take = k + margin
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            ivf = _ivf_batch_candidates(
+                m, vid, cent, cell_to_q, qids, qm, qn, take
+            )
+            ex = _exact_batch_pairs(m, vid, qids, qm, qn, exact_take)
+            n_ivf = 0 if ivf is None else len(ivf)
+            yield pd.DataFrame(
+                {
+                    "arm": np.concatenate(
+                        [
+                            np.zeros(n_ivf, dtype=np.int32),
+                            np.ones(len(ex), dtype=np.int32),
+                        ]
+                    ),
+                    "q_id": np.concatenate(
+                        [
+                            np.empty(0, dtype=np.int64) if ivf is None else ivf["q_id"],
+                            ex["q_id"],
+                        ]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [
+                            np.empty(0, dtype=np.int64)
+                            if ivf is None
+                            else ivf["neighbor_id"],
+                            ex["neighbor_id"],
+                        ]
+                    ),
+                    "sim": np.concatenate(
+                        [
+                            np.empty(0, dtype=np.float64) if ivf is None else ivf["sim"],
+                            ex["sim"],
+                        ]
+                    ),
+                }
+            )
+
+    combined = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kernel, "arm int, q_id long, neighbor_id long, sim double")
+        .persist()
+    )
+    result = _global_topk(
+        combined.filter(F.col("arm") == 0).select("q_id", "neighbor_id", "sim"), k
+    )
+    exact = _global_topk(
+        combined.filter(F.col("arm") == 1).select("q_id", "neighbor_id", "sim"), k
+    )
+    return result, exact, nc, list(qids)
 
 
 def cosine_topk_scan_arrow(
@@ -677,14 +838,15 @@ def pq_topk_with_exact(
     the unchanged :func:`_global_topk` contract, so results are
     bit-identical to the two-pass form.
 
-    Returns ``(result, exact, nc)``: the PQ top-k, the exact top-k
-    (columns q_id, neighbor_id, sim), and a 1-row corpus-count frame
-    for :func:`ann_recall_audit`'s ``nc`` parameter.
+    Returns ``(result, exact, nc, q_ids)``: the PQ top-k, the exact
+    top-k (columns q_id, neighbor_id, sim), a 1-row corpus-count frame
+    for :func:`ann_recall_audit`'s ``nc`` parameter, and the
+    already-collected query-id list for its ``q_ids`` parameter.
     """
     qmx = _query_matrix(queries)
     if qmx is None:
         empty = _empty_topk_result(emb)
-        return empty, empty, None
+        return empty, empty, None, []
     qids, qm, qn = qmx
     # normalized copy for the ADC tables (pq_topk's normalize=True)
     qmn = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
@@ -750,4 +912,4 @@ def pq_topk_with_exact(
     nc = combined.filter(F.col("arm") == 2).agg(
         F.coalesce(F.sum("neighbor_id"), F.lit(0)).cast("bigint").alias("nc")
     )
-    return result, exact, nc
+    return result, exact, nc, list(qids)

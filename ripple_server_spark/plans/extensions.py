@@ -652,19 +652,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-checked per-query in tests/test_kernels.py."""
     from ripple_server_spark.operators.similarity import (
         ann_recall_audit,
-        cosine_topk_scan_arrow,
-        ivf_topk,
+        ivf_topk_with_exact,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    ivf = ivf_topk(emb, queries, k=3, nlist=32, nprobe=12)
-    exact = cosine_topk_scan_arrow(emb, queries, k=3).select(
-        "q_id", "neighbor_id", F.col("sim").alias("exact_sim")
-    )
-    return ann_recall_audit(queries, ivf, exact, emb, k=3)
+    # fused scan (r12): IVF candidates and the brute-force audit
+    # baseline come from ONE corpus pass instead of two, and the
+    # flat-cutoff driver count doubles as the audit's corpus size —
+    # see ivf_topk_with_exact; results are bit-identical (shared batch
+    # bodies, same _global_topk cuts).
+    ivf, exact, nc, qids = ivf_topk_with_exact(emb, queries, k=3, nlist=32, nprobe=12)
+    exact = exact.select("q_id", "neighbor_id", F.col("sim").alias("exact_sim"))
+    return ann_recall_audit(queries, ivf, exact, emb, k=3, nc=nc, q_ids=qids)
 
 
 @query(

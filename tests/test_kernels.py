@@ -899,7 +899,7 @@ def test_pq_fused_scan_matches_two_pass(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    fused_pq, fused_exact, nc = pq_topk_with_exact(emb, queries, k=3)
+    fused_pq, fused_exact, nc, qids = pq_topk_with_exact(emb, queries, k=3)
     assert {tuple(r) for r in fused_pq.collect()} == {
         tuple(r) for r in pq_topk(emb, queries, k=3).collect()
     }
@@ -907,3 +907,68 @@ def test_pq_fused_scan_matches_two_pass(spark, sf_dir):
         tuple(r) for r in cosine_topk_scan_arrow(emb, queries, k=3).collect()
     }
     assert nc.collect()[0]["nc"] == emb.count()
+    assert sorted(qids) == [r["q_id"] for r in queries.select("q_id").orderBy("q_id").collect()]
+
+
+def test_ivf_fused_scan_matches_two_pass(spark, sf_dir):
+    """ivf_topk_with_exact (r12 fused audit scan) must be bit-identical
+    to the standalone two-pass form, on both the IVF path and the
+    tiny-corpus flat fallback, and its piggybacked nc must equal the
+    corpus count."""
+    from ripple_server_spark.operators.similarity import (
+        cosine_topk_scan_arrow,
+        ivf_topk,
+        ivf_topk_with_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    for nlist, nprobe in ((32, 12), (4096, 4)):  # second forces flat fallback
+        fused_ivf, fused_exact, nc, qids = ivf_topk_with_exact(
+            emb, queries, k=3, nlist=nlist, nprobe=nprobe
+        )
+        assert {tuple(r) for r in fused_ivf.collect()} == {
+            tuple(r)
+            for r in ivf_topk(emb, queries, k=3, nlist=nlist, nprobe=nprobe).collect()
+        }
+        assert {tuple(r) for r in fused_exact.collect()} == {
+            tuple(r) for r in cosine_topk_scan_arrow(emb, queries, k=3).collect()
+        }
+        assert nc == emb.count()
+        assert len(qids) == queries.count()
+
+
+def test_ann_audit_driver_fold_matches_sql_form(spark, sf_dir):
+    """The r12 driver-side audit fold must emit the same one-row
+    summary the old distributed aggregate produced, including the
+    degraded regimes the adversarial sweep exercises (missing exact
+    rows, zero-return queries, sim drift past the 1e-6 gate)."""
+    from ripple_server_spark.operators.similarity import ann_recall_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame([(1,), (2,), (3,)], "q_id long")
+    res = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (2, 12, 0.7), (3, 13, 0.6)],
+        "q_id long, neighbor_id long, sim double",
+    )
+    # q3 has no exact row (drops from hits AND sim-err), q1's second
+    # return misses the threshold, q2's id-match has sim drift
+    ex = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 99, 0.85), (2, 12, 0.7000005)],
+        "q_id long, neighbor_id long, exact_sim double",
+    )
+    [row] = ann_recall_audit(q, res, ex, emb, k=2, nc=1000).collect()
+    assert (row["n_queries"], row["n_returned"]) == (3, 4)
+    # min_ret 1 != expected_k 2 and q2's 5e-7 sim drift is under the
+    # 1e-6 gate but the return-count term already fails -> False
+    assert row["recall_ok"] is False
+    # vacuous pass: zero queries
+    empty_q = spark.createDataFrame([], "q_id long")
+    empty = spark.createDataFrame([], "q_id long, neighbor_id long, sim double")
+    empty_ex = spark.createDataFrame(
+        [], "q_id long, neighbor_id long, exact_sim double"
+    )
+    [row] = ann_recall_audit(empty_q, empty, empty_ex, emb, k=3, nc=500).collect()
+    assert (row["n_queries"], row["n_returned"], row["recall_ok"]) == (0, 0, True)
