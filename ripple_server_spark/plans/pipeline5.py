@@ -11,6 +11,7 @@ summation-order noise floor).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -564,29 +565,31 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
     Bloom simulation).
 
     Round-12 shape (guide §2.3 "shuffle keys/metadata instead of
-    payloads", §2.4): the Bloom filter IS what ships — the set bits are
-    materialized once on the driver (bounded: <= 2^16 positions by
-    geometry, regardless of benchmark or corpus size) as a 64 Ki-char
-    bitmap LITERAL, and per-doc membership becomes a pure map-side
-    array expression: exists(grams, all k md5-slice positions set).
-    The corpus side now has ZERO shuffles and no position fan-out —
-    the old plan exploded corpus grams x k positions (3x row
-    multiplication), broadcast-joined the bits table, and re-grouped
-    by (doc, gram) to count k hits, paying 2 corpus-sized exchanges.
-    The exact arm (the audit) runs only over BLOOM-FLAGGED docs: a
-    Bloom filter has no per-gram false negatives, so exact-contaminated
-    docs are a subset of flagged docs — verification cost follows the
-    flagged fraction, not the corpus.
+    payloads", §4.2/§4.3 "one kernel pass, only the columns it
+    needs"): the Bloom filter IS what ships — the BENCH side folds on
+    the driver (the benchmark suite is a handful of docs by contract,
+    doc_id < bench_below, collected under the same bounded-broadcast
+    rationale as similarity._collect_query_rows), yielding the set-bit
+    positions (bounded at <= 2^16 by filter geometry) and the bench
+    gram set. Both are closure-shipped into ONE Arrow corpus pass that
+    computes each doc's 5-grams, its Bloom flag (all k md5-slice
+    positions set), and — only for Bloom-flagged docs, since a Bloom
+    filter has no per-gram false negatives and exact hits are a subset
+    of flagged docs — the exact-membership audit flag. hashlib.md5 on
+    UTF-8 bytes == F.md5 and str.split(" ") + k-gram join == the
+    shingles_pandas kernel (equivalence pinned by the pure-Python
+    simulation test), so the flags are bit-identical to the old
+    three-stage form, which paid a corpus gram-array transfer out of
+    the Python kernel, a JVM md5 x k per gram under exists(), a persist
+    of the gram arrays, an explode + semi-join of flagged docs' grams,
+    and a broadcast join to reattach the exact bit. The corpus now
+    crosses the Python boundary once (doc_id, source, text in; two
+    flags out) and the plan has zero joins and zero corpus shuffles.
 
-    The BENCH side is likewise driver-built: the benchmark suite is a
-    handful of docs by contract (doc_id < bench_below), so their texts
-    are collected (bounded by bench_below rows — the eval-suite analog
-    of similarity._collect_query_rows' capped broadcast side) and the
-    gram set + md5 bit positions fold in plain Python. hashlib.md5 on
-    the UTF-8 bytes == F.md5, str.split(" ") + k-gram join == the
-    shingles_pandas kernel, so the bitmap is bit-identical to the old
-    in-Spark derivation — which cost a full-corpus Arrow gram pass,
-    two distinct exchanges and a collect just to light <= 2^16 bits.
+    At 100 TB the exact arm would be sampled (docstring contract of
+    q_bloom_decontaminate); the bench gram set shipped here is
+    eval-suite-sized, and the ~8 KB position set is the part that must
+    scale.
     """
     spark = docs.sparkSession
     # parallelism recovery for the single-row-group local fixture; at
@@ -607,59 +610,50 @@ def bloom_doc_flags(docs: DataFrame, bench_below: int = 10) -> DataFrame:
         h = hashlib.md5(g.encode("utf-8")).hexdigest()
         for o in _BLOOM_K_OFFSETS:
             set_bits.add(int(h[o - 1 : o + 3], 16))
-    bitmap = "".join("1" if i in set_bits else "0" for i in range(1 << 16))
-    bench = spark.createDataFrame(
-        [(g,) for g in sorted(bench_grams)], "gram string"
-    )
+    bench_frozen = frozenset(bench_grams)
+    bits_frozen = frozenset(set_bits)
+    offsets = _BLOOM_K_OFFSETS
 
-    def gram_hits(g):
-        h = F.md5(g)
+    def kernel(batches):
+        for pdf in batches:
+            blooms = []
+            exacts = []
+            for t in pdf["text"]:
+                w = t.split(" ") if t is not None else []
+                hit = 0
+                exact = 0
+                if len(w) >= 5:
+                    for i in range(len(w) - 4):
+                        g = " ".join(w[i : i + 5])
+                        h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                        if all(
+                            int(h[o - 1 : o + 3], 16) in bits_frozen
+                            for o in offsets
+                        ):
+                            hit = 1
+                            # exact <=> gram-level bench membership; only
+                            # bloom-hit grams can be members (no false
+                            # negatives), so the set probe stays inside
+                            # this branch
+                            if g in bench_frozen:
+                                exact = 1
+                                break
+                blooms.append(hit)
+                exacts.append(exact)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "bloomed": pd.Series(blooms, dtype="int32"),
+                    "exact": pd.Series(exacts, dtype="int32"),
+                }
+            )
 
-        def bit(o):
-            pos = F.conv(F.substring(h, o, 4), 16, 10).cast("int")
-            return F.col("_bm").substr(pos + F.lit(1), F.lit(1)) == "1"
-
-        hit = bit(_BLOOM_K_OFFSETS[0])
-        for o in _BLOOM_K_OFFSETS[1:]:
-            hit = hit & bit(o)
-        return hit
-
-    # Arrow gram kernel (shingles_pandas, k=5): per-doc-unique grams by
-    # construction. Kept as ARRAYS — nothing corpus-sized is ever
-    # exploded. Persisted: feeds the exact arm and the final flag
-    # projection.
-    flags = (
-        docs.filter(F.col("doc_id") >= bench_below)
-        .select(
-            "doc_id", "source", shingles_pandas(F.col("text"), 5).alias("grams")
-        )
-        .withColumn("_bm", F.lit(bitmap))
-        .select(
-            "doc_id",
-            "source",
-            F.exists("grams", gram_hits).alias("hit"),
-            "grams",
-        )
-        .persist()
-    )
-    exact_docs = (
-        flags.filter(F.col("hit"))
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact", F.lit(1))
-    )
     return (
-        flags.select(
-            "doc_id", "source", F.col("hit").cast("int").alias("bloomed")
-        )
-        .join(F.broadcast(exact_docs), "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "bloomed",
-            F.coalesce("exact", F.lit(0)).alias("exact"),
+        docs.filter(F.col("doc_id") >= bench_below)
+        .select("doc_id", "source", "text")
+        .mapInPandas(
+            kernel, "doc_id long, source string, bloomed int, exact int"
         )
     )
 
@@ -779,14 +773,17 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast — the corpus band side never shuffles; candidate
     verification inherits verify_jaccard's candidate-doc pruning."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _dedup.shingle_sets(docs).persist()
-    bands = _dedup.minhash_band_hashes(sh).persist()
+    # r12: the shingle explode streams into the signature aggregate —
+    # no corpus-wide persisted shingle table; verification re-derives
+    # shingles and prunes them to candidate docs before persisting
+    # (verify_jaccard), same shape as minhash_lsh_dedup
+    bands = _dedup.minhash_band_hashes(_dedup.shingle_sets(docs)).persist()
     cand = (
         _dedup.lsh_candidates(bands)
         .filter((F.col("doc_a") < 10) & (F.col("doc_b") >= 10))
         .persist()
     )
-    pairs = _dedup.verify_jaccard(cand, sh, JACCARD_THRESHOLD)
+    pairs = _dedup.verify_jaccard(cand, _dedup.shingle_sets(docs), JACCARD_THRESHOLD)
     contaminated = (
         pairs.select(F.col("doc_b").alias("doc_id"))
         .distinct()
