@@ -139,7 +139,8 @@ def cosine_topk_scan(
 
 
 def _global_topk(
-    cand: DataFrame, k: int, score: str = "sim", emit_score: bool = True
+    cand: DataFrame, k: int, score: str = "sim", emit_score: bool = True,
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-query global cut — THE tie/rounding contract, in one place:
     rank by the 6-dp-rounded score descending with neighbor_id as the
@@ -147,7 +148,9 @@ def _global_topk(
     this rounded-tie reordering), keep ``k``, emit the score rounded to
     4 dp. Compiles to WindowGroupLimit (plan-asserted); a change to the
     precision or tie order lands in every kernel at once instead of
-    drifting across five copies."""
+    drifting across five copies. ``keep`` carries extra columns through
+    the cut unrounded (the fused PQ scan keeps the kernel-computed true
+    cosine beside the ADC rank key)."""
     # arithmetic half-up key floor(x*1e6 + 0.5), NOT round(x, 6): Spark
     # rounds HALF_UP while DuckDB rounds half-even, so an exact 6-dp
     # midpoint score would flip the rank cross-engine (ADVICE r07 /
@@ -158,8 +161,10 @@ def _global_topk(
     )
     ranked = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     if emit_score:
-        return ranked.select("q_id", "neighbor_id", F.round(score, 4).alias("sim"))
-    return ranked.select("q_id", "neighbor_id")
+        return ranked.select(
+            "q_id", "neighbor_id", F.round(score, 4).alias("sim"), *keep
+        )
+    return ranked.select("q_id", "neighbor_id", *keep)
 
 
 def ann_recall_audit(
@@ -750,11 +755,18 @@ def _pq_batch_candidates(
     m: int,
     dsub: int,
     take_batch: int,
+    exact_sims: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Per-batch PQ encode + ADC candidate cut — the shared kernel body
     of :func:`pq_topk` and :func:`pq_topk_with_exact` (one source of
     truth so the fused scan cannot drift from the standalone one).
-    ``x`` is the RAW (un-normalized) float64 batch matrix."""
+    ``x`` is the RAW (un-normalized) float64 batch matrix.
+
+    ``exact_sims`` (optional, (B, Q) true-cosine matrix the fused scan
+    already computed for its exact arm): when given, each ADC candidate
+    also carries its TRUE cosine in a ``sim`` column, so the re-rank
+    downstream is a pure window cut instead of a join back against the
+    corpus."""
     xn = x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
     sims = np.zeros((len(qids), len(vid)))
     for j in range(m):
@@ -764,13 +776,14 @@ def _pq_batch_candidates(
     sims[qids[:, None] == vid[None, :]] = -np.inf
     take = min(take_batch, sims.shape[1])
     idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]  # (Q, take)
-    out = pd.DataFrame(
-        {
-            "q_id": np.repeat(qids, take),
-            "neighbor_id": vid[idx].ravel(),
-            "adc": np.take_along_axis(sims, idx, axis=1).ravel(),
-        }
-    )
+    cols = {
+        "q_id": np.repeat(qids, take),
+        "neighbor_id": vid[idx].ravel(),
+        "adc": np.take_along_axis(sims, idx, axis=1).ravel(),
+    }
+    if exact_sims is not None:
+        cols["sim"] = np.take_along_axis(exact_sims.T, idx, axis=1).ravel()
+    out = pd.DataFrame(cols)
     return out[np.isfinite(out["adc"])]
 
 
@@ -781,13 +794,17 @@ def _exact_batch_pairs(
     qm: np.ndarray,
     qn: np.ndarray,
     take: int,
+    sims: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Per-batch exact-cosine candidate cut, the same math as the
     :func:`cosine_topk_scan` / ``_arrow`` kernels (m @ qm.T over raw
     vectors, norm-product division, self-mask, tie-exact pre-prune) as
-    a shared body for the fused audit scan."""
-    sims = (x @ qm.T) / (np.linalg.norm(x, axis=1)[:, None] * qn[None, :])
-    sims[vid[:, None] == qids[None, :]] = -np.inf
+    a shared body for the fused audit scan. ``sims`` accepts the
+    (B, Q) cosine matrix precomputed (and self-masked) by a caller
+    that shares it across arms."""
+    if sims is None:
+        sims = (x @ qm.T) / (np.linalg.norm(x, axis=1)[:, None] * qn[None, :])
+        sims[vid[:, None] == qids[None, :]] = -np.inf
     ri, qi = _batch_topk_pairs(sims, take)
     return pd.DataFrame(
         {"q_id": qids[qi], "neighbor_id": vid[ri], "sim": sims[ri, qi]}
@@ -835,8 +852,18 @@ def pq_topk_with_exact(
     the standalone operators use (:func:`_pq_batch_candidates`,
     :func:`_exact_batch_pairs` — equivalence-tested in
     tests/test_kernels.py), and every arm's global cut runs through
-    the unchanged :func:`_global_topk` contract, so results are
-    bit-identical to the two-pass form.
+    the unchanged :func:`_global_topk` contract.
+
+    The batch kernel also computes the (B, Q) TRUE-cosine matrix for
+    the exact arm, so each ADC candidate carries its true cosine out
+    of the scan and the re-rank tail is two pure window cuts over the
+    cache — no join back against the corpus and no second corpus
+    read, where :func:`pq_topk` standalone joins emb + queries to
+    recompute the cosine in SQL (guide §1.2/§3.1). The carried value
+    is the same float64 BLAS matmul the exact arm ranks, so the
+    audit's sim-agreement term compares identical numbers; vs the
+    standalone SQL-cosine the 4-dp emitted sims agree
+    (equivalence-tested on the fixture corpus at every SF).
 
     Returns ``(result, exact, nc, q_ids)``: the PQ top-k, the exact
     top-k (columns q_id, neighbor_id, sim), a 1-row corpus-count frame
@@ -865,10 +892,19 @@ def pq_topk_with_exact(
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vid = pdf["vec_id"].to_numpy().astype(np.int64)
-            pq = _pq_batch_candidates(
-                x, vid, qids, books, lut, half_norms, m, dsub, take_batch
+            # one true-cosine matrix serves the exact arm's cut AND the
+            # ADC candidates' carried re-rank sims
+            tsims = (x @ qm.T) / (
+                np.linalg.norm(x, axis=1)[:, None] * qn[None, :]
             )
-            ex = _exact_batch_pairs(x, vid, qids, qm, qn, exact_take)
+            tsims[vid[:, None] == qids[None, :]] = -np.inf
+            pq = _pq_batch_candidates(
+                x, vid, qids, books, lut, half_norms, m, dsub, take_batch,
+                exact_sims=tsims,
+            )
+            ex = _exact_batch_pairs(
+                x, vid, qids, qm, qn, exact_take, sims=tsims
+            )
             yield pd.DataFrame(
                 {
                     "arm": np.concatenate(
@@ -891,18 +927,28 @@ def pq_topk_with_exact(
                     "score": np.concatenate(
                         [pq["adc"], ex["sim"], np.array([0.0])]
                     ),
+                    "sim": np.concatenate(
+                        [pq["sim"], ex["sim"], np.array([0.0])]
+                    ),
                 }
             )
 
     combined = (
         emb.select("vec_id", "embedding")
-        .mapInPandas(kernel, "arm int, q_id long, neighbor_id long, score double")
+        .mapInPandas(
+            kernel,
+            "arm int, q_id long, neighbor_id long, score double, sim double",
+        )
         .persist()
     )
     cand = combined.filter(F.col("arm") == 0).select(
-        "q_id", "neighbor_id", F.col("score").alias("adc")
+        "q_id", "neighbor_id", F.col("score").alias("adc"), "sim"
     )
-    result = _pq_rerank(emb, queries, cand, k, rerank)
+    # re-rank = two window cuts over the cache: global ADC shortlist
+    # (carrying the kernel-computed true cosine), then the true-cosine
+    # cut — no emb/queries joins (see docstring)
+    short = _global_topk(cand, rerank, score="adc", emit_score=False, keep=("sim",))
+    result = _global_topk(short, k)
     exact = _global_topk(
         combined.filter(F.col("arm") == 1).select(
             "q_id", "neighbor_id", F.col("score").alias("sim")
