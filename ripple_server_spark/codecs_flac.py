@@ -342,15 +342,22 @@ def parse_flac(b: bytes):
     got = 0
     nbits = len(b) * 8
     while r.pos + 32 <= nbits and (total == 0 or got < total):
+        frame_start = r.pos
         sync = r.read(14)
         if sync != 0b11111111111110:
             if total == 0 and got > 0:
                 # STREAMINFO total_samples == 0 means "unknown length"
-                # (spec-valid): with at least one decoded frame, bytes
-                # that no longer sync are trailing non-frame content
-                # (padding, an ID3v1 tag) — end of stream, not an
-                # error (ADVICE r10)
-                break
+                # (spec-valid): with at least one decoded frame, a
+                # non-syncing remainder may be a legitimate TRAILER —
+                # zero padding and/or an ID3v1 'TAG' block — which
+                # ends the stream (ADVICE r10). Anything else is
+                # mid-stream corruption and must still raise: silently
+                # truncating the decode would return a partial signal
+                # with no error (ADVICE r11).
+                rest = b[(frame_start + 7) // 8 :]
+                unpadded = rest.lstrip(b"\x00")
+                if not unpadded or unpadded[:3] == b"TAG":
+                    break
             raise ValueError("flac: lost frame sync")
         r.read(1)  # reserved
         r.read(1)  # blocking strategy

@@ -218,6 +218,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        -100.0), 100.0) * 1000 + 0.5)
                   AS BIGINT) AS x
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      WHERE len(embedding) = 64
     ),
     seeds AS (
       SELECT vec_id,
@@ -290,7 +291,12 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — no UDFs, no driver loops, no collect; seed selection is
     TakeOrderedAndProject (top-8 by hash), never a global sort."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    # the oracle enumerates EXACTLY 64 positions per vector; pin the
+    # same dimension contract here (ADVICE r11) — an off-contract
+    # embedding is excluded by BOTH engines instead of the oracle
+    # counting its NULL out-of-range positions into centroid
+    # denominators that Spark's posexplode never emits
+    v = emb.filter(F.size("embedding") == 64).select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select(
         "vec_id",

@@ -246,6 +246,14 @@ def validate_topic_name(topic: str) -> None:
             f"invalid topic name {topic!r}: '--' is reserved as the "
             "offsets-file separator"
         )
+    if topic.startswith("-"):
+        # a consumer id ending in '-' before the '--' separator would
+        # make '<c->--<-b>.json' end with '--b.json' and alias topic
+        # 'b' in delete_topic's offsets sweep (ADVICE r11)
+        raise ValueError(
+            f"invalid topic name {topic!r}: a leading '-' makes the "
+            "offsets-file suffix ambiguous"
+        )
 
 
 def _ensure_topic(root: str, topic: str, n_buckets: int) -> None:

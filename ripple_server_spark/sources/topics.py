@@ -584,9 +584,18 @@ class TopicStore:
 
         The offsets sweep matches on the ``--{topic}.json`` suffix,
         which is unambiguous because ``validate_topic_name`` (enforced
-        at every create path) rejects ``--`` in topic names — a
+        at every create path, and re-checked HERE before any path
+        resolves) rejects ``--`` and a leading ``-`` in topic names — a
         consumer id may contain ``--``, but the TOPIC side of the
-        separator cannot (review r11)."""
+        separator cannot (review r11).
+
+        The entry validation is the destructive-path guard (ADVICE
+        r11): without it, ``delete_topic("..")`` resolved topic_dir to
+        the topics ROOT and rmtree'd the entire store, and path-segment
+        names like ``a/b`` escaped the layout."""
+        from ripple_server_spark.sources.datasink import validate_topic_name
+
+        validate_topic_name(topic)
         tdir = self.topic_dir(topic)
         if not os.path.isdir(tdir):
             raise FileNotFoundError(f"topic {topic!r} does not exist")
@@ -620,7 +629,16 @@ class TopicStore:
         the committed {bucket: offset} map. One atomic offsets
         publish (:meth:`commit_many`); O(manifest), no Spark job —
         floors and maxima are commit state. Time-based resets are
-        :meth:`seek_to_timestamp`."""
+        :meth:`seek_to_timestamp`.
+
+        OPERATIONAL CONTRACT (ADVICE r11): run resets only while the
+        consumer's group is QUIESCED — the same rule Kafka enforces by
+        requiring the group inactive for ``--reset-offsets``. This
+        publish is deliberately not generation-fenced (it is the
+        recovery tool an operator reaches for precisely when a group's
+        generation state is the thing being repaired), so a reset
+        racing a live fenced member would overwrite offsets that
+        member commits next."""
         if to not in ("earliest", "latest"):
             raise ValueError(
                 f"reset_offsets: to must be 'earliest' or 'latest', got {to!r}"

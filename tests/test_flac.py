@@ -248,6 +248,16 @@ def test_unknown_length_stream_tolerates_trailing_bytes():
     bad[8 + 34] = 0x00  # clobber the first frame's sync byte
     with pytest.raises(ValueError, match="lost frame sync"):
         parse_flac(bytes(bad))
+    # mid-stream corruption in an unknown-length stream must RAISE,
+    # not silently truncate (ADVICE r11): a non-syncing remainder is
+    # only accepted as end-of-stream when it looks like a legitimate
+    # trailer (zero padding / ID3v1 'TAG')
+    garbage = bytes(b) + b"\x12\x34\x56\x78" * 8
+    with pytest.raises(ValueError, match="lost frame sync"):
+        parse_flac(garbage)
+    # zero padding before the ID3v1 tag is still a legitimate trailer
+    padded = bytes(b) + bytes(16) + b"TAG" + bytes(125)
+    assert np.array_equal(parse_flac(padded).data, data)
 
 
 def test_residual_partition_that_cannot_cover_order_raises():

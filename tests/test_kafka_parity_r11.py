@@ -753,9 +753,15 @@ def test_topic_name_validation_guards_layout(spark, tmp_path):
     """'--' is the offsets-file separator and topic dirs are paths:
     names that would break either are rejected at every create path."""
     st = TopicStore(spark, str(tmp_path / "names"))
-    for bad in ("a--b", "", "..", "a/b", "a b", "x" * 250):
+    for bad in ("a--b", "", "..", "a/b", "a b", "x" * 250, "-b"):
         with pytest.raises(ValueError, match="invalid topic name"):
             st.create_topic(bad)
+    # the DESTRUCTIVE path re-validates at entry (ADVICE r11):
+    # delete_topic("..") used to resolve to the topics root and rmtree
+    # the entire store; it must reject before resolving any path
+    for bad in ("..", ".", "a/b", "-b"):
+        with pytest.raises(ValueError, match="invalid topic name"):
+            st.delete_topic(bad)
     # consumer ids MAY contain '--': the suffix match still splits
     # unambiguously because the topic side cannot
     st.create_topic("b", n_buckets=2)
