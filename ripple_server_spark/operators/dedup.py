@@ -306,27 +306,27 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
-    Shuffle budget (the 100 TB shape): the shingle explode STREAMS
-    into the signature aggregate — it is never persisted corpus-wide
-    (r12; the pre-r12 form cached the exploded shingle table, |docs| x
-    ~L rows, purely so verification could reuse it — recomputing
-    shingles for the candidate-pruned verify side is cheaper than two
-    corpus-sized cache writes+reads, measured 3.4/16.6 -> 3.2/6.4 s
-    warm/cold at sf0.1, and removes the only corpus-sized cache in the
-    dedup family). The signature aggregate is partial-agg so its
-    shuffle carries |docs| wide rows (never the shingle table); the
-    band self-join shuffles docs x bands rows; verification prunes a
-    freshly derived shingle table to CANDIDATE docs before any join or
-    persist (verify_jaccard). A kernel-signature variant
-    (minhash_band_hashes_from_docs) computes the mins per doc in
-    Python instead — bit-identical and shuffle-free on the signature
-    side, but JVM md5 under codegen beats Python hashlib in steady
-    state (r12 A/B: 3.8-4.0 s vs this form's 3.2-3.4), so the expr
-    path stays the default.
+    Shuffle budget (the 100 TB shape): signature aggregation is
+    partial-agg so its shuffle carries |docs| wide rows (never the
+    shingle table); the band self-join shuffles docs x bands rows; and
+    verification prunes the shingle table to candidate docs before any
+    join (verify_jaccard). Persists at the plan fan-outs — including
+    the exploded shingle table, which feeds both the signature
+    aggregate and verification.
 
-    Persists: the band table (its self-join references it twice) and
-    the candidate set (verification fans it out three ways) — both
-    O(docs) narrow rows, never shingles.
+    Two alternatives were A/B/C-measured this round (r12, guide §1.6)
+    on an idle box, 4 interleaved reps each at sf0.1, and REJECTED:
+    (B) Python-kernel signatures (minhash_band_hashes_from_docs,
+    bit-identical, shuffle-free signature side) — JVM md5 under
+    codegen beats Python hashlib in steady state (best-rep 3.27 s vs
+    3.18); (C) streaming the shingle explode into the aggregate with
+    verification re-deriving candidate-pruned shingles (no corpus-
+    sized cache) — the second shingle-kernel pass costs more than the
+    cache round-trip (best-rep 3.77 s vs 3.18; C only wins cold-start,
+    6.4 vs 16.6 s, which the bench's warmup amortizes). At 100 TB the
+    persist is MEMORY_AND_DISK and C becomes the right shape once the
+    shingle table exceeds cluster cache — that switch is a deployment
+    choice documented here, not a code fork.
     """
     # Parallelism recovery (same rationale as minhash_band_hashes_from_
     # docs): a corpus packed into few row groups — the local fixture is
@@ -337,9 +337,10 @@ def minhash_lsh_dedup(
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    band_df = minhash_band_hashes(shingle_sets(docs), perms, bands).persist()
+    sh = shingle_sets(docs).persist()
+    band_df = minhash_band_hashes(sh, perms, bands).persist()
     cand = lsh_candidates(band_df, max_bucket_size=max_bucket_size).persist()
-    return verify_jaccard(cand, shingle_sets(docs), threshold)
+    return verify_jaccard(cand, sh, threshold)
 
 
 def ngram_jaccard_pairs(

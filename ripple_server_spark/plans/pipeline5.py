@@ -773,17 +773,14 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast — the corpus band side never shuffles; candidate
     verification inherits verify_jaccard's candidate-doc pruning."""
     docs = load_table(spark, sf_dir, "documents")
-    # r12: the shingle explode streams into the signature aggregate —
-    # no corpus-wide persisted shingle table; verification re-derives
-    # shingles and prunes them to candidate docs before persisting
-    # (verify_jaccard), same shape as minhash_lsh_dedup
-    bands = _dedup.minhash_band_hashes(_dedup.shingle_sets(docs)).persist()
+    sh = _dedup.shingle_sets(docs).persist()
+    bands = _dedup.minhash_band_hashes(sh).persist()
     cand = (
         _dedup.lsh_candidates(bands)
         .filter((F.col("doc_a") < 10) & (F.col("doc_b") >= 10))
         .persist()
     )
-    pairs = _dedup.verify_jaccard(cand, _dedup.shingle_sets(docs), JACCARD_THRESHOLD)
+    pairs = _dedup.verify_jaccard(cand, sh, JACCARD_THRESHOLD)
     contaminated = (
         pairs.select(F.col("doc_b").alias("doc_id"))
         .distinct()
