@@ -68,17 +68,24 @@ def connected_components(
         # and silently return identity labels — exactly the partial
         # fixpoint the fail-loud guard below exists to prevent
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    # Persist before the tier-choosing count: without it the (possibly
-    # expensive) edge-producing pipeline would run twice — once for
-    # count(), once for the collect()/loop that follows.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    n_edges = e.count()
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # vertex dtype follows the input (content-hash/string ids work in
     # BOTH tiers, not just the distributed one); the byte estimate uses
     # a wider per-edge cost for non-fixed-width ids
     id_type = dict(e.dtypes)["a"]
     edge_bytes = _EDGE_BYTES if id_type in ("bigint", "int", "smallint", "tinyint") else 4 * _EDGE_BYTES
-    if n_edges * edge_bytes <= max_local_edge_bytes:
+    # Tier probe = ONE capped collect (r12, guide §1.4): rows <= cap
+    # iff bytes <= budget, so collecting at most cap+1 rows answers
+    # the old count() AND, when the local tier wins (the common case —
+    # near-dup edge sets are orders of magnitude smaller than their
+    # corpus), already delivers the complete edge set. The pre-r12
+    # shape persisted the edges, ran a count job to pick the tier,
+    # then re-read the cache to collect — one extra job plus a full
+    # cache materialization per call. The collect is bounded at cap+1
+    # rows by construction, never the raw frame.
+    cap_rows = max_local_edge_bytes // edge_bytes
+    probe = e.limit(cap_rows + 1).collect()
+    if len(probe) <= cap_rows:
         parent: dict = {}
 
         def find(x):
@@ -88,9 +95,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        rows = e.collect()
-        e.unpersist()
-        for row in rows:
+        for row in probe:
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -98,10 +103,15 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             labels, f"id {id_type}, comp {id_type}"
         )
+    # Over budget: distributed min-label propagation over the full
+    # frame. Persist before the symmetrize (it references e twice);
+    # the probe's partial output is discarded.
+    raw_e = e.persist()
     # Symmetrize once; distinct also dedups multi-edges so every round's
     # join fans out minimally.
-    raw_e = e
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = raw_e.union(
+        raw_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     e = e.localCheckpoint()
     raw_e.unpersist()  # the checkpoint carries the data now
 
