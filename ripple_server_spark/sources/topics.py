@@ -41,7 +41,7 @@ import uuid
 import weakref
 from contextlib import contextmanager as _contextmanager
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ripple_server_spark.config import APPLIED_IDS_KEEP, N_BUCKETS
@@ -179,6 +179,92 @@ def _micros_ts_writes(df: DataFrame):
         yield eng.table(f"{gdb}.{name}")
     finally:
         spark.catalog.dropGlobalTempView(name)
+
+
+def _produce_stage_kernel(data_dir: str, base: dict[int, int], file_cols: list[str]):
+    """mapInArrow kernel for :meth:`TopicStore.produce`'s staging write:
+    sort the task's rows by (bucket, ts, event_id) — ascending, NULLS
+    FIRST, the exact order the old window plan used — assign contiguous
+    per-bucket seqs from the driver-shipped maxima, and write ONE
+    parquet file per (task, bucket) straight into the live bucket dirs
+    under collision-free names (invisible until the manifest commit, the
+    same protocol as the native sink's ``_task_append``). Returns one
+    (bucket, n, rel) row per file; the caller's collect is bounded by
+    the bucket count.
+
+    Why not ``df.write.partitionBy("bucket")``: the Hadoop commit
+    protocol serializes driver-side renames + existence checks per
+    partition directory and per file (~0.3-0.5 s per produce at bench
+    scale, measured r12 — the same overhead wave 1 removed from the
+    rollup refresh), and the staged files then paid a second
+    driver-side rename in ``_move_staged``. pyarrow writes the SAME
+    physical layout (TIMESTAMP_MICROS with min/max statistics — the
+    ``_micros_ts_writes`` contract; snappy; one row group per file at
+    produce batch sizes) with zero committer involvement. A failed or
+    speculative task attempt leaves only uniquely-named orphans that no
+    manifest references (vacuum reclaims them), identical to the sink's
+    crash story. Memory: one task buffers its partitions' batch rows to
+    sort them — the same per-task profile as ``_task_append``; produce
+    batch size over bucket count bounds it.
+
+    Correctness notes: a bucket's rows land in exactly ONE task (the
+    caller repartitions by bucket), so per-bucket seq ranges never
+    overlap; ``base`` is re-validated inside the manifest commit (seq
+    race -> rebase), so a stale driver read cannot publish overlapping
+    seqs; Arrow's ``null_placement="at_start"`` matches Spark's
+    ascending NULLS FIRST so seq assignment over NULL order keys is
+    unchanged; an input ``seq`` column is dropped and recomputed at its
+    original position (``file_cols``), the old withColumn-overwrite
+    contract."""
+
+    def stage(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+            null_placement="at_start",
+        )
+        tbl = tbl.take(idx)
+        bvals = tbl["bucket"].to_numpy(zero_copy_only=False)
+        out = []
+        for bb in np.unique(bvals):
+            bb = int(bb)
+            sub = tbl.filter(pc.equal(tbl["bucket"], bb))
+            if "seq" in sub.column_names:
+                sub = sub.drop_columns("seq")
+            sub = sub.append_column(
+                "seq",
+                pa.array(
+                    np.arange(sub.num_rows, dtype=np.int64) + base.get(bb, -1) + 1
+                ),
+            )
+            sub = sub.select(file_cols)
+            os.makedirs(os.path.join(data_dir, f"bucket={bb}"), exist_ok=True)
+            rel = f"bucket={bb}/prd-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(sub, os.path.join(data_dir, rel))
+            out.append((bb, sub.num_rows, rel))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([o[0] for o in out], pa.int32()),
+                pa.array([o[1] for o in out], pa.int64()),
+                pa.array([o[2] for o in out], pa.string()),
+            ],
+            names=["bucket", "n", "rel"],
+        )
+
+    return stage
 
 
 class TopicStore:
@@ -724,41 +810,57 @@ class TopicStore:
         routed = df.withColumn(
             "bucket", F.coalesce(bucket_of(F.col(key_col), n_buckets), F.lit(0))
         )
-        w = Window.partitionBy("bucket").orderBy("ts", "event_id")
-        # Base-seq lookup via a broadcast join of the tiny maxima map
-        # (never a Python UDF on the data path).
-        base_df = self.spark.createDataFrame(
-            [(b, m) for b, m in existing.items()] or [(-1, -1)], ["bucket", "max_seq"]
-        )
-        routed = (
-            routed.join(F.broadcast(base_df), on="bucket", how="left")
-            .withColumn("max_seq", F.coalesce(F.col("max_seq"), F.lit(-1)))
-            .withColumn("seq", F.col("max_seq") + F.row_number().over(w))
-            .drop("max_seq")
-        )
-        # Total + per-bucket counts observed DURING the write (metrics
-        # piggyback on the one action) — no persist, no second pass over
-        # the batch, and the maxima cache updates for free.
-        staging = os.path.join(self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}")
-        obs = Observation()
-        metrics = [F.count(F.lit(1)).alias("n")] + [
-            F.count(F.when(F.col("bucket") == b, 1)).alias(f"c{b}")
-            for b in range(n_buckets)
-        ]
-        with _micros_ts_writes(routed) as engine_routed:
-            engine_routed.observe(obs, *metrics).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(staging)
-        got = obs.get
+        in_names = [f.name for f in df.schema.fields]
+        for req in ("ts", "event_id"):
+            if req not in in_names:
+                raise ValueError(
+                    f"produce requires column {req!r} (the (ts, event_id) "
+                    "FIFO order key — native-sink parity)"
+                )
         # Message schema of the staged files (bucket is a partition dir,
         # not a file column): tracked in the manifest so reads only pay
         # footer-merging (mergeSchema) after a producer actually evolved
         # the schema — the Delta/Iceberg metadata-tracked-evolution shape.
-        fields = [
-            f"{f.name}:{f.dataType.simpleString()}"
-            for f in routed.drop("bucket").schema.fields
-        ]
-        if int(got["n"]) == 0:
+        # Derived driver-side BEFORE the write; seq lands at its original
+        # position when the batch carries one (consume->produce round
+        # trip), appended otherwise — the old withColumn-overwrite order.
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        types["seq"] = "bigint"
+        file_cols = [n for n in in_names if n != "bucket"]
+        if "seq" not in file_cols:
+            file_cols.append("seq")
+        fields = [f"{n}:{types[n]}" for n in file_cols]
+        # One exchange (hash on bucket — a bucket's rows land in exactly
+        # one task, the old window plan's partitioning), then the Arrow
+        # kernel sorts, assigns contiguous per-bucket seqs from the
+        # driver-read maxima, and stages parquet straight into the
+        # bucket dirs — no Hadoop committer, no per-partition driver
+        # renames, no _move_staged second rename, and the per-bucket
+        # counts ride back on the same job (no Observation). The maxima
+        # base is re-validated inside the manifest commit (_SeqRace),
+        # exactly as before.
+        data_dir = self.data_dir(topic)
+        os.makedirs(data_dir, exist_ok=True)
+        kernel = _produce_stage_kernel(
+            data_dir, {int(b): int(m) for b, m in existing.items()}, file_cols
+        )
+        staged = (
+            routed.repartition("bucket")
+            .mapInArrow(kernel, "bucket int, n long, rel string")
+            .collect()
+        )
+        counts: dict[int, int] = {}
+        for r in staged:
+            if int(r["bucket"]) in counts:
+                # would mean two tasks held the same bucket and assigned
+                # overlapping seqs — must never commit
+                raise RuntimeError(
+                    f"produce staged bucket {int(r['bucket'])} from two "
+                    "tasks; repartition(bucket) invariant violated"
+                )
+            counts[int(r["bucket"])] = int(r["n"])
+        n_total = sum(counts.values())
+        if n_total == 0:
             # Empty batch: nothing to append — do NOT burn a manifest
             # version for a no-op (high-frequency producers would churn
             # the log and break "version == change"). But the batch's
@@ -767,7 +869,6 @@ class TopicStore:
             # commit a metadata-only manifest (the Delta "empty write
             # still commits the schema change" shape) so a later read
             # serves the typed columns instead of losing them.
-            shutil.rmtree(staging, ignore_errors=True)
             prev_schema = meta.get("schema")
             new_fields = [
                 f for f in fields if f not in (prev_schema or [])
@@ -789,12 +890,12 @@ class TopicStore:
 
                 self._commit(topic, base_v, apply_schema)
             return 0
-        new_files = self._move_staged(topic, staging)
+        new_files = sorted(r["rel"] for r in staged)
         maxima = {
-            b: existing.get(b, -1) + int(got[f"c{b}"]) for b in range(n_buckets)
+            b: existing.get(b, -1) + counts.get(b, 0) for b in range(n_buckets)
         }
 
-        touched = [b for b in range(n_buckets) if int(got[f"c{b}"]) > 0]
+        touched = [b for b in range(n_buckets) if counts.get(b, 0) > 0]
         state = {"files": new_files, "existing": existing, "maxima": maxima}
 
         class _SeqRace(Exception):
@@ -891,7 +992,7 @@ class TopicStore:
                 state["files"] = self._move_staged(topic, restage)
                 state["existing"] = new_existing
                 state["maxima"] = {
-                    b: new_existing.get(b, -1) + int(got[f"c{b}"])
+                    b: new_existing.get(b, -1) + counts.get(b, 0)
                     for b in touched
                 }
                 base_v, _ = self.latest_manifest(topic)
@@ -899,7 +1000,7 @@ class TopicStore:
             committed["version"],
             {int(b): x for b, x in committed["maxima"].items()},
         )
-        return int(got["n"])
+        return n_total
 
     def _bucket_maxima(self, topic: str) -> dict[int, int]:
         """Current max seq per bucket: warm from the version-stamped

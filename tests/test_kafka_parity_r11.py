@@ -359,17 +359,20 @@ def test_producer_fence_landing_mid_produce_is_atomic(
     st.produce(_wave(spark, 0), "t", producer_epoch=0)
     before = st.read_topic("t").count()
 
-    orig = st._move_staged
+    # Hook the manifest-commit seam: by the first _commit call the
+    # produce has already staged its files (the mapInArrow kernel wrote
+    # them during the collect), so fencing here lands between stage and
+    # commit — the window the test has always exercised.
+    orig = st._commit
     fired = {"done": False}
 
-    def fence_then_move(topic, staging):
-        out = orig(topic, staging)
+    def fence_then_commit(topic, base_version, apply):
         if not fired["done"]:
             fired["done"] = True
             st.fence_producers(topic)  # lands between stage and commit
-        return out
+        return orig(topic, base_version, apply)
 
-    monkeypatch.setattr(st, "_move_staged", fence_then_move)
+    monkeypatch.setattr(st, "_commit", fence_then_commit)
     with pytest.raises(StaleProducerEpochError):
         st.produce(_wave(spark, 1), "t", producer_epoch=0)
     monkeypatch.undo()

@@ -877,3 +877,75 @@ def test_rekey_topic_rebuilds_clean_mapping_after_expand(spark, sf_dir, tmp_path
     assert st.rekey_topic("rk", "rk3", batch_id="copy-1") == 0  # replay
     with pytest.raises(ValueError, match="distinct destination"):
         st.rekey_topic("rk", "rk")
+
+
+def test_produce_kernel_stage_equivalence(spark, tmp_path):
+    """r12 optimization pin: produce's pyarrow staging kernel
+    (_produce_stage_kernel) must reproduce the old window+partitionBy
+    plan exactly — seq order (ts, event_id) ascending NULLS FIRST per
+    bucket, TIMESTAMP_MICROS physical columns WITH min/max statistics
+    (the _micros_ts_writes contract the old Spark writer honored), and
+    recomputing any seq/bucket columns the batch already carries with
+    seq at its original schema position (the withColumn-overwrite
+    contract a consume->produce round trip relies on)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    st = TopicStore(spark, str(tmp_path / "kern"))
+    st.create_topic("k", n_buckets=2)
+    base_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        # event_id 5/6: NULL ts -> must take the LOWEST seqs of their
+        # bucket (NULLS FIRST, the old window's ascending default);
+        # event_id 0..4: ts descending by id -> seq must INVERT id order
+        [(0, 0, 4), (1, 0, 3), (2, 0, 2), (3, 0, 1), (4, 0, 0), (5, 0, None), (6, 1, None), (7, 1, 0)],
+        "event_id bigint, user_id bigint, off int",
+    ).select(
+        "event_id",
+        F.when(
+            F.col("off").isNotNull(),
+            base_ts + F.make_interval(secs=F.col("off")),
+        ).alias("ts"),
+        "user_id",
+    )
+    assert st.produce(df, "k") == 8
+    got = {
+        (r["bucket"], r["seq"]): r["event_id"]
+        for r in st.read_topic("k").collect()
+    }
+    # bucket 0: NULL-ts row first, then ts ascending (= event_id 4..0)
+    assert [got[(0, s)] for s in range(6)] == [5, 4, 3, 2, 1, 0]
+    # bucket 1: NULL ts (6) before ts=0 (7)
+    assert [got[(1, s)] for s in range(2)] == [6, 7]
+
+    # physical layout: timestamp[us] with statistics on every column
+    f = sorted(
+        glob.glob(os.path.join(st.data_dir("k"), "bucket=0", "*.parquet"))
+    )[0]
+    sch = pq.read_schema(f)
+    assert str(sch.field("ts").type).startswith("timestamp[us")
+    rg = pq.read_metadata(f).row_group(0)
+    for i in range(rg.num_columns):
+        col = rg.column(i)
+        assert col.statistics is not None, col.path_in_schema
+
+    # a batch already carrying seq/bucket: both recomputed, seq at its
+    # original position, values from THIS produce (not the stale ones)
+    st.create_topic("k2", n_buckets=2)
+    carried = df.withColumn("seq", F.lit(999).cast("bigint")).withColumn(
+        "bucket", F.lit(77)
+    )
+    assert st.produce(carried, "k2") == 8
+    rt = st.read_topic("k2")
+    names = [fld.name for fld in rt.schema.fields]
+    # seq keeps its pre-bucket position; bucket is the partition column
+    assert names.index("seq") < len(names) - 1
+    assert rt.filter(F.col("seq") == 999).count() == 0
+    assert sorted(r["bucket"] for r in rt.select("bucket").distinct().collect()) == [0, 1]
+    per_bucket = rt.groupBy("bucket").agg(
+        F.min("seq").alias("mn"), F.max("seq").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    for r in per_bucket:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
