@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ripple_server_spark.config import default_sf_dir  # noqa: E402
+from ripple_server_spark.config import default_cpus, default_sf_dir  # noqa: E402
 from ripple_server_spark.plans.registry import bench_queries  # noqa: E402
 from ripple_server_spark.session import get_spark  # noqa: E402
 
@@ -202,6 +202,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Scaling audit (VERDICT r12 item 2): record the core count the
+        # session ACTUALLY ran with, so the driver's low-core comparison
+        # is verifiable from the artifact itself instead of trusted.
+        "cpus": default_cpus(),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     # Full document (metric + per-run adjudication) persisted to a
     # repo-committed artifact. The driver records only a fixed-size TAIL

@@ -27,11 +27,41 @@ extension ops (near-dup, ANN) go through LSH-style candidate
 generation instead of cross joins.
 """
 
-from ripple_server_spark.session import get_spark
-from ripple_server_spark.catalog import TABLES, load_table, register_views
-from ripple_server_spark.sources.topics import TopicStore
-from ripple_server_spark.sources.rollup import HourlyRollup
-from ripple_server_spark.operators.dedup import IncrementalSetSimJoin
+# Lazy re-exports (PEP 562): the eager form imported session + catalog +
+# topics + rollup + dedup (transitively pyspark.sql, pandas, numpy) the
+# moment ANY submodule was touched — ~0.5 s added to every process that
+# imports one module from the package, and the Python STREAMING source
+# runner plus every executor worker that unpickles a reader/kernel is
+# such a process (guide §1.4 fixed overheads: this was ~20% of a
+# streaming query's bring-up). `from ripple_server_spark import
+# TopicStore` still works; it just resolves on first attribute access.
+_EXPORTS = {
+    "get_spark": ("ripple_server_spark.session", "get_spark"),
+    "TABLES": ("ripple_server_spark.catalog", "TABLES"),
+    "load_table": ("ripple_server_spark.catalog", "load_table"),
+    "register_views": ("ripple_server_spark.catalog", "register_views"),
+    "TopicStore": ("ripple_server_spark.sources.topics", "TopicStore"),
+    "HourlyRollup": ("ripple_server_spark.sources.rollup", "HourlyRollup"),
+    "IncrementalSetSimJoin": (
+        "ripple_server_spark.operators.dedup",
+        "IncrementalSetSimJoin",
+    ),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    value = getattr(importlib.import_module(mod_name), attr)
+    globals()[name] = value  # cache: next access skips __getattr__
+    return value
+
 
 __all__ = [
     "get_spark",

@@ -772,6 +772,12 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
         self.topic = _required_opt(options, "topic")
         self.batch_size = int(options.get("batch_size", 10_000))
         self.start_at = _check_start_at(options.get("start_at", "earliest"))
+        # Catch-up chunk sizing target (bytes of bucket data per chunk
+        # task) — see partitions(); an option so a deployment can trade
+        # task granularity against decode overlap without code changes.
+        self._chunk_target_bytes = int(
+            options.get("catch_up_chunk_bytes", 32 << 20)
+        )
         # Last planned/committed per-bucket cursors — the admission
         # anchor. None until initialOffset/partitions/commit runs
         # (i.e. until the first offset state of this reader's life).
@@ -921,8 +927,37 @@ class RippleTopicPartitionedStreamReader(DataSourceStreamReader):
             # space no file retains (ADVICE r07); the clamp skips the
             # retention hole in one step, like latestOffset's admission
             off = max(off, min(upto, floors.get(str(b), 0)))
+            span = upto - off
+            if span <= 0:
+                continue
+            # Catch-up chunking (span > batch_size happens only on the
+            # uncapped first offer / replay): a seq-range chunk can only
+            # SKIP data at row-group granularity, so more chunks than
+            # the bucket's scan can prune means every extra task
+            # re-decodes the same row groups and filters them away —
+            # measured r13: an 8-bucket single-file-per-bucket drain
+            # split 5 chunks/bucket decoded every bucket 5x. Bound the
+            # chunk count by the pruning granularity the driver can see
+            # without opening footers: at least one chunk per FILE
+            # (every file is >= 1 row group) plus one per
+            # catch_up_chunk_bytes of bucket bytes (row groups inside a
+            # large compacted file are far smaller than that, so decode
+            # overlap per chunk stays bounded while a one-file backlog
+            # still fans out). Steady-state triggers (span <=
+            # batch_size) are a single task as before.
+            want = -(-span // self.batch_size)
+            if want > 1:
+                try:
+                    nbytes = sum(os.path.getsize(f) for f in files)
+                except OSError:
+                    nbytes = 0
+                cap = max(
+                    len(files), -(-nbytes // self._chunk_target_bytes), 1
+                )
+                want = min(want, cap)
+            width = -(-span // want)
             while off < upto:
-                hi = min(upto, off + self.batch_size)
+                hi = min(upto, off + width)
                 parts.append(BucketPartition(files, b, off, None, upto=hi))
                 off = hi
         # replay after a crash lands here without a commit() first, and

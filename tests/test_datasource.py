@@ -642,31 +642,54 @@ def test_partitioned_latest_offset_skips_floor_hole(spark, sf_dir, tmp_path):
             assert cur[str(b)] >= fl, "cursor crawled instead of clamping to floor"
 
 
-def test_partitioned_catchup_chunks_split_within_bucket(spark, planner_store):
-    """A catch-up range wider than batch_size splits into multiple
-    partitions per bucket — contiguous, disjoint, each at most
-    batch_size seqs wide — so a backlog drain parallelizes beyond the
-    bucket count."""
-    r = _planner(planner_store, batch_size=10)
-    start = r.initialOffset()
-    end = r.latestOffset()  # anchor-fresh reader... anchored by initialOffset
-    # force the full-range case explicitly: plan [0, hwm) per bucket
+def test_partitioned_catchup_chunks_split_within_bucket(spark, sf_dir, tmp_path):
+    """Catch-up chunking follows the PRUNING granularity (r13): a
+    bucket whose retained range is one file plans ONE partition (more
+    chunks than the scan can skip just re-decode the same row groups),
+    while a multi-file bucket still splits into contiguous, disjoint
+    chunks covering exactly [floor, hwm) so a backlog drain
+    parallelizes beyond the bucket count."""
     import json as _json
 
     from ripple_server_spark.sources.datasource import _log_bounds
 
-    _, maxima, _ = _log_bounds(planner_store.root, "pl")
+    st = TopicStore(spark, str(tmp_path / "chunk_topics"))
+    st.create_topic("pl", n_buckets=2)
+    ev = load_table(spark, sf_dir, "events")
+
+    # one produce -> one file per bucket: catch-up must NOT chunk
+    st.produce(_wave(ev, 0, 100), "pl")
+    r = _planner(st, batch_size=10)
+    start = r.initialOffset()
+    _, maxima, _ = _log_bounds(st.root, "pl")
     full_end = {"cursors": _json.dumps({b: mx + 1 for b, mx in maxima.items()})}
     parts = r.partitions(start, full_end)
-    assert len(parts) > len(maxima), "catch-up did not chunk within buckets"
+    assert len(parts) == len(maxima), (
+        "single-file buckets should plan one chunk each (no redundant "
+        f"decode), got {len(parts)}"
+    )
+
+    # four more produces -> five files per bucket: catch-up chunks, one
+    # chunk per file at most, contiguous and disjoint over the range
+    for lo in range(100, 500, 100):
+        st.produce(_wave(ev, lo, lo + 100), "pl")
+    r2 = _planner(st, batch_size=10)
+    start2 = r2.initialOffset()
+    _, maxima2, _ = _log_bounds(st.root, "pl")
+    full_end2 = {
+        "cursors": _json.dumps({b: mx + 1 for b, mx in maxima2.items()})
+    }
+    parts2 = r2.partitions(start2, full_end2)
+    assert len(parts2) > len(maxima2), "catch-up did not chunk within buckets"
     by_bucket: dict[int, list] = {}
-    for p in parts:
-        assert p.upto - p.offset <= 10
+    for p in parts2:
+        assert len(p.files) == 5
         by_bucket.setdefault(p.bucket, []).append((p.offset, p.upto))
     for b, spans in by_bucket.items():
+        assert len(spans) <= 5, "more chunks than files cannot prune"
         spans.sort()
         assert spans[0][0] == 0
-        assert spans[-1][1] == maxima[str(b)] + 1
+        assert spans[-1][1] == maxima2[str(b)] + 1
         for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
             assert hi1 == lo2, "chunks not contiguous/disjoint"
 
