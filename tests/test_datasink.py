@@ -465,3 +465,46 @@ def test_applied_id_retention_window_shared(spark, store, sf_dir):
         store.read_topic("w_keep").filter(F.col("event_id") < 1000).count()
         == 20
     )
+
+
+def test_sink_null_ts_rows_take_lowest_seqs_like_produce(spark, tmp_path):
+    """ADVICE r12 NULL-order drift fix: the sink's per-task sort is
+    (ts, event_id) ascending NULLS FIRST — the same FIFO order key
+    produce() assigns — so NULL-ts rows get the LOWEST seqs of their
+    bucket through BOTH write paths."""
+    from pyspark.sql import functions as F
+
+    from ripple_server_spark.sources.datasource import RippleTopicDataSource
+    from ripple_server_spark.sources.topics import TopicStore
+
+    spark.dataSource.register(RippleTopicDataSource)
+    root = str(tmp_path / "nullts")
+    base_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        # one bucket (user_id 0, 2 buckets): event_id 5 has NULL ts and
+        # must take seq 0; the rest invert id order by descending ts
+        [(0, 0, 4), (1, 0, 3), (2, 0, 2), (3, 0, 1), (4, 0, 0), (5, 0, None)],
+        "event_id bigint, user_id bigint, off int",
+    ).select(
+        "event_id",
+        F.when(
+            F.col("off").isNotNull(),
+            base_ts + F.make_interval(secs=F.col("off")),
+        ).alias("ts"),
+        "user_id",
+    )
+    st = TopicStore(spark, root)
+    st.create_topic("ns", n_buckets=2)
+    (
+        df.coalesce(1)  # one task: the per-task order IS the bucket order
+        .write.format("ripple_topic")
+        .mode("append")
+        .option("root", root)
+        .option("topic", "ns")
+        .save()
+    )
+    got = {
+        r["seq"]: r["event_id"]
+        for r in st.read_topic("ns").filter(F.col("bucket") == 0).collect()
+    }
+    assert [got[s] for s in range(6)] == [5, 4, 3, 2, 1, 0]
