@@ -176,6 +176,7 @@ def ann_recall_audit(
     min_recall: float = 0.7,
     nc: "DataFrame | int | None" = None,
     q_ids: "list | None" = None,
+    caches: tuple = (),
 ) -> DataFrame:
     """One-row ANN audit summary (n_queries, n_returned, recall_ok) —
     the driver-checkable contract shared by the IVF and PQ queries.
@@ -230,6 +231,15 @@ def ann_recall_audit(
         n_corpus = nc
     else:
         n_corpus = nc.collect()[0]["nc"]
+    # every read of the fused-scan cache is done (the folds above are
+    # the last consumers): release it now instead of holding corpus-
+    # sized blocks until the session's next clearCache (r13 hygiene;
+    # callers pass the persisted frames via ``caches``)
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
     expected_k = max(min(k, n_corpus - 1), 0)
     n_queries = len(q_ids)
     n_returned = len(res)
@@ -517,14 +527,14 @@ def ivf_topk_with_exact(
     exact scan at the same (k, margin), so one scan serves both arms
     verbatim.
 
-    Returns ``(result, exact, nc, q_ids)`` like
+    Returns ``(result, exact, nc, q_ids, caches)`` like
     :func:`pq_topk_with_exact`, except ``nc`` is a plain int (the
     count is already on the driver).
     """
     qmx = _query_matrix(queries)
     if qmx is None:
         empty = _empty_topk_result(emb)
-        return empty, empty, None, []
+        return empty, empty, None, [], ()
     n = emb.count()
     nc = n  # the flat-cutoff count doubles as the audit's corpus size
     qids, qm, qn = qmx
@@ -535,10 +545,10 @@ def ivf_topk_with_exact(
         # same frame, computed once.
         if margin == exact_margin:
             flat = cosine_topk_scan_arrow(emb, queries, k=k, margin=margin).persist()
-            return flat, flat, nc, list(qids)
+            return flat, flat, nc, list(qids), (flat,)
         ivf = cosine_topk_scan_arrow(emb, queries, k=k, margin=margin)
         exact = cosine_topk_scan_arrow(emb, queries, k=k, margin=exact_margin)
-        return ivf, exact, nc, list(qids)
+        return ivf, exact, nc, list(qids), ()
     cent = train_centroids(emb, nlist, n=n)
     cell_to_q = _ivf_probe_map(qids, qm, qn, cent, nprobe)
     take = k + margin
@@ -596,7 +606,7 @@ def ivf_topk_with_exact(
     exact = _global_topk(
         combined.filter(F.col("arm") == 1).select("q_id", "neighbor_id", "sim"), k
     )
-    return result, exact, nc, list(qids)
+    return result, exact, nc, list(qids), (combined,)
 
 
 def cosine_topk_scan_arrow(
@@ -865,15 +875,18 @@ def pq_topk_with_exact(
     standalone SQL-cosine the 4-dp emitted sims agree
     (equivalence-tested on the fixture corpus at every SF).
 
-    Returns ``(result, exact, nc, q_ids)``: the PQ top-k, the exact
-    top-k (columns q_id, neighbor_id, sim), a 1-row corpus-count frame
-    for :func:`ann_recall_audit`'s ``nc`` parameter, and the
-    already-collected query-id list for its ``q_ids`` parameter.
+    Returns ``(result, exact, nc, q_ids, caches)``: the PQ top-k, the
+    exact top-k (columns q_id, neighbor_id, sim), a 1-row corpus-count
+    frame for :func:`ann_recall_audit`'s ``nc`` parameter, the
+    already-collected query-id list for its ``q_ids`` parameter, and
+    the persisted fused-scan frames for its ``caches`` parameter (the
+    audit unpersists them once its folds have collected — r13
+    lifecycle hygiene).
     """
     qmx = _query_matrix(queries)
     if qmx is None:
         empty = _empty_topk_result(emb)
-        return empty, empty, None, []
+        return empty, empty, None, [], ()
     qids, qm, qn = qmx
     # normalized copy for the ADC tables (pq_topk's normalize=True)
     qmn = qm / np.maximum(np.linalg.norm(qm, axis=1)[:, None], 1e-12)
@@ -958,4 +971,4 @@ def pq_topk_with_exact(
     nc = combined.filter(F.col("arm") == 2).agg(
         F.coalesce(F.sum("neighbor_id"), F.lit(0)).cast("bigint").alias("nc")
     )
-    return result, exact, nc, list(qids)
+    return result, exact, nc, list(qids), (combined,)

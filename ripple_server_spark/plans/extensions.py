@@ -664,9 +664,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flat-cutoff driver count doubles as the audit's corpus size —
     # see ivf_topk_with_exact; results are bit-identical (shared batch
     # bodies, same _global_topk cuts).
-    ivf, exact, nc, qids = ivf_topk_with_exact(emb, queries, k=3, nlist=32, nprobe=12)
+    ivf, exact, nc, qids, caches = ivf_topk_with_exact(
+        emb, queries, k=3, nlist=32, nprobe=12
+    )
     exact = exact.select("q_id", "neighbor_id", F.col("sim").alias("exact_sim"))
-    return ann_recall_audit(queries, ivf, exact, emb, k=3, nc=nc, q_ids=qids)
+    return ann_recall_audit(
+        queries, ivf, exact, emb, k=3, nc=nc, q_ids=qids, caches=caches
+    )
 
 
 @query(

@@ -280,9 +280,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of three (pq kernel + cosine_topk_scan_arrow + count) —
     # see pq_topk_with_exact; results are bit-identical (shared batch
     # bodies, same _global_topk cuts).
-    pq, exact, nc, qids = pq_topk_with_exact(emb, queries, k=3)
+    pq, exact, nc, qids, caches = pq_topk_with_exact(emb, queries, k=3)
     exact = exact.select("q_id", "neighbor_id", F.col("sim").alias("exact_sim"))
-    return ann_recall_audit(queries, pq, exact, emb, k=3, nc=nc, q_ids=qids)
+    return ann_recall_audit(
+        queries, pq, exact, emb, k=3, nc=nc, q_ids=qids, caches=caches
+    )
 
 
 _COLL_MIN_COUNT = 5

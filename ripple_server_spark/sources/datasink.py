@@ -345,7 +345,8 @@ def _task_append(
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+
+    from ripple_server_spark.sources import fsio
 
     batches = [b for b in batches if b.num_rows]
     if not batches:
@@ -403,7 +404,7 @@ def _task_append(
             seq = pa.array(np.arange(sub.num_rows, dtype=np.int64) + base[bb] + 1)
             out = sub.append_column("seq", seq)
             bdir = f"bucket={bb}"
-            os.makedirs(os.path.join(data_dir, bdir), exist_ok=True)
+            fsio.DATA_FS.makedirs(os.path.join(data_dir, bdir))
             rel = f"{bdir}/dsw-{tag}.parquet"
             # TIMESTAMP(MICROS) matches produce's Spark writer (the
             # write-scoped _micros_ts_writes conf window, topics.py) —
@@ -411,7 +412,7 @@ def _task_append(
             # unlike the INT96 both writers used before round 9, micros
             # columns carry min/max statistics so time seeks/retention
             # prune row groups (readers handle mixed-era topics)
-            pq.write_table(out, os.path.join(data_dir, rel))
+            fsio.DATA_FS.write_table(out, os.path.join(data_dir, rel))
             rel_files.append(rel)
         counts = {bb: parts[bb].num_rows for bb in parts}
 

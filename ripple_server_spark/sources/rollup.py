@@ -218,7 +218,8 @@ class HourlyRollup:
 
             import pandas as pd
             import pyarrow as pa
-            import pyarrow.parquet as pq
+
+            from ripple_server_spark.sources import fsio
 
             chunks = [b for b in batches if len(b)]
             if not chunks:
@@ -234,21 +235,22 @@ class HourlyRollup:
                 ]
             )
             out = []
+            fs = fsio.DATA_FS
             for hk, grp in pdf.groupby("hour_key", sort=False):
                 hdir = os.path.join(data_dir, f"hour_key={hk}")
-                os.makedirs(hdir, exist_ok=True)
+                fs.makedirs(hdir)
                 tbl = pa.Table.from_pandas(
                     grp.drop(columns=["hour_key"]),
                     schema=schema,
                     preserve_index=False,
                 )
                 tmp = os.path.join(hdir, f".tmp-{uuid.uuid4().hex[:12]}")
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, os.path.join(hdir, part_name))
-                for entry in os.listdir(hdir):
+                fs.write_table(tbl, tmp)
+                fs.replace(tmp, os.path.join(hdir, part_name))
+                for entry in fs.listdir(hdir):
                     if entry != part_name and not entry.startswith(".tmp-"):
                         try:
-                            os.remove(os.path.join(hdir, entry))
+                            fs.remove(os.path.join(hdir, entry))
                         except OSError:
                             pass
                 out.append((hk, int(grp["n"].sum())))

@@ -248,7 +248,8 @@ def _produce_stage_kernel(
     def stage(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from ripple_server_spark.sources import fsio
 
         state = {
             "writer": None,  # open pq.ParquetWriter of the current bucket
@@ -289,8 +290,8 @@ def _produce_stage_kernel(
                     close_bucket()
                     state["bucket"] = bb
                     state["next_seq"] = base.get(bb, -1) + 1
-                    os.makedirs(
-                        os.path.join(data_dir, f"bucket={bb}"), exist_ok=True
+                    fsio.DATA_FS.makedirs(
+                        os.path.join(data_dir, f"bucket={bb}")
                     )
                     state["rel"] = (
                         f"bucket={bb}/{prefix}-{uuid.uuid4().hex[:12]}.parquet"
@@ -308,7 +309,7 @@ def _produce_stage_kernel(
                     state["next_seq"] += sub.num_rows
                 sub = sub.select(file_cols)
                 if state["writer"] is None:
-                    state["writer"] = pq.ParquetWriter(
+                    state["writer"] = fsio.DATA_FS.parquet_writer(
                         os.path.join(data_dir, state["rel"]), sub.schema
                     )
                 state["n"] += sub.num_rows
@@ -523,10 +524,12 @@ class TopicStore:
         (ADVICE r12: kernel staging widened that window from ~ms to the
         whole produce job + any rebase retries). Missing files are left
         to the commit path to surface."""
+        from ripple_server_spark.sources import fsio
+
         data = self.data_dir(topic)
         for rel in rels:
             try:
-                os.utime(os.path.join(data, rel))
+                fsio.DATA_FS.utime(os.path.join(data, rel))
             except OSError:
                 pass
 

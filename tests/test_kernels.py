@@ -899,7 +899,7 @@ def test_pq_fused_scan_matches_two_pass(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    fused_pq, fused_exact, nc, qids = pq_topk_with_exact(emb, queries, k=3)
+    fused_pq, fused_exact, nc, qids, _caches = pq_topk_with_exact(emb, queries, k=3)
     assert {tuple(r) for r in fused_pq.collect()} == {
         tuple(r) for r in pq_topk(emb, queries, k=3).collect()
     }
@@ -926,7 +926,7 @@ def test_ivf_fused_scan_matches_two_pass(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     for nlist, nprobe in ((32, 12), (4096, 4)):  # second forces flat fallback
-        fused_ivf, fused_exact, nc, qids = ivf_topk_with_exact(
+        fused_ivf, fused_exact, nc, qids, _caches = ivf_topk_with_exact(
             emb, queries, k=3, nlist=nlist, nprobe=nprobe
         )
         assert {tuple(r) for r in fused_ivf.collect()} == {
@@ -972,3 +972,21 @@ def test_ann_audit_driver_fold_matches_sql_form(spark, sf_dir):
     )
     [row] = ann_recall_audit(empty_q, empty, empty_ex, emb, k=3, nc=500).collect()
     assert (row["n_queries"], row["n_returned"], row["recall_ok"]) == (0, 0, True)
+
+
+def test_audited_ann_queries_leave_no_dangling_cache(spark, sf_dir):
+    """r13 persist hygiene: the fused-scan caches (and the IVF flat
+    fallback's) are unpersisted once ann_recall_audit's driver folds
+    have collected — building the audited ANN queries must leave zero
+    persistent RDDs behind."""
+    from ripple_server_spark.plans.extensions import q_ann_ivf_topk
+    from ripple_server_spark.plans.pipeline6 import q_ann_pq_topk
+
+    spark.catalog.clearCache()
+    for builder in (q_ann_pq_topk, q_ann_ivf_topk):
+        df = builder(spark, sf_dir)
+        df.collect()
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n_cached == 0, (
+            f"{builder.__name__} left {n_cached} persistent RDDs cached"
+        )
