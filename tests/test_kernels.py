@@ -983,10 +983,14 @@ def test_audited_ann_queries_leave_no_dangling_cache(spark, sf_dir):
     from ripple_server_spark.plans.pipeline6 import q_ann_pq_topk
 
     spark.catalog.clearCache()
+    # delta, not absolute: a shared test session may carry RDD-level
+    # persists from other suites that clearCache does not cover
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     for builder in (q_ann_pq_topk, q_ann_ivf_topk):
         df = builder(spark, sf_dir)
         df.collect()
         n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
-        assert n_cached == 0, (
-            f"{builder.__name__} left {n_cached} persistent RDDs cached"
+        assert n_cached <= base, (
+            f"{builder.__name__} left {n_cached - base} extra persistent "
+            "RDDs cached"
         )
