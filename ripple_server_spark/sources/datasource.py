@@ -224,28 +224,16 @@ def _read_bucket(part: BucketPartition):
     yield from zip(*cols)
 
 
-def _read_bucket_arrow(part: BucketPartition):
-    """Executor-side Arrow path: same scan/pushdown/order contract as
-    :func:`_read_bucket`, but yields ``pyarrow.RecordBatch`` directly —
-    no per-row Python tuple materialization, so the worker hands the
-    batches straight to the JVM Arrow stream. Columns are normalized to
-    the exact Arrow schema Spark derives from TOPIC_SCHEMA_DDL
-    (timestamps: round-9+ files are tz-aware MICROS already; pre-round-9
-    INT96 files decode naive-UTC and the engine session is pinned to
-    UTC, session.py, so attaching tz=UTC is a reinterpretation, not a
-    shift).
-    """
+def _topic_arrow_batches(tbl, bucket: int, topic: str | None = None):
+    """Normalize one bucket's seq-ordered Arrow table to the exact Arrow
+    schema Spark derives from TOPIC_SCHEMA_DDL and return its record
+    batches (timestamps: round-9+ files are tz-aware MICROS already;
+    pre-round-9 INT96 files decode naive-UTC and the engine session is
+    pinned to UTC, session.py, so attaching tz=UTC is a
+    reinterpretation, not a shift). Shared by the executor Arrow kernel
+    and the simple tier's driver prefetch."""
     import pyarrow as pa
-    import pyarrow.dataset as ds
 
-    dataset = ds.dataset(part.files, format="parquet")
-    flt = ds.field("seq") >= part.offset
-    if part.upto is not None:
-        flt = flt & (ds.field("seq") < part.upto)
-    tbl = dataset.to_table(filter=flt)
-    tbl = tbl.sort_by("seq")
-    if part.limit is not None:
-        tbl = tbl.slice(0, part.limit)
     target = pa.schema(
         [
             ("event_id", pa.int64()),
@@ -259,13 +247,32 @@ def _read_bucket_arrow(part: BucketPartition):
         ]
     )
     cols = [tbl.column(name) for name in _SCHEMA_FIELD_ORDER]
-    cols.append(pa.repeat(pa.scalar(part.bucket, pa.int32()), tbl.num_rows))
-    if part.topic is not None:
+    cols.append(pa.repeat(pa.scalar(bucket, pa.int32()), tbl.num_rows))
+    if topic is not None:
         # multi-topic subscription: rows stay attributable post-union
         target = target.append(pa.field("topic", pa.string()))
-        cols.append(pa.repeat(pa.scalar(part.topic, pa.string()), tbl.num_rows))
+        cols.append(pa.repeat(pa.scalar(topic, pa.string()), tbl.num_rows))
     out = pa.table(cols, names=[f.name for f in target]).cast(target)
-    yield from out.to_batches()
+    return out.to_batches()
+
+
+def _read_bucket_arrow(part: BucketPartition):
+    """Executor-side Arrow path: same scan/pushdown/order contract as
+    :func:`_read_bucket`, but yields ``pyarrow.RecordBatch`` directly —
+    no per-row Python tuple materialization, so the worker hands the
+    batches straight to the JVM Arrow stream.
+    """
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(part.files, format="parquet")
+    flt = ds.field("seq") >= part.offset
+    if part.upto is not None:
+        flt = flt & (ds.field("seq") < part.upto)
+    tbl = dataset.to_table(filter=flt)
+    tbl = tbl.sort_by("seq")
+    if part.limit is not None:
+        tbl = tbl.slice(0, part.limit)
+    yield from _topic_arrow_batches(tbl, part.bucket, part.topic)
 
 
 def _log_bounds(
@@ -583,14 +590,15 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         self.topic = _required_opt(options, "topic")
         self.batch_size = int(options.get("batch_size", 10_000))
         self.start_at = _check_start_at(options.get("start_at", "earliest"))
-        # decoded-tail cache for the driver prefetch, see _tail_rows
+        # decoded-tail cache for the driver prefetch, see _tail_slice
         self._tail_cache: dict[int, tuple] = {}
 
-    def _tail_rows(
+    def _tail_slice(
         self, version: int | None, bucket: int, files, off: int, max_rows
-    ) -> list[tuple]:
-        """Rows [off, off + max_rows-by-count) of one bucket, from a
-        per-(bucket, manifest-version) DECODED tail cache.
+    ):
+        """Seq-sorted Arrow slice [off, off + max_rows-by-count) of one
+        bucket, from a per-(bucket, manifest-version) DECODED tail
+        cache; ``None`` when the bucket is drained past ``off``.
 
         This tier funnels every row through driver-side prefetch by
         design (control-plane topics). The fixture files hold one row
@@ -602,12 +610,11 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         decode per (bucket, version): a produce/compaction/truncate
         commits a NEW version, which drops the stale entry, so the
         cache can never serve rows the live manifest no longer has.
-        Tuple materialization (the other per-trigger cost) only ever
-        runs for the served slice. Memory is bounded by the retained
-        tail of one control-plane topic — the same rows the stream is
-        about to serve anyway — and the entry is freed as soon as the
-        bucket is fully drained (or superseded by a new version).
-        Replay (readBetweenOffsets) keeps scanning files directly.
+        Memory is bounded by the retained tail of one control-plane
+        topic — the same rows the stream is about to serve anyway —
+        and the entry is freed as soon as the bucket is fully drained
+        (or superseded by a new version). Replay (readBetweenOffsets)
+        keeps scanning files directly.
         """
         import bisect
 
@@ -626,26 +633,9 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         lo = bisect.bisect_left(seqs, off)
         if lo >= len(seqs):
             self._tail_cache.pop(bucket, None)  # fully drained: free it
-            return []
+            return None
         hi = len(seqs) if max_rows is None else min(len(seqs), lo + max_rows)
-        part_tbl = tbl.slice(lo, hi - lo)
-        import datetime as _dt
-
-        import pyarrow as pa
-
-        utc = _dt.timezone.utc
-        cols = []
-        for name in _SCHEMA_FIELD_ORDER:
-            col = part_tbl.column(name)
-            vals = col.to_pylist()
-            if pa.types.is_timestamp(col.type) and col.type.tz is None:
-                vals = [
-                    v.replace(tzinfo=utc) if v is not None else None
-                    for v in vals
-                ]
-            cols.append(vals)
-        cols.append([bucket] * part_tbl.num_rows)
-        return list(zip(*cols))
+        return tbl.slice(lo, hi - lo)
 
     def initialOffset(self) -> dict:
         # 'latest' reads the manifest's high-water marks (O(1) in topic
@@ -661,7 +651,7 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
 
     def _read_range(self, start: dict, max_rows: int | None):
         cursors = json.loads(start.get("cursors", "{}"))
-        rows: list[tuple] = []
+        slices: list = []  # (bucket, seq-sorted Arrow table)
         new_cursors = dict(cursors)
         # Resolve the manifest version FIRST and read that pinned
         # snapshot; the version rides in the end offset so crash
@@ -670,23 +660,34 @@ class RippleTopicStreamReader(SimpleDataSourceStreamReader):
         version = _latest_version(self.root, self.topic)
         for b, files in _bucket_files(self.root, self.topic, version):
             off = int(cursors.get(str(b), 0))
-            got = self._tail_rows(version, b, files, off, max_rows)
-            rows.extend(got)
-            # Advance the cursor from the DATA (max served seq + 1),
-            # not off + row count: after retention raises a bucket's
-            # floor, seq is no longer contiguous from the cursor, and a
-            # count-based cursor would lag and re-deliver the tail
-            # forever.
-            if got:
-                new_cursors[str(b)] = max(r[_SEQ_IDX] for r in got) + 1
+            got = self._tail_slice(version, b, files, off, max_rows)
+            if got is not None and got.num_rows:
+                slices.append((b, got))
+                # Advance the cursor from the DATA (max served seq + 1),
+                # not off + row count: after retention raises a bucket's
+                # floor, seq is no longer contiguous from the cursor,
+                # and a count-based cursor would lag and re-deliver the
+                # tail forever. The slice is seq-sorted, so max = last.
+                new_cursors[str(b)] = got.column("seq")[-1].as_py() + 1
         end = {"cursors": json.dumps(new_cursors), "topic": self.topic}
         if version is not None:
             end["version"] = str(version)
-        return rows, end
+        return slices, end
 
     def read(self, start: dict):
-        rows, end = self._read_range(start, self.batch_size)
-        return iter(rows), end
+        # Serve the prefetch as Arrow record batches, not Python
+        # tuples: Spark's source runner passes pyarrow.RecordBatch
+        # through to the JVM Arrow stream verbatim
+        # (records_to_arrow_batches), so the per-row to_pylist +
+        # tuple-zip materialization AND the runner's per-cell
+        # tuple→Arrow reconversion both disappear from the per-trigger
+        # cost (guide §4.2: keep whole batches in Arrow across the
+        # boundary).
+        slices, end = self._read_range(start, self.batch_size)
+        batches: list = []
+        for b, tbl in slices:
+            batches.extend(_topic_arrow_batches(tbl, b))
+        return iter(batches), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # Deterministic replay for recovery: serve exactly [start, end)
